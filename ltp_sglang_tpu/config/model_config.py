@@ -1,0 +1,150 @@
+"""Model configuration resolved from a HuggingFace config.
+
+Counterpart of the reference's ModelConfig (python/sglang/srt/configs/
+model_config.py:49): wraps the HF config, derives head geometry / context
+length / MLA detection / quantization config, and exposes the static facts the
+rest of the engine needs. No torch dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from enum import Enum, auto
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+
+class AttentionArch(Enum):
+    MHA = auto()  # covers MQA/GQA via num_kv_heads
+    MLA = auto()  # multi-head latent attention (DeepSeek-V2/V3)
+
+
+@dataclass
+class ModelConfig:
+    model_path: str
+    hf_config: Dict[str, Any]
+    dtype: str = "bfloat16"
+    context_len: int = 4096
+    revision: Optional[str] = None
+    quantization: Optional[str] = None
+    quant_config: Optional[Dict[str, Any]] = None
+    kv_cache_dtype: str = "auto"
+
+    # Derived fields
+    architectures: list = field(default_factory=list)
+    vocab_size: int = 0
+    hidden_size: int = 0
+    num_layers: int = 0
+    num_attention_heads: int = 0
+    num_kv_heads: int = 0
+    head_dim: int = 0
+    intermediate_size: int = 0
+    attention_arch: AttentionArch = AttentionArch.MHA
+    is_generation: bool = True
+    is_multimodal: bool = False
+    # MLA geometry (DeepSeek family)
+    kv_lora_rank: int = 0
+    q_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # Sliding-window attention
+    sliding_window: Optional[int] = None
+    # MoE
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+
+    def __post_init__(self):
+        hf = self.hf_config
+        self.architectures = hf.get("architectures", []) or []
+        self.vocab_size = hf.get("vocab_size", 32000)
+        self.hidden_size = hf.get("hidden_size", 0)
+        self.num_layers = hf.get("num_hidden_layers", hf.get("num_layers", 0))
+        self.num_attention_heads = hf.get("num_attention_heads", 0)
+        self.num_kv_heads = hf.get("num_key_value_heads", self.num_attention_heads)
+        self.head_dim = hf.get("head_dim") or (
+            self.hidden_size // max(self.num_attention_heads, 1)
+        )
+        self.intermediate_size = hf.get("intermediate_size", 0)
+        self.sliding_window = hf.get("sliding_window")
+        if hf.get("use_sliding_window") is False:  # qwen2-style gate
+            self.sliding_window = None
+
+        # MLA detection mirrors model_config.py: kv_lora_rank presence.
+        if hf.get("kv_lora_rank"):
+            self.attention_arch = AttentionArch.MLA
+            self.kv_lora_rank = hf["kv_lora_rank"]
+            self.q_lora_rank = hf.get("q_lora_rank") or 0
+            self.qk_nope_head_dim = hf.get("qk_nope_head_dim", 0)
+            self.qk_rope_head_dim = hf.get("qk_rope_head_dim", 0)
+            self.v_head_dim = hf.get("v_head_dim", self.head_dim)
+
+        self.num_experts = hf.get("n_routed_experts") or hf.get("num_experts") or hf.get(
+            "num_local_experts"
+        ) or 0
+        self.num_experts_per_tok = hf.get("num_experts_per_tok", 0)
+
+        ctx = hf.get("max_position_embeddings") or hf.get("max_sequence_length") or 4096
+        if self.context_len is None or self.context_len <= 0:
+            self.context_len = ctx
+        else:
+            self.context_len = min(self.context_len, ctx) if ctx else self.context_len
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_server_args(cls, server_args) -> "ModelConfig":
+        return cls.from_model_path(
+            server_args.model_path,
+            dtype=server_args.dtype,
+            context_length=server_args.context_length,
+            quantization=server_args.quantization,
+            kv_cache_dtype=server_args.kv_cache_dtype,
+            model_override_args=server_args.model_override_args,
+        )
+
+    @classmethod
+    def from_model_path(
+        cls,
+        model_path: str,
+        dtype: str = "bfloat16",
+        context_length: Optional[int] = None,
+        quantization: Optional[str] = None,
+        kv_cache_dtype: str = "auto",
+        model_override_args: Optional[dict] = None,
+    ) -> "ModelConfig":
+        config_file = os.path.join(model_path, "config.json")
+        with open(config_file) as f:
+            hf = json.load(f)
+        if model_override_args:
+            hf.update(model_override_args)
+        quant_config = hf.get("quantization_config")
+        if quant_config and quantization is None:
+            quantization = quant_config.get("quant_method")
+        return cls(
+            model_path=model_path,
+            hf_config=hf,
+            dtype=dtype,
+            context_len=context_length or 0,
+            quantization=quantization,
+            quant_config=quant_config,
+            kv_cache_dtype=kv_cache_dtype,
+        )
+
+    @classmethod
+    def from_hf_config(cls, hf_config: Dict[str, Any], model_path: str = "", **kw) -> "ModelConfig":
+        return cls(model_path=model_path, hf_config=dict(hf_config), **kw)
+
+    # Per-token KV cache bytes (for pool sizing).
+    def kv_cache_bytes_per_token(self) -> int:
+        from ltp_sglang_tpu.utils.dtypes import dtype_bytes
+
+        kv_dtype = self.kv_cache_dtype if self.kv_cache_dtype != "auto" else self.dtype
+        if self.attention_arch == AttentionArch.MLA:
+            per_layer = self.kv_lora_rank + self.qk_rope_head_dim
+        else:
+            per_layer = 2 * self.num_kv_heads * self.head_dim
+        return self.num_layers * per_layer * dtype_bytes(kv_dtype)

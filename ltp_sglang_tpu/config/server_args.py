@@ -1,0 +1,166 @@
+"""Server/engine configuration.
+
+TPU-native counterpart of the reference's ServerArgs dataclass
+(python/sglang/srt/server_args.py:50-275). We keep the same field names where
+behavior is identical so users of the reference find their flags; fields tied
+to CUDA-process architecture (gpu_id math, nccl ports, cuda graph flags) are
+replaced by mesh/bucket equivalents.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+from typing import List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    # Model and tokenizer
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    load_format: str = "auto"  # auto | safetensors | dummy
+    dtype: str = "bfloat16"
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | float32 | fp8_e4m3 | int8
+    context_length: Optional[int] = None
+    revision: Optional[str] = None
+    model_override_args: Optional[dict] = None
+    quantization: Optional[str] = None  # awq | gptq | fp8 | w8a8_int8 | None
+    random_seed: int = 42
+
+    # Serving
+    host: str = "127.0.0.1"
+    port: int = 30000
+    served_model_name: Optional[str] = None
+    api_key: Optional[str] = None
+
+    # Memory / KV cache
+    mem_fraction_static: Optional[float] = None
+    max_total_tokens: Optional[int] = None
+    max_running_requests: Optional[int] = None
+    max_queued_requests: Optional[int] = None
+    page_size: int = 1
+    swa_full_tokens_ratio: float = 0.8
+
+    # Scheduling
+    max_prefill_tokens: int = 16384
+    chunked_prefill_size: Optional[int] = None  # None => auto; -1 disables
+    schedule_policy: str = "fcfs"  # fcfs | lpm | dfs-weight | lof | random
+    schedule_conservativeness: float = 1.0
+    stream_interval: int = 1
+    disable_radix_cache: bool = False
+    enable_mixed_chunk: bool = False
+    disable_overlap_schedule: bool = False
+    retract_decode_steps: int = 20
+    num_reserved_decode_tokens: int = 512
+    watchdog_timeout: float = 300.0
+
+    # Parallelism (mesh axes sizes)
+    tp_size: int = 1
+    dp_size: int = 1
+    pp_size: int = 1
+    ep_size: int = 1
+    enable_dp_attention: bool = False
+    node_rank: int = 0
+    nnodes: int = 1
+    dist_init_addr: Optional[str] = None
+
+    # Attention / kernels
+    attention_backend: Optional[str] = None  # None => auto (pallas on tpu, reference on cpu)
+    sampling_backend: str = "jax"
+    decode_bs_buckets: Optional[List[int]] = None
+    prefill_token_buckets: Optional[List[int]] = None
+    context_buckets: Optional[List[int]] = None
+
+    # Speculative decoding
+    speculative_algorithm: Optional[str] = None  # EAGLE | EAGLE3 | NGRAM
+    speculative_draft_model_path: Optional[str] = None
+    speculative_num_steps: int = 5
+    speculative_eagle_topk: int = 4
+    speculative_num_draft_tokens: int = 8
+
+    # Structured output
+    grammar_backend: str = "native"
+
+    # Observability
+    log_level: str = "info"
+    log_requests: bool = False
+    enable_metrics: bool = False
+    decode_log_interval: int = 40
+    enable_nan_detection: bool = False
+
+    # LoRA
+    lora_paths: Optional[List[str]] = None
+    max_loras_per_batch: int = 8
+
+    # PD disaggregation
+    disaggregation_mode: str = "null"  # null | prefill | decode
+    disaggregation_bootstrap_port: int = 8998
+    disaggregation_transfer_backend: str = "fake"
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
+        if self.chunked_prefill_size is None:
+            self.chunked_prefill_size = 4096
+        if self.mem_fraction_static is None:
+            # Reference auto-tunes by tp size (server_args.py post-init); one
+            # host-controller per TPU slice lets us keep a single default.
+            self.mem_fraction_static = 0.85
+        if self.decode_bs_buckets is None:
+            self.decode_bs_buckets = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+        if self.prefill_token_buckets is None:
+            self.prefill_token_buckets = [64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384]
+        if self.context_buckets is None:
+            self.context_buckets = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072]
+
+    # ------------------------------------------------------------------ CLI
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(ServerArgs):
+            name = "--" + f.name.replace("_", "-")
+            default = None
+            if f.default is not dataclasses.MISSING:
+                default = f.default
+            if f.type in ("bool", bool):
+                parser.add_argument(name, action="store_true", default=default)
+            elif f.type in ("Optional[List[str]]", "List[str]"):
+                parser.add_argument(name, type=str, nargs="*", default=default)
+            elif f.type in ("Optional[List[int]]", "List[int]"):
+                parser.add_argument(name, type=int, nargs="*", default=default)
+            elif f.type in ("Optional[int]", "int"):
+                parser.add_argument(name, type=int, default=default)
+            elif f.type in ("Optional[float]", "float"):
+                parser.add_argument(name, type=float, default=default)
+            elif f.type in ("Optional[dict]",):
+                continue
+            else:
+                parser.add_argument(name, type=str, default=default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if hasattr(args, f.name):
+                kwargs[f.name] = getattr(args, f.name)
+        return cls(**kwargs)
+
+    def check_server_args(self) -> None:
+        assert self.dp_size >= 1 and self.tp_size >= 1 and self.pp_size >= 1
+        assert self.page_size >= 1
+        if self.disaggregation_mode != "null":
+            assert self.disaggregation_mode in ("prefill", "decode")
+
+
+def prepare_server_args(argv: List[str]) -> ServerArgs:
+    parser = argparse.ArgumentParser(description="ltp_sglang_tpu server")
+    ServerArgs.add_cli_args(parser)
+    args = parser.parse_args(argv)
+    server_args = ServerArgs.from_cli_args(args)
+    server_args.check_server_args()
+    return server_args

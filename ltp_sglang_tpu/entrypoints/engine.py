@@ -1,0 +1,214 @@
+"""Engine: the in-process Python API.
+
+Counterpart of entrypoints/engine.py:86-620. The reference Engine spawns
+scheduler/detokenizer subprocesses and talks ZMQ; here one controller owns the
+mesh, so Engine directly pumps the scheduler loop (synchronous generate) or
+runs it on a background thread (async/streaming, used by the HTTP server).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from ltp_sglang_tpu.config.model_config import ModelConfig
+from ltp_sglang_tpu.config.server_args import ServerArgs
+from ltp_sglang_tpu.managers.detokenizer import IncrementalDecoder, trim_matched_stop
+from ltp_sglang_tpu.managers.io_struct import GenerateReqInput
+from ltp_sglang_tpu.managers.schedule_batch import Req
+from ltp_sglang_tpu.managers.scheduler import Scheduler
+from ltp_sglang_tpu.model_executor.model_runner import ModelRunner
+from ltp_sglang_tpu.parallel.mesh import create_mesh
+from ltp_sglang_tpu.sampling.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+def _try_load_tokenizer(path: str):
+    # Only local tokenizer files; the serving host must not hit the network.
+    has_files = any(
+        os.path.exists(os.path.join(path, f))
+        for f in ("tokenizer.json", "tokenizer_config.json", "tokenizer.model")
+    )
+    if not has_files:
+        logger.warning("No tokenizer files under %s; raw input_ids only", path)
+        return None
+    try:
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(path, trust_remote_code=True)
+    except Exception as e:
+        logger.warning("No tokenizer loaded from %s (%s); raw input_ids only", path, e)
+        return None
+
+
+class Engine:
+    def __init__(self, server_args: Optional[ServerArgs] = None, **kwargs):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        self.server_args = server_args
+        self.model_config = ModelConfig.from_server_args(server_args)
+
+        mesh_ctx = None
+        if server_args.tp_size * server_args.dp_size > 1:
+            mesh_ctx = create_mesh(server_args.tp_size, server_args.dp_size)
+        self.mesh_ctx = mesh_ctx
+
+        self.model_runner = ModelRunner(self.model_config, server_args, mesh_ctx)
+        self.tokenizer = _try_load_tokenizer(server_args.tokenizer_path)
+        self.scheduler = Scheduler(
+            server_args,
+            self.model_config,
+            self.model_runner,
+            on_output=self._on_output,
+        )
+        if self.tokenizer is not None:
+            self.scheduler.detokenizer = IncrementalDecoder(self.tokenizer)
+
+        self._stream_queues: Dict[str, queue.Queue] = {}
+        self._loop_lock = threading.Lock()
+
+    # ------------------------------------------------------------- generation
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        return_logprob: bool = False,
+        top_logprobs_num: int = 0,
+        stream: bool = False,
+    ):
+        """Synchronous batch generation (Engine.generate, engine.py:137)."""
+        gri = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            return_logprob=return_logprob,
+            top_logprobs_num=top_logprobs_num,
+            stream=stream,
+        )
+        gri.normalize_batch_and_arguments()
+
+        reqs = []
+        for i in range(gri.batch_size):
+            one = gri[i] if not gri.is_single else gri
+            req = self._make_req(one)
+            self.scheduler.add_request(req)
+            reqs.append(req)
+
+        # Pump the loop until all submitted requests finish.
+        with self._loop_lock:
+            while any(not r.finished() for r in reqs):
+                worked = self.scheduler.event_loop_step()
+                if not worked and any(not r.finished() for r in reqs):
+                    raise RuntimeError("scheduler stalled with unfinished requests")
+
+        outs = [self._make_output(r) for r in reqs]
+        return outs[0] if gri.is_single else outs
+
+    def _make_req(self, one: GenerateReqInput) -> Req:
+        sp_dict = one.sampling_params or {}
+        sp = SamplingParams(**sp_dict)
+        if one.input_ids is not None:
+            ids = list(one.input_ids)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer available; pass input_ids")
+            ids = self.tokenizer.encode(one.text)
+        if len(ids) >= self.model_config.context_len:
+            raise ValueError(
+                f"input length {len(ids)} exceeds context length "
+                f"{self.model_config.context_len}"
+            )
+        # Clip generation to fit the context (reference tokenizer_manager
+        # validation).
+        sp.max_new_tokens = min(
+            sp.max_new_tokens, self.model_config.context_len - len(ids) - 1
+        )
+        return Req(
+            rid=one.rid,
+            origin_input_ids=ids,
+            sampling_params=sp,
+            return_logprob=bool(one.return_logprob),
+            top_logprobs_num=int(one.top_logprobs_num or 0),
+            stream=one.stream,
+        )
+
+    def _make_output(self, req: Req) -> Dict[str, Any]:
+        if self.tokenizer is not None:
+            # Flush any pending partial detokenization.
+            text = req.decoded_text
+            remaining = req.output_ids[req.read_offset:]
+            if remaining or req.surr_offset < req.read_offset:
+                text = req.decoded_text + self.tokenizer.decode(
+                    req.output_ids[req.surr_offset:],
+                    skip_special_tokens=req.sampling_params.skip_special_tokens,
+                )[
+                    len(
+                        self.tokenizer.decode(
+                            req.output_ids[req.surr_offset : req.read_offset],
+                            skip_special_tokens=req.sampling_params.skip_special_tokens,
+                        )
+                    ) :
+                ]
+            text = trim_matched_stop(
+                text, req.sampling_params.stop_strs, req.sampling_params.no_stop_trim
+            )
+        else:
+            text = ""
+        meta = {
+            "id": req.rid,
+            "prompt_tokens": len(req.origin_input_ids),
+            "completion_tokens": len(req.output_ids),
+            "finish_reason": (
+                req.finished_reason.to_json() if req.finished_reason else None
+            ),
+            "e2e_latency": (
+                (req.finish_time - req.queued_time)
+                if (req.finish_time and req.queued_time)
+                else None
+            ),
+        }
+        return {
+            "text": text,
+            "output_ids": list(req.output_ids),
+            "meta_info": meta,
+        }
+
+    def _on_output(self, req: Req):
+        q = self._stream_queues.get(req.rid)
+        if q is not None:
+            q.put_nowait(self._make_output(req) if req.finished() else {
+                "text": req.decoded_text,
+                "output_ids": list(req.output_ids),
+                "meta_info": {"id": req.rid, "finish_reason": None},
+            })
+
+    # ------------------------------------------------------------- control
+    def flush_cache(self) -> bool:
+        return self.scheduler.flush_cache()
+
+    def abort_request(self, rid: str):
+        self.scheduler.abort_request(rid)
+
+    def get_server_info(self) -> Dict[str, Any]:
+        return {
+            "model_path": self.server_args.model_path,
+            "tokenizer_path": self.server_args.tokenizer_path,
+            "max_total_num_tokens": self.model_runner.max_total_num_tokens,
+            "max_running_requests": self.model_runner.max_running_requests,
+            "dtype": self.server_args.dtype,
+            "version": __import__("ltp_sglang_tpu").__version__,
+        }
+
+    def shutdown(self):
+        pass

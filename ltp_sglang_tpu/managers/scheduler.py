@@ -1,0 +1,381 @@
+"""Continuous-batching scheduler.
+
+Counterpart of managers/scheduler.py:187-2575 with the process topology
+redesigned: the reference runs one scheduler OS process per GPU with ZMQ +
+NCCL broadcast fan-out; on TPU one controller drives the whole mesh, so the
+scheduler is a plain object whose `event_loop_step` the engine (or a server
+thread) pumps. Core policy logic — admission (get_new_batch_prefill:1493),
+decode continuation (update_running_batch:1646), retraction, chunked prefill,
+new_token_ratio dynamics (:450,1659-1677) — ports faithfully.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ltp_sglang_tpu.config.model_config import ModelConfig
+from ltp_sglang_tpu.config.server_args import ServerArgs
+from ltp_sglang_tpu.managers.schedule_batch import (
+    BASE_MIN_NEW_TOKEN_RATIO,
+    FINISH_ABORT,
+    MIN_NEW_TOKEN_RATIO_FACTOR,
+    NEW_TOKEN_RATIO_DECAY_STEPS,
+    Req,
+    ScheduleBatch,
+)
+from ltp_sglang_tpu.managers.schedule_policy import (
+    AddReqResult,
+    PrefillAdder,
+    SchedulePolicy,
+)
+from ltp_sglang_tpu.mem_cache.chunk_cache import ChunkCache
+from ltp_sglang_tpu.mem_cache.radix_cache import RadixCache
+from ltp_sglang_tpu.model_executor.forward_batch import ForwardMode
+from ltp_sglang_tpu.model_executor.model_runner import ModelRunner
+
+logger = logging.getLogger(__name__)
+
+
+class BatchResult:
+    """What one step produced, before host-side post-processing."""
+
+    def __init__(self, batch: ScheduleBatch, next_tokens, mode: ForwardMode):
+        self.batch = batch
+        self.next_tokens = next_tokens  # device array [B_padded]
+        self.mode = mode
+
+
+class Scheduler:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: ModelConfig,
+        model_runner: ModelRunner,
+        on_output: Optional[Callable] = None,
+        eos_token_ids: Optional[set] = None,
+    ):
+        self.server_args = server_args
+        self.model_config = model_config
+        self.runner = model_runner
+        self.on_output = on_output  # callback(req, new_token or None, finished)
+        self.eos_token_ids = eos_token_ids or self._eos_from_config()
+
+        self.req_to_token_pool = model_runner.req_to_token_pool
+        self.token_to_kv_pool_allocator = model_runner.token_to_kv_pool_allocator
+
+        if server_args.disable_radix_cache:
+            self.tree_cache = ChunkCache(
+                self.req_to_token_pool,
+                self.token_to_kv_pool_allocator,
+                page_size=server_args.page_size,
+            )
+        else:
+            self.tree_cache = RadixCache(
+                self.req_to_token_pool,
+                self.token_to_kv_pool_allocator,
+                page_size=server_args.page_size,
+            )
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+
+        self.waiting_queue: List[Req] = []
+        self.running_batch: Optional[ScheduleBatch] = None
+        self.cur_batch: Optional[ScheduleBatch] = None
+        self.chunked_req: Optional[Req] = None
+
+        # Admission conservativeness dynamics (scheduler.py:450-461).
+        c = server_args.schedule_conservativeness
+        self.init_new_token_ratio = min(BASE_MIN_NEW_TOKEN_RATIO * c, 1.0)
+        self.min_new_token_ratio = min(
+            self.init_new_token_ratio * MIN_NEW_TOKEN_RATIO_FACTOR, 1.0
+        )
+        self.new_token_ratio = self.init_new_token_ratio
+        self.new_token_ratio_decay = (
+            self.init_new_token_ratio - self.min_new_token_ratio
+        ) / NEW_TOKEN_RATIO_DECAY_STEPS
+
+        # Stats
+        self.num_generated_tokens = 0
+        self.num_prefill_tokens = 0
+        self.num_retracted_reqs = 0
+        self.forward_ct = 0
+        self.last_decode_log_time = time.time()
+
+        self._rid_to_req: Dict[str, Req] = {}
+        # Optional incremental detokenizer (set by the engine when a
+        # tokenizer is available); needed for stop-string detection.
+        self.detokenizer = None
+
+    def _eos_from_config(self) -> set:
+        eos = self.model_config.hf_config.get("eos_token_id")
+        if eos is None:
+            return set()
+        if isinstance(eos, int):
+            return {eos}
+        return set(eos)
+
+    # ------------------------------------------------------------- intake
+    def add_request(self, req: Req):
+        if not req.eos_token_ids:
+            req.eos_token_ids = self.eos_token_ids
+        req.queued_time = time.time()
+        self._rid_to_req[req.rid] = req
+        self.waiting_queue.append(req)
+
+    def abort_request(self, rid: str):
+        req = self._rid_to_req.get(rid)
+        if req is None:
+            return
+        if req in self.waiting_queue:
+            self.waiting_queue.remove(req)
+            req.finished_reason = FINISH_ABORT()
+            self._emit_output(req)
+        else:
+            # Running: mark; it will be filtered after the current step.
+            req.finished_reason = FINISH_ABORT()
+
+    def has_unfinished_requests(self) -> bool:
+        return (
+            bool(self.waiting_queue)
+            or (self.running_batch is not None and not self.running_batch.is_empty())
+            or self.chunked_req is not None
+        )
+
+    # ------------------------------------------------------------ main loop
+    def event_loop_step(self) -> bool:
+        """One scheduler iteration (event_loop_normal:753). Returns whether
+        any work was done."""
+        batch = self.get_next_batch_to_run()
+        if batch is None:
+            return False
+        result = self.run_batch(batch)
+        self.process_batch_result(result)
+        return True
+
+    def get_next_batch_to_run(self) -> Optional[ScheduleBatch]:
+        # Try prefill first (prefill-priority policy, like the reference
+        # default), else continue decoding.
+        new_batch = self.get_new_batch_prefill()
+        if new_batch is not None:
+            self.cur_batch = new_batch
+            return new_batch
+        if self.running_batch is None or self.running_batch.is_empty():
+            return None
+        batch = self.update_running_batch(self.running_batch)
+        self.cur_batch = batch
+        return batch
+
+    # ----------------------------------------------------------- prefill path
+    def get_new_batch_prefill(self) -> Optional[ScheduleBatch]:
+        running_count = 0 if self.running_batch is None else self.running_batch.batch_size()
+        if (
+            self.server_args.max_running_requests is not None
+            and running_count >= self.server_args.max_running_requests
+        ):
+            return None
+        if not self.waiting_queue and self.chunked_req is None:
+            return None
+
+        self.policy.calc_priority(self.waiting_queue)
+
+        adder = PrefillAdder(
+            page_size=self.server_args.page_size,
+            tree_cache=self.tree_cache,
+            token_to_kv_pool_allocator=self.token_to_kv_pool_allocator,
+            running_batch=self.running_batch,
+            new_token_ratio=self.new_token_ratio,
+            max_prefill_tokens=self.server_args.max_prefill_tokens,
+            chunked_prefill_size=self.server_args.chunked_prefill_size,
+        )
+
+        if self.chunked_req is not None:
+            # Continue the in-flight chunked request first.
+            self.chunked_req.init_next_round_input(self.tree_cache)
+            still_chunked = adder.add_chunked_req(self.chunked_req)
+            if still_chunked:
+                self.chunked_req.is_chunked += 1
+                adder.new_chunked_req = self.chunked_req
+            else:
+                self.chunked_req = None
+
+        from ltp_sglang_tpu.managers.schedule_policy import CacheAgnosticPolicy
+
+        max_running = self.server_args.max_running_requests or 1 << 30
+        cache_agnostic = isinstance(self.policy.policy, CacheAgnosticPolicy)
+        for req in list(self.waiting_queue):
+            if running_count + len(adder.can_run_list) >= max_running:
+                break
+            if cache_agnostic:
+                # Cache-aware policies already matched in calc_priority.
+                req.init_next_round_input(
+                    None if getattr(self.tree_cache, "disable", False) else self.tree_cache
+                )
+            res = adder.add_one_req(req)
+            if res != AddReqResult.CONTINUE:
+                break
+
+        can_run_list = adder.can_run_list
+        if not can_run_list:
+            return None
+        for req in can_run_list:
+            if req in self.waiting_queue:
+                self.waiting_queue.remove(req)
+
+        if adder.new_chunked_req is not None and adder.new_chunked_req is not self.chunked_req:
+            self.chunked_req = adder.new_chunked_req
+            self.chunked_req.is_chunked += 1
+
+        batch = ScheduleBatch.init_new(
+            can_run_list,
+            self.req_to_token_pool,
+            self.token_to_kv_pool_allocator,
+            self.tree_cache,
+            self.model_config.vocab_size,
+        )
+        batch.prepare_for_extend()
+        self.num_prefill_tokens += sum(len(x) for x in batch.input_ids_list)
+        return batch
+
+    # ------------------------------------------------------------ decode path
+    def update_running_batch(self, batch: ScheduleBatch) -> Optional[ScheduleBatch]:
+        if not batch.check_decode_mem():
+            retracted, new_ratio = batch.retract_decode(self.server_args)
+            self.num_retracted_reqs += len(retracted)
+            self.new_token_ratio = new_ratio
+            logger.info(
+                "KV cache pressure: retracted %d reqs, new_token_ratio=%.3f",
+                len(retracted), new_ratio,
+            )
+            for req in retracted:
+                self.waiting_queue.append(req)
+        else:
+            self.new_token_ratio = max(
+                self.new_token_ratio - self.new_token_ratio_decay,
+                self.min_new_token_ratio,
+            )
+        if batch.is_empty():
+            self.running_batch = None
+            return None
+        batch.prepare_for_decode()
+        return batch
+
+    # ----------------------------------------------------------------- device
+    def run_batch(self, batch: ScheduleBatch) -> BatchResult:
+        self.forward_ct += 1
+        fb = batch.get_forward_batch(self.server_args, self.runner.dump_req_row)
+        next_tokens, _ = self.runner.forward(fb)
+        return BatchResult(batch, next_tokens, batch.forward_mode)
+
+    # ----------------------------------------------------------- post-process
+    def process_batch_result(self, result: BatchResult):
+        batch = result.batch
+        # Device -> host sync point (overlap scheduling moves this off the
+        # critical path; reference tp_worker_overlap_thread).
+        tokens = np.asarray(result.next_tokens)[: batch.batch_size()]
+
+        if result.mode == ForwardMode.EXTEND or result.mode == ForwardMode.MIXED:
+            self._process_extend_result(batch, tokens)
+        else:
+            self._process_decode_result(batch, tokens)
+
+    def _process_extend_result(self, batch: ScheduleBatch, tokens: np.ndarray):
+        for i, req in enumerate(batch.reqs):
+            if req.is_chunked > 0:
+                # Mid-chunk: no token is emitted; publish computed KV to the
+                # tree so concurrent requests can share it.
+                req.is_chunked -= 1
+                self._cache_unfinished(req)
+                continue
+            if len(req.output_ids) < req.sampling_params.max_new_tokens:
+                req.output_ids.append(int(tokens[i]))
+                self.num_generated_tokens += 1
+            if req.first_token_time is None:
+                req.first_token_time = time.time()
+            if self.detokenizer is not None:
+                self.detokenizer.step(req)
+            req.check_finished()
+            if req.finished():
+                self.tree_cache.cache_finished_req(req)
+                req.finish_time = time.time()
+                self._emit_output(req)
+                self._rid_to_req.pop(req.rid, None)
+            else:
+                self._cache_unfinished(req)
+                self._emit_output(req)
+
+        # Surviving (unfinished, non-chunked) requests join the running batch.
+        keep = [
+            i
+            for i, r in enumerate(batch.reqs)
+            if not r.finished() and r.is_chunked == 0 and r is not self.chunked_req
+        ]
+        batch.filter_batch(keep)
+        if not batch.is_empty():
+            if self.running_batch is None or self.running_batch.is_empty():
+                self.running_batch = batch
+            else:
+                self.running_batch.merge_batch(batch)
+
+    def _process_decode_result(self, batch: ScheduleBatch, tokens: np.ndarray):
+        for i, req in enumerate(batch.reqs):
+            req.output_ids.append(int(tokens[i]))
+            self.num_generated_tokens += 1
+            if self.detokenizer is not None:
+                self.detokenizer.step(req)
+            req.check_finished()
+            if req.finished():
+                self.tree_cache.cache_finished_req(req)
+                req.finish_time = time.time()
+                self._emit_output(req)
+                self._rid_to_req.pop(req.rid, None)
+            else:
+                self._emit_output(req)
+        batch.filter_batch()
+        if batch.is_empty():
+            self.running_batch = None
+        self._maybe_log_decode_stats(batch)
+
+    def _cache_unfinished(self, req: Req):
+        """cache_unfinished_req + device-row resync when the radix relink
+        rewired the request to canonical tree slots."""
+        all_len = len(req.fill_ids)
+        pool = self.req_to_token_pool
+        before = pool.req_to_token[req.req_pool_idx, :all_len].copy()
+        self.tree_cache.cache_unfinished_req(req)
+        after = pool.req_to_token[req.req_pool_idx, :all_len]
+        if not np.array_equal(before, after):
+            self.runner.mark_row_dirty(req.req_pool_idx)
+
+    def _emit_output(self, req: Req):
+        if self.on_output is not None:
+            self.on_output(req)
+
+    def _maybe_log_decode_stats(self, batch: ScheduleBatch):
+        if self.forward_ct % self.server_args.decode_log_interval != 0:
+            return
+        now = time.time()
+        num_running = batch.batch_size()
+        used = self.runner.max_total_num_tokens - self.token_to_kv_pool_allocator.available_size()
+        logger.info(
+            "decode batch: #running=%d, #waiting=%d, kv tokens used=%d/%d (%.1f%%), gen=%d",
+            num_running,
+            len(self.waiting_queue),
+            used,
+            self.runner.max_total_num_tokens,
+            100.0 * used / max(self.runner.max_total_num_tokens, 1),
+            self.num_generated_tokens,
+        )
+        self.last_decode_log_time = now
+
+    # ------------------------------------------------------------------- misc
+    def flush_cache(self) -> bool:
+        if (
+            self.running_batch is not None and not self.running_batch.is_empty()
+        ) or self.waiting_queue:
+            return False
+        self.tree_cache.reset()
+        self.runner.flush_cache()
+        return True

@@ -1,0 +1,200 @@
+"""KV slot allocators (host-side).
+
+Counterpart of mem_cache/allocator.py:37-751. The reference needs Triton
+kernels (`alloc_extend_kernel`/`alloc_decode_kernel`) because its free list
+lives on-GPU; in the single-controller TPU design allocation is host-side
+numpy (the device only ever sees the resulting index arrays), so the kernels
+reduce to vectorized numpy. Slot 0 is reserved as the garbage slot that padded
+lanes write to.
+
+Includes the backup/restore used by speculative decoding rollback
+(allocator.py:67-71) and page-aligned allocation semantics for page_size > 1
+(PagedTokenToKVPoolAllocator:404).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+
+class BaseTokenToKVPoolAllocator:
+    def __init__(self, size: int, page_size: int):
+        # Usable slots are [1, size]; slot 0 is the padding/garbage slot.
+        self.size = size
+        self.page_size = page_size
+        self._backup = None
+
+    def available_size(self) -> int:
+        raise NotImplementedError
+
+    def alloc(self, need_size: int) -> Optional[np.ndarray]:
+        raise NotImplementedError
+
+    def free(self, indices: np.ndarray):
+        raise NotImplementedError
+
+    def backup_state(self):
+        raise NotImplementedError
+
+    def restore_state(self, state):
+        raise NotImplementedError
+
+
+class TokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
+    """page_size == 1 free-list allocator (mem_cache/allocator.py:117)."""
+
+    def __init__(self, size: int, page_size: int = 1):
+        assert page_size == 1
+        super().__init__(size, 1)
+        self.clear()
+
+    def clear(self):
+        self.free_pages = np.arange(1, self.size + 1, dtype=np.int32)
+        self.is_not_in_free_group = True
+        self.free_group = []
+
+    def available_size(self) -> int:
+        return len(self.free_pages)
+
+    def alloc(self, need_size: int) -> Optional[np.ndarray]:
+        if need_size > len(self.free_pages):
+            return None
+        out = self.free_pages[:need_size]
+        self.free_pages = self.free_pages[need_size:]
+        return out
+
+    def free(self, indices):
+        if indices is None or len(indices) == 0:
+            return
+        indices = np.asarray(indices, dtype=np.int32)
+        if self.is_not_in_free_group:
+            self.free_pages = np.concatenate([self.free_pages, indices])
+        else:
+            self.free_group.append(indices)
+
+    # Grouped free: defer frees inside a batch-filter pass (allocator.py:94).
+    def free_group_begin(self):
+        self.is_not_in_free_group = False
+        self.free_group = []
+
+    def free_group_end(self):
+        self.is_not_in_free_group = True
+        if self.free_group:
+            self.free(np.concatenate(self.free_group))
+
+    def backup_state(self):
+        return self.free_pages.copy()
+
+    def restore_state(self, state):
+        self.free_pages = state
+
+
+class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
+    """Page-aligned allocator (mem_cache/allocator.py:404).
+
+    Slots are grouped in pages of `page_size` consecutive slots; a request's
+    token at sequence position p lives in page p // page_size of its own page
+    list. alloc_extend gives each request enough new pages to extend from
+    prefix_len to seq_len, reusing the partial last page.
+    """
+
+    def __init__(self, size: int, page_size: int):
+        super().__init__(size, page_size)
+        assert size % page_size == 0
+        self.num_pages = size // page_size
+        self.clear()
+
+    def clear(self):
+        # Page ids start at 1; slot index = page_id * page_size + offset.
+        # Page 0 contains the garbage slot 0.
+        self.free_pages = np.arange(1, self.num_pages + 1, dtype=np.int32)
+        self.is_not_in_free_group = True
+        self.free_group = []
+
+    def available_size(self) -> int:
+        return len(self.free_pages) * self.page_size
+
+    def alloc(self, need_size: int) -> Optional[np.ndarray]:
+        """Allocate whole fresh pages covering need_size tokens (used for
+        fresh prefill with no partial page)."""
+        num_pages = -(-need_size // self.page_size)
+        if num_pages > len(self.free_pages):
+            return None
+        pages = self.free_pages[:num_pages]
+        self.free_pages = self.free_pages[num_pages:]
+        slots = (
+            pages[:, None] * self.page_size + np.arange(self.page_size, dtype=np.int32)
+        ).reshape(-1)
+        return slots[:need_size]
+
+    def alloc_extend(
+        self,
+        prefix_len: int,
+        extend_len: int,
+        last_slot: int,
+    ) -> Optional[np.ndarray]:
+        """Extend one request from prefix_len by extend_len tokens.
+
+        last_slot: kv slot of token (prefix_len - 1), used to continue its
+        partial page. Mirrors alloc_extend_kernel (allocator.py:276).
+        """
+        out = np.empty(extend_len, dtype=np.int32)
+        filled = 0
+        if prefix_len % self.page_size != 0:
+            # Continue the partial page.
+            page = last_slot // self.page_size
+            offset = prefix_len % self.page_size
+            take = min(self.page_size - offset, extend_len)
+            out[:take] = page * self.page_size + np.arange(offset, offset + take)
+            filled = take
+        remaining = extend_len - filled
+        if remaining > 0:
+            num_pages = -(-remaining // self.page_size)
+            if num_pages > len(self.free_pages):
+                return None
+            pages = self.free_pages[:num_pages]
+            self.free_pages = self.free_pages[num_pages:]
+            slots = (
+                pages[:, None] * self.page_size
+                + np.arange(self.page_size, dtype=np.int32)
+            ).reshape(-1)
+            out[filled:] = slots[:remaining]
+        return out
+
+    def alloc_decode(self, seq_len: int, last_slot: int) -> Optional[np.ndarray]:
+        """One new token at position seq_len-1 (post-increment length)."""
+        return self.alloc_extend(seq_len - 1, 1, last_slot)
+
+    def free(self, indices):
+        if indices is None or len(indices) == 0:
+            return
+        indices = np.asarray(indices, dtype=np.int32)
+        if self.is_not_in_free_group:
+            # Only fully-freed pages return to the pool: the caller frees a
+            # token range; a page is freed when its first slot is in the set
+            # and the whole page is covered OR page-aligned semantics from the
+            # radix cache guarantee page granularity. We conservatively free
+            # pages all of whose slots appear in `indices`.
+            pages, counts = np.unique(indices // self.page_size, return_counts=True)
+            full = pages[counts == self.page_size]
+            if len(full):
+                self.free_pages = np.concatenate([self.free_pages, full.astype(np.int32)])
+        else:
+            self.free_group.append(indices)
+
+    def free_group_begin(self):
+        self.is_not_in_free_group = False
+        self.free_group = []
+
+    def free_group_end(self):
+        self.is_not_in_free_group = True
+        if self.free_group:
+            self.free(np.concatenate(self.free_group))
+
+    def backup_state(self):
+        return self.free_pages.copy()
+
+    def restore_state(self, state):
+        self.free_pages = state

@@ -1,0 +1,288 @@
+"""Llama-family model (Llama 2/3, and the template for most dense models).
+
+Functional TPU-first redesign of the reference implementation
+(python/sglang/srt/models/llama.py:61-484). Differences by design:
+
+- Parameters are a pytree with *stacked* layer leaves ([L, ...]) consumed by a
+  `lax.scan` over layers — one compiled layer body instead of 32 unrolled
+  modules, which keeps compile times flat across the jit bucket ladder.
+- No ColumnParallel/RowParallel classes: tensor parallelism is expressed as
+  `PartitionSpec`s on the stacked leaves (param_specs()); XLA inserts the
+  all-reduces the reference issues manually after o_proj/down_proj.
+- Attention runs against the paged KV cache through a pluggable kernel with
+  the same contract as the reference attention backends (SURVEY B.2).
+
+Weight checkpoint names follow HF llama (model.layers.N.self_attn.q_proj...),
+converted by convert_hf_weights (reference mapping: models/llama.py:574-631).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ltp_sglang_tpu.config.model_config import ModelConfig
+from ltp_sglang_tpu.layers.activation import silu_and_mul
+from ltp_sglang_tpu.layers.norm import rms_norm
+from ltp_sglang_tpu.layers.rotary import apply_rope, build_cos_sin_cache
+from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
+from ltp_sglang_tpu.utils.dtypes import to_jnp_dtype
+
+
+class StepArrays(NamedTuple):
+    """Device-side step input (one bucket's padded arrays)."""
+
+    input_ids: jnp.ndarray  # [B, E] int32
+    positions: jnp.ndarray  # [B, E] int32
+    cache_locs: jnp.ndarray  # [B, E] int32 (0 = garbage slot for pads)
+    seq_lens: jnp.ndarray  # [B] int32
+    prefix_lens: jnp.ndarray  # [B] int32
+    extend_lens: jnp.ndarray  # [B] int32
+    kv_indices: jnp.ndarray  # [B, C] int32
+
+
+class LlamaForCausalLM:
+    has_bias = False  # qwen2 subclass sets qkv bias
+
+    def __init__(self, config: ModelConfig, attn_impl=None):
+        self.config = config
+        self.dtype = to_jnp_dtype(config.dtype)
+        hf = config.hf_config
+        self.rms_eps = hf.get("rms_norm_eps", 1e-6)
+        self.rope_theta = hf.get("rope_theta", 10000.0)
+        self.rope_scaling = hf.get("rope_scaling")
+        self.tie_word_embeddings = hf.get("tie_word_embeddings", False)
+        self.attn_impl = attn_impl or ref_paged_attention
+        self.sm_scale = config.head_dim**-0.5
+        self.sliding_window = 0
+        self.cos_sin_cache = build_cos_sin_cache(
+            config.head_dim,
+            config.context_len,
+            base=self.rope_theta,
+            rope_scaling=self.rope_scaling,
+        )
+
+    # ------------------------------------------------------------- parameters
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random (dummy-loader) initialization, reference DummyModelLoader
+        (model_loader/loader.py:531)."""
+        cfg = self.config
+        rng = np.random.default_rng(seed)
+        L, Dm, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+
+        def w(*shape, scale=0.02):
+            return jnp.asarray(
+                rng.standard_normal(shape, dtype=np.float32) * scale, dtype=self.dtype
+            )
+
+        layers = {
+            "input_layernorm": jnp.ones((L, Dm), dtype=self.dtype),
+            "post_attention_layernorm": jnp.ones((L, Dm), dtype=self.dtype),
+            "q_proj": {"kernel": w(L, Dm, Hq * D)},
+            "k_proj": {"kernel": w(L, Dm, Hkv * D)},
+            "v_proj": {"kernel": w(L, Dm, Hkv * D)},
+            "o_proj": {"kernel": w(L, Hq * D, Dm)},
+            "gate_proj": {"kernel": w(L, Dm, I)},
+            "up_proj": {"kernel": w(L, Dm, I)},
+            "down_proj": {"kernel": w(L, I, Dm)},
+        }
+        if self.has_bias:
+            layers["q_proj"]["bias"] = jnp.zeros((L, Hq * D), dtype=self.dtype)
+            layers["k_proj"]["bias"] = jnp.zeros((L, Hkv * D), dtype=self.dtype)
+            layers["v_proj"]["bias"] = jnp.zeros((L, Hkv * D), dtype=self.dtype)
+        params = {
+            "embed": {"weight": w(cfg.vocab_size, Dm)},
+            "layers": layers,
+            "norm": jnp.ones((Dm,), dtype=self.dtype),
+        }
+        if not self.tie_word_embeddings:
+            params["lm_head"] = {"kernel": w(Dm, cfg.vocab_size)}
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        """PartitionSpecs over mesh axes ("dp", "tp"): head/ffn dims sharded on
+        tp (the ColumnParallel/RowParallel translation, layers/linear.py)."""
+        layer_specs = {
+            "input_layernorm": P(None, None),
+            "post_attention_layernorm": P(None, None),
+            "q_proj": {"kernel": P(None, None, "tp")},
+            "k_proj": {"kernel": P(None, None, "tp")},
+            "v_proj": {"kernel": P(None, None, "tp")},
+            "o_proj": {"kernel": P(None, "tp", None)},
+            "gate_proj": {"kernel": P(None, None, "tp")},
+            "up_proj": {"kernel": P(None, None, "tp")},
+            "down_proj": {"kernel": P(None, "tp", None)},
+        }
+        if self.has_bias:
+            layer_specs["q_proj"]["bias"] = P(None, "tp")
+            layer_specs["k_proj"]["bias"] = P(None, "tp")
+            layer_specs["v_proj"]["bias"] = P(None, "tp")
+        specs = {
+            "embed": {"weight": P("tp", None)},
+            "layers": layer_specs,
+            "norm": P(None),
+        }
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = {"kernel": P(None, "tp")}
+        return specs
+
+    # ------------------------------------------------------------ hf weights
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Stack per-layer HF tensors into the scan layout. HF linear weights
+        are [out, in]; ours are [in, out]."""
+        cfg = self.config
+        L = cfg.num_layers
+
+        def get(name):
+            if name in weights:
+                return weights[name]
+            return weights[name.replace("model.", "", 1)]
+
+        def stack_linear(sub):
+            return jnp.asarray(
+                np.stack(
+                    [
+                        np.asarray(get(f"model.layers.{i}.{sub}.weight")).T
+                        for i in range(L)
+                    ]
+                ),
+                dtype=self.dtype,
+            )
+
+        def stack_vec(sub, field="weight"):
+            return jnp.asarray(
+                np.stack(
+                    [np.asarray(get(f"model.layers.{i}.{sub}.{field}")) for i in range(L)]
+                ),
+                dtype=self.dtype,
+            )
+
+        layers = {
+            "input_layernorm": stack_vec("input_layernorm"),
+            "post_attention_layernorm": stack_vec("post_attention_layernorm"),
+            "q_proj": {"kernel": stack_linear("self_attn.q_proj")},
+            "k_proj": {"kernel": stack_linear("self_attn.k_proj")},
+            "v_proj": {"kernel": stack_linear("self_attn.v_proj")},
+            "o_proj": {"kernel": stack_linear("self_attn.o_proj")},
+            "gate_proj": {"kernel": stack_linear("mlp.gate_proj")},
+            "up_proj": {"kernel": stack_linear("mlp.up_proj")},
+            "down_proj": {"kernel": stack_linear("mlp.down_proj")},
+        }
+        if self.has_bias:
+            layers["q_proj"]["bias"] = stack_vec("self_attn.q_proj", "bias")
+            layers["k_proj"]["bias"] = stack_vec("self_attn.k_proj", "bias")
+            layers["v_proj"]["bias"] = stack_vec("self_attn.v_proj", "bias")
+
+        params = {
+            "embed": {
+                "weight": jnp.asarray(get("model.embed_tokens.weight"), dtype=self.dtype)
+            },
+            "layers": layers,
+            "norm": jnp.asarray(get("model.norm.weight"), dtype=self.dtype),
+        }
+        if not self.tie_word_embeddings:
+            params["lm_head"] = {
+                "kernel": jnp.asarray(
+                    np.asarray(get("lm_head.weight")).T, dtype=self.dtype
+                )
+            }
+        return params
+
+    # ---------------------------------------------------------------- forward
+    def forward(
+        self,
+        params: Dict[str, Any],
+        step: StepArrays,
+        k_cache: jnp.ndarray,  # [L, S, Hkv, D]
+        v_cache: jnp.ndarray,  # [L, S, Hkv, D]
+    ):
+        """Returns (last_token_logits [B, V], k_cache, v_cache)."""
+        cfg = self.config
+        B, E = step.input_ids.shape
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+
+        hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
+        cache_locs_flat = step.cache_locs.reshape(-1)  # [B*E]
+
+        def layer_body(carry, xs):
+            h, kc, vc = carry
+            lp, li = xs
+
+            # Self-attention
+            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            q = jnp.einsum("bed,dk->bek", normed, lp["q_proj"]["kernel"])
+            k = jnp.einsum("bed,dk->bek", normed, lp["k_proj"]["kernel"])
+            v = jnp.einsum("bed,dk->bek", normed, lp["v_proj"]["kernel"])
+            if self.has_bias:
+                q = q + lp["q_proj"]["bias"]
+                k = k + lp["k_proj"]["bias"]
+                v = v + lp["v_proj"]["bias"]
+            q = q.reshape(B, E, Hq, D)
+            k = k.reshape(B, E, Hkv, D)
+            v = v.reshape(B, E, Hkv, D)
+            q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
+
+            # Write new KV into the paged cache (pads land in garbage slot 0),
+            # then attend over the gathered pages (SURVEY §7.5a).
+            kc = kc.at[li, cache_locs_flat].set(
+                k.reshape(-1, Hkv, D).astype(kc.dtype)
+            )
+            vc = vc.at[li, cache_locs_flat].set(
+                v.reshape(-1, Hkv, D).astype(vc.dtype)
+            )
+            attn_out = self.attn_impl(
+                q,
+                kc[li],
+                vc[li],
+                step.kv_indices,
+                step.seq_lens,
+                step.prefix_lens,
+                self.sm_scale,
+                sliding_window=self.sliding_window,
+            )
+            attn_out = jnp.einsum(
+                "bek,kd->bed", attn_out.reshape(B, E, Hq * D), lp["o_proj"]["kernel"]
+            )
+            h = h + attn_out
+
+            # MLP
+            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            gate = jnp.einsum("bed,di->bei", normed, lp["gate_proj"]["kernel"])
+            up = jnp.einsum("bed,di->bei", normed, lp["up_proj"]["kernel"])
+            mlp = jnp.einsum(
+                "bei,id->bed", jax.nn.silu(gate) * up, lp["down_proj"]["kernel"]
+            )
+            h = h + mlp
+            return (h, kc, vc), None
+
+        L = cfg.num_layers
+        (hidden, k_cache, v_cache), _ = jax.lax.scan(
+            layer_body,
+            (hidden, k_cache, v_cache),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+
+        # Last-token hidden per request (LogitsProcessor last-token path,
+        # layers/logits_processor.py:237).
+        last_idx = jnp.maximum(step.extend_lens - 1, 0)  # [B]
+        last_hidden = jnp.take_along_axis(
+            hidden, last_idx[:, None, None], axis=1
+        )[:, 0]  # [B, Dm]
+
+        lm_kernel = (
+            params["embed"]["weight"].T
+            if self.tie_word_embeddings
+            else params["lm_head"]["kernel"]
+        )
+        logits = jnp.einsum(
+            "bd,dv->bv", last_hidden.astype(jnp.float32), lm_kernel.astype(jnp.float32)
+        )
+        return logits, k_cache, v_cache

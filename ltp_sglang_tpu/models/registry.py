@@ -1,0 +1,45 @@
+"""Architecture registry: HF config.architectures -> model class.
+
+Counterpart of models/registry.py in the reference (which imports every module
+in models/); we register explicitly to keep import time low.
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+from typing import Dict, Tuple
+
+logger = logging.getLogger(__name__)
+
+# architecture name -> (module, class)
+_MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
+    "LlamaForCausalLM": ("ltp_sglang_tpu.models.llama", "LlamaForCausalLM"),
+    "LlamaModel": ("ltp_sglang_tpu.models.llama", "LlamaForCausalLM"),
+    "Qwen2ForCausalLM": ("ltp_sglang_tpu.models.qwen2", "Qwen2ForCausalLM"),
+    "Qwen3ForCausalLM": ("ltp_sglang_tpu.models.qwen3", "Qwen3ForCausalLM"),
+    "MistralForCausalLM": ("ltp_sglang_tpu.models.mistral", "MistralForCausalLM"),
+    "Gemma2ForCausalLM": ("ltp_sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
+    "Qwen2MoeForCausalLM": ("ltp_sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
+    "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
+    "MixtralForCausalLM": ("ltp_sglang_tpu.models.mixtral", "MixtralForCausalLM"),
+    "DeepseekV2ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
+    "DeepseekV3ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
+    "Phi3ForCausalLM": ("ltp_sglang_tpu.models.phi3", "Phi3ForCausalLM"),
+}
+
+
+def resolve_model_cls(architectures):
+    for arch in architectures:
+        if arch in _MODEL_REGISTRY:
+            module_name, cls_name = _MODEL_REGISTRY[arch]
+            module = importlib.import_module(module_name)
+            return getattr(module, cls_name)
+    raise ValueError(
+        f"No registered model class for architectures {architectures}. "
+        f"Known: {sorted(_MODEL_REGISTRY)}"
+    )
+
+
+def register_model(arch: str, module: str, cls: str):
+    _MODEL_REGISTRY[arch] = (module, cls)

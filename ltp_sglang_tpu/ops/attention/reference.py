@@ -1,0 +1,68 @@
+"""Reference paged attention in pure jnp (the `torch_native_backend` analog).
+
+Semantics mirror the reference Triton kernels
+(layers/attention/triton_ops/decode_attention.py:677 `decode_attention_fwd`,
+extend_attention.py:306 `extend_attention_fwd`): new tokens attend over
+(cached prefix ∪ themselves) through a per-request page table, causally.
+
+Design difference (TPU-first): KV for the new tokens is written to the paged
+cache *before* attention, so a single gather over `kv_indices` serves both the
+prefix and the new tokens — one uniform memory access pattern that XLA can
+tile, instead of the reference's two-source loop. Decode is the E=1 special
+case of extend.
+
+All shapes are padded/static: B (batch bucket), E (extend bucket), C (kv-len
+bucket). Works on CPU for tests and on TPU as the fallback backend; the Pallas
+kernels in pallas_decode.py / pallas_extend.py are the fast path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ref_paged_attention(
+    q: jnp.ndarray,  # [B, E, Hq, D]
+    k_cache: jnp.ndarray,  # [S, Hkv, D] (this layer)
+    v_cache: jnp.ndarray,  # [S, Hkv, Dv]
+    kv_indices: jnp.ndarray,  # [B, C] int32 slot ids (garbage beyond seq_len)
+    seq_lens: jnp.ndarray,  # [B] total kv len per request (post-extend)
+    q_pos_start: jnp.ndarray,  # [B] absolute position of first query token (=prefix_len)
+    sm_scale: float,
+    logit_cap: float = 0.0,
+    sliding_window: int = 0,  # 0 = disabled
+) -> jnp.ndarray:  # [B, E, Hq, Dv]
+    B, E, Hq, D = q.shape
+    C = kv_indices.shape[1]
+    Hkv = k_cache.shape[1]
+    Dv = v_cache.shape[2]
+    group = Hq // Hkv
+
+    k = k_cache[kv_indices]  # [B, C, Hkv, D]
+    v = v_cache[kv_indices]  # [B, C, Hkv, Dv]
+
+    qf = q.reshape(B, E, Hkv, group, D).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    # scores: [B, Hkv, group, E, C]
+    scores = jnp.einsum("behgd,bchd->bhgec", qf, kf) * sm_scale
+
+    if logit_cap > 0:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+
+    # Causal + length mask: query i (absolute pos p_i = q_pos_start + i) sees
+    # kv j iff j <= p_i and j < seq_len.
+    q_pos = q_pos_start[:, None] + jnp.arange(E, dtype=jnp.int32)[None, :]  # [B, E]
+    kv_pos = jnp.arange(C, dtype=jnp.int32)[None, :]  # [1, C]
+    mask = (kv_pos[:, None, :] <= q_pos[:, :, None]) & (
+        kv_pos[:, None, :] < seq_lens[:, None, None]
+    )  # [B, E, C]
+    if sliding_window > 0:
+        mask = mask & (kv_pos[:, None, :] > q_pos[:, :, None] - sliding_window)
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Fully-masked (padded) rows produce NaN from softmax(-inf); zero them.
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    out = jnp.einsum("bhgec,bchd->behgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, E, Hq, Dv).astype(q.dtype)
