@@ -89,8 +89,10 @@ def main():
     ]
     sp = {"max_new_tokens": gen_len, "temperature": 0.0, "ignore_eos": True}
 
-    # Warmup: compiles extend + decode buckets.
-    eng.generate(input_ids=prompts[: min(4, bs)], sampling_params=dict(sp, max_new_tokens=8))
+    # Warmup: compiles the exact extend + decode buckets the timed run uses
+    # (full batch size, same context bucket). Persistent XLA cache makes
+    # subsequent runs start fast.
+    eng.generate(input_ids=prompts, sampling_params=dict(sp, max_new_tokens=8))
     eng.flush_cache()
 
     t0 = time.time()

@@ -51,6 +51,10 @@ class ServerArgs:
     schedule_policy: str = "fcfs"  # fcfs | lpm | dfs-weight | lof | random
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
+    # Decode steps executed per device program (on-device token feedback);
+    # the TPU analog of the reference's zero-overhead overlap scheduler.
+    # 1 = sync every token (needed for grammar-constrained requests).
+    decode_window_size: int = 8
     disable_radix_cache: bool = False
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False

@@ -64,6 +64,13 @@ class Engine:
         self.mesh_ctx = mesh_ctx
 
         self.model_runner = ModelRunner(self.model_config, server_args, mesh_ctx)
+        # Clamp bucket ladders to the (lane-padded) device table width so
+        # table-row writes never exceed the row.
+        W = self.model_runner.table_width
+        server_args.context_buckets = sorted({min(b, W) for b in server_args.context_buckets})
+        server_args.prefill_token_buckets = sorted(
+            {min(b, W) for b in server_args.prefill_token_buckets}
+        )
         self.tokenizer = _try_load_tokenizer(server_args.tokenizer_path)
         self.scheduler = Scheduler(
             server_args,

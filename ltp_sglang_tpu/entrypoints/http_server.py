@@ -1,0 +1,407 @@
+"""HTTP server: native + OpenAI-compatible endpoints.
+
+Counterpart of entrypoints/http_server.py:233-874. Built on aiohttp (this
+image has no fastapi/uvicorn; aiohttp is lighter anyway for a serving daemon).
+Endpoint parity with the reference route table:
+
+  native: /health, /health_generate, /get_server_info, /get_model_info,
+          /generate (+streaming), /flush_cache, /abort_request,
+          /get_load, /update_weights_from_disk
+  OpenAI: /v1/models, /v1/completions, /v1/chat/completions
+
+The engine runs its scheduler loop on a background thread; request/response
+crossing happens through thread-safe queues (the single-controller translation
+of the reference's ZMQ tokenizer<->scheduler split).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import queue
+import threading
+import time
+import uuid
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from ltp_sglang_tpu.config.server_args import ServerArgs
+from ltp_sglang_tpu.entrypoints.engine import Engine
+from ltp_sglang_tpu.managers.io_struct import GenerateReqInput
+from ltp_sglang_tpu.managers.schedule_batch import Req
+from ltp_sglang_tpu.sampling.sampling_params import SamplingParams
+
+logger = logging.getLogger(__name__)
+
+
+class EngineLoopThread:
+    """Pumps the scheduler continuously; requests enter via a queue."""
+
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.inbox: queue.Queue = queue.Queue()
+        self._shutdown = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        # rid -> asyncio-safe outbox queue
+        self.outboxes: Dict[str, queue.Queue] = {}
+        self.engine.scheduler.on_output = self._on_output
+        self.last_step_time = time.time()
+
+    def start(self):
+        self.thread.start()
+
+    def stop(self):
+        self._shutdown.set()
+
+    def submit(self, req: Req) -> queue.Queue:
+        out: queue.Queue = queue.Queue()
+        self.outboxes[req.rid] = out
+        self.inbox.put(req)
+        return out
+
+    def abort(self, rid: str):
+        self.inbox.put(("abort", rid))
+
+    def _on_output(self, req: Req):
+        out = self.outboxes.get(req.rid)
+        if out is None:
+            return
+        payload = {
+            "rid": req.rid,
+            "output_ids": list(req.output_ids),
+            "decoded_text": req.decoded_text,
+            "finished": req.finished(),
+            "finish_reason": req.finished_reason.to_json() if req.finished_reason else None,
+            "prompt_tokens": len(req.origin_input_ids),
+        }
+        out.put_nowait(payload)
+        if req.finished():
+            self.outboxes.pop(req.rid, None)
+
+    def _run(self):
+        sched = self.engine.scheduler
+        while not self._shutdown.is_set():
+            # Drain the inbox.
+            try:
+                while True:
+                    item = self.inbox.get_nowait()
+                    if isinstance(item, tuple) and item[0] == "abort":
+                        sched.abort_request(item[1])
+                    else:
+                        sched.add_request(item)
+            except queue.Empty:
+                pass
+            worked = sched.event_loop_step()
+            self.last_step_time = time.time()
+            if not worked:
+                # Idle: block briefly on the inbox instead of spinning.
+                try:
+                    item = self.inbox.get(timeout=0.005)
+                    if isinstance(item, tuple) and item[0] == "abort":
+                        sched.abort_request(item[1])
+                    else:
+                        sched.add_request(item)
+                except queue.Empty:
+                    pass
+
+
+class HttpServer:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.loop_thread = EngineLoopThread(engine)
+        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        self._add_routes()
+        self.start_time = time.time()
+
+    def _add_routes(self):
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_get("/get_model_info", self.get_model_info)
+        r.add_get("/get_load", self.get_load)
+        r.add_post("/generate", self.generate)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_get("/v1/models", self.openai_models)
+        r.add_post("/v1/completions", self.openai_completions)
+        r.add_post("/v1/chat/completions", self.openai_chat)
+
+    # ----------------------------------------------------------- native API
+    async def health(self, request):
+        return web.Response(text="OK")
+
+    async def health_generate(self, request):
+        out = await self._generate_one(
+            {"input_ids": [1, 2, 3], "sampling_params": {"max_new_tokens": 1}}
+        )
+        return web.Response(text="OK" if out else "FAIL")
+
+    async def get_server_info(self, request):
+        info = self.engine.get_server_info()
+        sched = self.engine.scheduler
+        info.update(
+            uptime=time.time() - self.start_time,
+            num_generated_tokens=sched.num_generated_tokens,
+            num_retracted_reqs=sched.num_retracted_reqs,
+            waiting_queue_len=len(sched.waiting_queue),
+        )
+        return web.json_response(info)
+
+    async def get_model_info(self, request):
+        return web.json_response(
+            {
+                "model_path": self.engine.server_args.model_path,
+                "tokenizer_path": self.engine.server_args.tokenizer_path,
+                "is_generation": True,
+            }
+        )
+
+    async def get_load(self, request):
+        sched = self.engine.scheduler
+        running = 0 if sched.running_batch is None else sched.running_batch.batch_size()
+        return web.json_response(
+            {
+                "num_reqs_running": running,
+                "num_reqs_waiting": len(sched.waiting_queue),
+                "num_tokens_used": self.engine.model_runner.max_total_num_tokens
+                - sched.token_to_kv_pool_allocator.available_size(),
+                "max_total_num_tokens": self.engine.model_runner.max_total_num_tokens,
+            }
+        )
+
+    def _make_req(self, body: Dict[str, Any]) -> Req:
+        gri = GenerateReqInput(
+            text=body.get("text"),
+            input_ids=body.get("input_ids"),
+            sampling_params=body.get("sampling_params"),
+            rid=body.get("rid"),
+            stream=body.get("stream", False),
+        )
+        gri.normalize_batch_and_arguments()
+        if not gri.is_single:
+            raise ValueError("batch requests: submit one request per call (or use the Engine API)")
+        return self.engine._make_req(gri)
+
+    async def _generate_one(self, body: Dict[str, Any], timeout: float = 600.0):
+        req = self._make_req(body)
+        out_q = self.loop_thread.submit(req)
+        loop = asyncio.get_event_loop()
+        deadline = time.time() + timeout
+        last = None
+        while time.time() < deadline:
+            try:
+                last = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                if last["finished"]:
+                    return last
+            except queue.Empty:
+                continue
+        return last
+
+    async def generate(self, request):
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        stream = body.get("stream", False)
+        try:
+            if not stream:
+                out = await self._generate_one(body)
+                if out is None:
+                    return web.json_response({"error": "timeout"}, status=504)
+                return web.json_response(self._format_native(out))
+            # Streaming: SSE of incremental outputs.
+            req = self._make_req(body)
+            out_q = self.loop_thread.submit(req)
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+            )
+            await resp.prepare(request)
+            loop = asyncio.get_event_loop()
+            while True:
+                try:
+                    out = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                except queue.Empty:
+                    continue
+                payload = self._format_native(out)
+                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+                if out["finished"]:
+                    break
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    def _format_native(self, out: Dict[str, Any]) -> Dict[str, Any]:
+        from ltp_sglang_tpu.managers.detokenizer import trim_matched_stop
+
+        return {
+            "text": out["decoded_text"],
+            "output_ids": out["output_ids"],
+            "meta_info": {
+                "id": out["rid"],
+                "prompt_tokens": out["prompt_tokens"],
+                "completion_tokens": len(out["output_ids"]),
+                "finish_reason": out["finish_reason"],
+            },
+        }
+
+    async def flush_cache(self, request):
+        ok = self.engine.flush_cache()
+        return web.json_response({"success": ok})
+
+    async def abort_request(self, request):
+        body = await request.json()
+        self.loop_thread.abort(body.get("rid", ""))
+        return web.json_response({"success": True})
+
+    async def update_weights_from_disk(self, request):
+        body = await request.json()
+        model_path = body.get("model_path")
+        try:
+            from ltp_sglang_tpu.model_loader.loader import load_model_weights
+
+            params = load_model_weights(
+                self.engine.model_runner.model, model_path, "auto"
+            )
+            self.engine.model_runner.update_weights_from_params(params)
+            return web.json_response({"success": True, "message": "weights updated"})
+        except Exception as e:
+            return web.json_response({"success": False, "message": str(e)}, status=400)
+
+    # ----------------------------------------------------------- OpenAI API
+    async def openai_models(self, request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.engine.server_args.served_model_name,
+                        "object": "model",
+                        "created": int(self.start_time),
+                        "owned_by": "ltp_sglang_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def openai_completions(self, request):
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON"}, status=400)
+        prompt = body.get("prompt")
+        sp = _openai_to_sampling_params(body)
+        native = {"sampling_params": sp}
+        if isinstance(prompt, str):
+            native["text"] = prompt
+        elif isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            native["input_ids"] = prompt
+        else:
+            return web.json_response({"error": "unsupported prompt type"}, status=400)
+        out = await self._generate_one(native)
+        if out is None:
+            return web.json_response({"error": "timeout"}, status=504)
+        return web.json_response(
+            {
+                "id": f"cmpl-{uuid.uuid4().hex}",
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": self.engine.server_args.served_model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": out["decoded_text"],
+                        "finish_reason": _openai_finish_reason(out["finish_reason"]),
+                        "logprobs": None,
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": out["prompt_tokens"],
+                    "completion_tokens": len(out["output_ids"]),
+                    "total_tokens": out["prompt_tokens"] + len(out["output_ids"]),
+                },
+            }
+        )
+
+    async def openai_chat(self, request):
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON"}, status=400)
+        messages = body.get("messages", [])
+        tokenizer = self.engine.tokenizer
+        if tokenizer is None:
+            return web.json_response(
+                {"error": "chat requires a tokenizer with a chat template"}, status=400
+            )
+        try:
+            prompt = tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True
+            )
+        except Exception:
+            # Fallback template.
+            prompt = "".join(
+                f"<|{m.get('role','user')}|>\n{m.get('content','')}\n" for m in messages
+            ) + "<|assistant|>\n"
+        sp = _openai_to_sampling_params(body)
+        out = await self._generate_one({"text": prompt, "sampling_params": sp})
+        if out is None:
+            return web.json_response({"error": "timeout"}, status=504)
+        return web.json_response(
+            {
+                "id": f"chatcmpl-{uuid.uuid4().hex}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": self.engine.server_args.served_model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {"role": "assistant", "content": out["decoded_text"]},
+                        "finish_reason": _openai_finish_reason(out["finish_reason"]),
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": out["prompt_tokens"],
+                    "completion_tokens": len(out["output_ids"]),
+                    "total_tokens": out["prompt_tokens"] + len(out["output_ids"]),
+                },
+            }
+        )
+
+
+def _openai_to_sampling_params(body: Dict[str, Any]) -> Dict[str, Any]:
+    sp = {
+        "max_new_tokens": body.get("max_tokens", body.get("max_completion_tokens", 128)),
+        "temperature": body.get("temperature", 1.0),
+        "top_p": body.get("top_p", 1.0),
+        "n": body.get("n", 1),
+        "frequency_penalty": body.get("frequency_penalty", 0.0),
+        "presence_penalty": body.get("presence_penalty", 0.0),
+    }
+    if body.get("stop") is not None:
+        sp["stop"] = body["stop"]
+    rf = body.get("response_format")
+    if rf and rf.get("type") == "json_schema":
+        sp["json_schema"] = json.dumps(rf["json_schema"].get("schema", {}))
+    return sp
+
+
+def _openai_finish_reason(fr: Optional[Dict]) -> str:
+    if fr is None:
+        return "stop"
+    return "length" if fr.get("type") == "length" else "stop"
+
+
+def launch_server(server_args: ServerArgs):
+    engine = Engine(server_args)
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    logger.info("serving on http://%s:%d", server_args.host, server_args.port)
+    web.run_app(
+        server.app, host=server_args.host, port=server_args.port, print=None
+    )

@@ -328,6 +328,68 @@ class ScheduleBatch:
         if self.sampling_info is None:
             self.sampling_info = SamplingBatchInfo.from_reqs(self.reqs, self.vocab_size)
 
+    def prepare_for_decode_window(self, K: int):
+        """Allocate K decode slots per request for a multi-step device window
+        and record them in the host table (ModelRunner.forward_window)."""
+        self.forward_mode = ForwardMode.DECODE
+        pool = self.req_to_token_pool
+        alloc = self.token_to_kv_pool_allocator
+        n = len(self.reqs)
+
+        if alloc.page_size == 1:
+            flat = self.alloc_token_slots(n * K)
+            assert flat is not None, "KV pool exhausted for decode window"
+            slots = np.asarray(flat, dtype=np.int32).reshape(n, K)
+        else:
+            slots = np.empty((n, K), dtype=np.int32)
+            for i, req in enumerate(self.reqs):
+                s0 = req.seqlen()
+                last_slot = int(pool.req_to_token[req.req_pool_idx, s0 - 2]) if s0 >= 2 else 0
+                s = alloc.alloc_extend(s0 - 1, K, last_slot)
+                assert s is not None, "KV pool exhausted for decode window"
+                slots[i] = s
+
+        seq0 = np.array([r.seqlen() for r in self.reqs], dtype=np.int32)
+        for i, req in enumerate(self.reqs):
+            pool.req_to_token[req.req_pool_idx, seq0[i] - 1 : seq0[i] - 1 + K] = slots[i]
+
+        self.window_K = K
+        self.window_slots = slots
+        self.window_seq0 = seq0
+        self.window_input_ids = np.array(
+            [r.output_ids[-1] for r in self.reqs], dtype=np.int32
+        )
+        if self.sampling_info is None:
+            self.sampling_info = SamplingBatchInfo.from_reqs(self.reqs, self.vocab_size)
+
+    def get_window_batch(self, server_args, dump_req_row: int):
+        from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
+        from ltp_sglang_tpu.utils import bucketize
+
+        n = len(self.reqs)
+        K = self.window_K
+        B = bucketize(n, server_args.decode_bs_buckets)
+        max_c = min(int(self.window_seq0.max()) + K, server_args.context_buckets[-1])
+        C = bucketize(max_c, server_args.context_buckets)
+
+        input_ids = np.zeros((B,), np.int32)
+        seq0 = np.zeros((B,), np.int32)
+        slots = np.zeros((B, K), np.int32)
+        req_idx = np.full((B,), dump_req_row, np.int32)
+        input_ids[:n] = self.window_input_ids
+        seq0[:n] = self.window_seq0
+        slots[:n] = self.window_slots
+        req_idx[:n] = [r.req_pool_idx for r in self.reqs]
+        return DecodeWindowBatch(
+            batch_size=n,
+            input_ids=input_ids,
+            seq0=seq0,
+            slots=slots,
+            req_indices=req_idx,
+            kv_bucket=C,
+            sampling_info=self.sampling_info.padded(B),
+        )
+
     def check_decode_mem(self, buf_multiplier: int = 1) -> bool:
         need = len(self.reqs) * buf_multiplier * self.token_to_kv_pool_allocator.page_size
         if self.token_to_kv_pool_allocator.available_size() >= need:

@@ -43,10 +43,12 @@ logger = logging.getLogger(__name__)
 class BatchResult:
     """What one step produced, before host-side post-processing."""
 
-    def __init__(self, batch: ScheduleBatch, next_tokens, mode: ForwardMode):
+    def __init__(self, batch: ScheduleBatch, next_tokens, mode: ForwardMode,
+                 window_k: int = 1):
         self.batch = batch
-        self.next_tokens = next_tokens  # device array [B_padded]
+        self.next_tokens = next_tokens  # device array [B_padded] or [B_padded, K]
         self.mode = mode
+        self.window_k = window_k
 
 
 class Scheduler:
@@ -240,8 +242,39 @@ class Scheduler:
         return batch
 
     # ------------------------------------------------------------ decode path
+    def _choose_window(self, batch: ScheduleBatch) -> int:
+        """Pick the decode-window length K for this batch: bounded by config,
+        remaining generation budget, context headroom, and constrained-decode
+        requests (grammar masks change per token => K=1)."""
+        w = self.server_args.decode_window_size
+        if w <= 1:
+            return 1
+        if any(getattr(r, "grammar", None) is not None for r in batch.reqs):
+            return 1
+        # Penalties need per-token count updates (single-step path ships the
+        # count tensors each step).
+        sp = [r.sampling_params for r in batch.reqs]
+        if any(
+            s.frequency_penalty != 0.0
+            or s.presence_penalty != 0.0
+            or s.repetition_penalty != 1.0
+            for s in sp
+        ):
+            return 1
+        # Only the context limit truncates the window (tokens sampled past a
+        # stop are discarded and their slots freed, so max_new_tokens doesn't
+        # need to): round DOWN to a power of two to keep the jit-key set small.
+        ctx_cap = min(
+            self.model_config.context_len - r.seqlen() + 1 for r in batch.reqs
+        )
+        k = max(1, min(w, ctx_cap, 128))
+        while k & (k - 1):
+            k &= k - 1
+        return k
+
     def update_running_batch(self, batch: ScheduleBatch) -> Optional[ScheduleBatch]:
-        if not batch.check_decode_mem():
+        window_k = self._choose_window(batch)
+        if not batch.check_decode_mem(window_k):
             retracted, new_ratio = batch.retract_decode(self.server_args)
             self.num_retracted_reqs += len(retracted)
             self.new_token_ratio = new_ratio
@@ -259,25 +292,41 @@ class Scheduler:
         if batch.is_empty():
             self.running_batch = None
             return None
-        batch.prepare_for_decode()
+        window_k = min(window_k, self._choose_window(batch))
+        if window_k > 1:
+            batch.prepare_for_decode_window(window_k)
+        else:
+            batch.window_K = 1
+            batch.prepare_for_decode()
         return batch
 
     # ----------------------------------------------------------------- device
     def run_batch(self, batch: ScheduleBatch) -> BatchResult:
         self.forward_ct += 1
+        window_k = getattr(batch, "window_K", 1)
+        if batch.forward_mode == ForwardMode.DECODE and window_k > 1:
+            wb = batch.get_window_batch(self.server_args, self.runner.dump_req_row)
+            tokens = self.runner.forward_window(wb)
+            return BatchResult(batch, tokens, batch.forward_mode, window_k)
         fb = batch.get_forward_batch(self.server_args, self.runner.dump_req_row)
+        if fb.sampling_info is not None and fb.sampling_info.has_penalties:
+            fb.sampling_info.build_penalty_tensors(
+                batch.reqs, fb.input_ids.shape[0]
+            )
         next_tokens, _ = self.runner.forward(fb)
         return BatchResult(batch, next_tokens, batch.forward_mode)
 
     # ----------------------------------------------------------- post-process
     def process_batch_result(self, result: BatchResult):
         batch = result.batch
-        # Device -> host sync point (overlap scheduling moves this off the
-        # critical path; reference tp_worker_overlap_thread).
+        # Device -> host sync point (the decode window already amortizes this
+        # over K tokens; reference analog: tp_worker_overlap_thread).
         tokens = np.asarray(result.next_tokens)[: batch.batch_size()]
 
         if result.mode == ForwardMode.EXTEND or result.mode == ForwardMode.MIXED:
             self._process_extend_result(batch, tokens)
+        elif result.window_k > 1:
+            self._process_decode_window_result(batch, tokens)
         else:
             self._process_decode_result(batch, tokens)
 
@@ -326,6 +375,40 @@ class Scheduler:
             if self.detokenizer is not None:
                 self.detokenizer.step(req)
             req.check_finished()
+            if req.finished():
+                self.tree_cache.cache_finished_req(req)
+                req.finish_time = time.time()
+                self._emit_output(req)
+                self._rid_to_req.pop(req.rid, None)
+            else:
+                self._emit_output(req)
+        batch.filter_batch()
+        if batch.is_empty():
+            self.running_batch = None
+        self._maybe_log_decode_stats(batch)
+
+    def _process_decode_window_result(self, batch: ScheduleBatch, tokens: np.ndarray):
+        """tokens: [n, K]. Tokens sampled after a stop condition are discarded
+        and their pre-allocated KV slots returned to the pool."""
+        K = batch.window_K
+        alloc = self.token_to_kv_pool_allocator
+        for i, req in enumerate(batch.reqs):
+            appended = 0
+            for t in range(K):
+                if req.finished():
+                    break
+                if len(req.output_ids) >= req.sampling_params.max_new_tokens:
+                    req.check_finished()
+                    break
+                req.output_ids.append(int(tokens[i, t]))
+                appended += 1
+                self.num_generated_tokens += 1
+                if self.detokenizer is not None:
+                    self.detokenizer.step(req)
+                req.check_finished()
+            if appended < K:
+                # Slots for steps [appended, K) hold garbage KV; free them.
+                alloc.free(batch.window_slots[i, appended:])
             if req.finished():
                 self.tree_cache.cache_finished_req(req)
                 req.finish_time = time.time()

@@ -6,17 +6,21 @@ Counterpart of model_executor/model_runner.py:151-1786 redesigned for XLA:
   (B, E, C) bucket (SURVEY A.5 translation). Each step fuses: req_to_token
   update, KV write, all layers, logits, and sampling into ONE device program,
   with KV/table buffers donated so updates are in-place.
-- The req_to_token table lives on device ([R+1, MAXCTX], row R = scatter dump
-  for padded lanes). Decode appends slots in-jit (no per-step H2D of page
-  tables); extend steps upload full rows (host radix cache is the source of
-  truth for prefix re-linking).
-- Sampling runs in the same program; next tokens come back as one small D2H
-  transfer (the async-dispatch analog of the overlap scheduler's future
-  tokens, SURVEY §3.3).
+- The req_to_token table lives on device ([R+1, W], row R = scatter dump for
+  padded lanes), updated by Pallas DMA kernels (ops/kv_cache_ops.py) — XLA
+  scatter is unusable on TPU (compile pathology) and the reference's
+  equivalent is a Triton kernel anyway.
+- Decode runs in multi-step WINDOWS: one jitted program executes K decode
+  iterations with on-device token feedback (lax.fori_loop), so the host syncs
+  once per K tokens instead of per token. This is the TPU translation of the
+  reference's zero-overhead overlap scheduler (tp_worker_overlap_thread.py:
+  the negative-future-token trick, SURVEY §3.3): device-side feedback instead
+  of host round-trips.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import time
@@ -37,11 +41,61 @@ from ltp_sglang_tpu.model_executor.forward_batch import ForwardBatch, ForwardMod
 from ltp_sglang_tpu.model_loader.loader import load_model_weights
 from ltp_sglang_tpu.models.llama import StepArrays
 from ltp_sglang_tpu.models.registry import resolve_model_cls
-from ltp_sglang_tpu.ops.sampling import apply_logit_processing, sample_tokens
+from ltp_sglang_tpu.ops.kv_cache_ops import get_kv_cache_ops
+from ltp_sglang_tpu.ops.sampling import (
+    apply_logit_processing,
+    greedy_tokens,
+    sample_tokens,
+    sample_tokens_free,
+    sample_tokens_full_sort,
+)
 from ltp_sglang_tpu.parallel.mesh import MeshContext, shard_pytree
+from ltp_sglang_tpu.utils import round_up
 from ltp_sglang_tpu.utils.dtypes import to_jnp_dtype
 
 logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DecodeWindowBatch:
+    """Host description of a K-step decode window (all arrays padded to the
+    batch bucket B)."""
+
+    batch_size: int  # real rows
+    input_ids: np.ndarray  # [B] last sampled token per request
+    seq0: np.ndarray  # [B] sequence length at window start (incl. input tok)
+    slots: np.ndarray  # [B, K] KV slot per step
+    req_indices: np.ndarray  # [B]
+    kv_bucket: int  # C covering seq0 + K
+    sampling_info: Any = None
+
+
+def _sample(kind, logits, temperatures, top_ps, top_ks, min_ps, key):
+    if kind == "greedy":
+        return greedy_tokens(logits)
+    if kind == "window":
+        return sample_tokens(logits, temperatures, top_ps, top_ks, min_ps, key)
+    if kind == "free":
+        return sample_tokens_free(logits, temperatures, top_ks, key)
+    return sample_tokens_full_sort(logits, temperatures, top_ps, top_ks, min_ps, key)
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the jit bucket ladder is the CUDA
+    graph analog, and TPU compiles are expensive — cache them across runs."""
+    try:
+        import os
+
+        cache_dir = os.environ.get(
+            "LTP_SGLANG_TPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/ltp_sglang_tpu/xla_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover
+        logger.warning("compilation cache unavailable: %s", e)
 
 
 class ModelRunner:
@@ -51,6 +105,7 @@ class ModelRunner:
         server_args: ServerArgs,
         mesh_ctx: Optional[MeshContext] = None,
     ):
+        _enable_compilation_cache()
         self.model_config = model_config
         self.server_args = server_args
         self.mesh_ctx = mesh_ctx
@@ -62,8 +117,28 @@ class ModelRunner:
         )
         self.kv_dtype = to_jnp_dtype(kv_dtype_name)
 
+        backend = jax.default_backend()
+        # Multi-device meshes run the XLA (GSPMD-friendly) update path for
+        # now; single-chip TPU uses the Pallas kernels.
+        use_pallas = backend == "tpu" and (
+            mesh_ctx is None or mesh_ctx.is_single_device
+        )
+        from ltp_sglang_tpu.ops.kv_cache_ops import (
+            kv_write_pallas,
+            kv_write_xla,
+        )
+
+        kv_write, table_rows, table_merge = get_kv_cache_ops(
+            "tpu" if use_pallas else "cpu"
+        )
+        self._table_write_rows = table_rows
+        self._table_merge_window = table_merge
+
         model_cls = resolve_model_cls(model_config.architectures)
-        self.model = model_cls(model_config)
+        self.model = model_cls(
+            model_config,
+            kv_write_impl=kv_write_pallas if use_pallas else kv_write_xla,
+        )
 
         self.load_model()
         self.init_memory_pool()
@@ -106,8 +181,6 @@ class ModelRunner:
             free = (limit - in_use) * self.server_args.mem_fraction_static
             per_token = self.model_config.kv_cache_bytes_per_token()
             n_dev = self.mesh_ctx.mesh.devices.size if self.mesh_ctx else 1
-            # KV is sharded over tp: per-chip bytes divide by tp_size.
-            tp = self.mesh_ctx.tp_size if self.mesh_ctx else 1
             tokens = int(free * n_dev / per_token)
             if tokens <= 0:
                 raise ValueError
@@ -121,7 +194,6 @@ class ModelRunner:
         args = self.server_args
         self.max_total_num_tokens = self.profile_max_num_tokens()
         page_size = args.page_size
-        # Round down to page multiple; +1 for the garbage slot handled inside.
         self.max_total_num_tokens = (
             self.max_total_num_tokens // page_size * page_size
         )
@@ -129,7 +201,7 @@ class ModelRunner:
         max_reqs = args.max_running_requests
         if max_reqs is None:
             max_reqs = min(
-                max(self.max_total_num_tokens // cfg.context_len, 1) * 4, 4096
+                max(self.max_total_num_tokens // max(cfg.context_len, 1), 1) * 4, 512
             )
         self.max_running_requests = max_reqs
 
@@ -143,31 +215,48 @@ class ModelRunner:
                 self.max_total_num_tokens, page_size
             )
 
-        # Device KV cache [L, S+1, Hkv, D] (+1 garbage slot 0) and req table.
+        # Device KV cache [L, S+1, r, ln] (+1 garbage slot 0; native DMA row
+        # layout, ops/kv_cache_ops.kv_layout) and req table [R+1, W] (row R =
+        # scatter dump; W lane-padded for the DMA kernels).
+        from ltp_sglang_tpu.ops.kv_cache_ops import kv_layout
+
         L = cfg.num_layers
         S = self.max_total_num_tokens + 1
         Hkv, D = cfg.num_kv_heads, cfg.head_dim
+        r, ln = kv_layout(Hkv, D)
         kv_sharding = None
+        table_sharding = None
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
             from jax.sharding import PartitionSpec as P
 
-            kv_sharding = self.mesh_ctx.sharding(P(None, None, "tp", None))
-        self.k_cache = jnp.zeros((L, S, Hkv, D), dtype=self.kv_dtype, device=kv_sharding)
-        self.v_cache = jnp.zeros((L, S, Hkv, D), dtype=self.kv_dtype, device=kv_sharding)
-        table_sharding = self.mesh_ctx.replicated() if kv_sharding is not None else None
+            # Shard KV over tp along the row dim when it divides evenly
+            # (row-major [r, ln] interleaves heads; head sharding needs the
+            # pallas path disabled, which multi-device already implies).
+            kv_sharding = self.mesh_ctx.sharding(
+                P(None, None, "tp", None)
+                if r % self.mesh_ctx.tp_size == 0
+                else P(None, None, None, None)
+            )
+            table_sharding = self.mesh_ctx.replicated()
+        self.k_cache = jnp.zeros((L, S, r, ln), dtype=self.kv_dtype, device=kv_sharding)
+        self.v_cache = jnp.zeros((L, S, r, ln), dtype=self.kv_dtype, device=kv_sharding)
+        self.table_width = round_up(cfg.context_len, 128)
         self.req_table = jnp.zeros(
-            (max_reqs + 1, cfg.context_len), dtype=jnp.int32, device=table_sharding
+            (max_reqs + 1, self.table_width), dtype=jnp.int32, device=table_sharding
         )
         self.dump_req_row = max_reqs
         logger.info(
             "KV pool: %d tokens x %d layers x %d kv heads x %d dims (%s), %d req slots",
-            self.max_total_num_tokens, L, Hkv, D, str(self.kv_dtype.__name__ if hasattr(self.kv_dtype, '__name__') else self.kv_dtype), max_reqs,
+            self.max_total_num_tokens, L, Hkv, D, str(self.kv_dtype), max_reqs,
         )
 
     # ----------------------------------------------------------------- steps
     def _build_step_fn(self, mode_is_decode: bool, C: int, has_logit_bias: bool,
-                       return_logits: bool):
+                       return_logits: bool, sampler_kind: str,
+                       has_penalties: bool = False):
         model = self.model
+        table_write_rows = self._table_write_rows
+        table_merge_window = self._table_merge_window
 
         def step_fn(
             params,
@@ -181,24 +270,29 @@ class ModelRunner:
             seq_lens,
             prefix_lens,
             extend_lens,
-            kv_indices_in,  # [B, C] for extend; unused (dummy [1,1]) for decode
+            kv_indices_in,  # [B, C] for extend; dummy [1,1] for decode
             temperatures,
             top_ps,
             top_ks,
             min_ps,
             logit_bias,  # [B, V] or dummy [1, 1]
+            output_counts,  # [B, V] or dummy [1, 1] (penalties)
+            seen_mask,  # [B, V] bool or dummy [1, 1]
+            freq_pen,  # [B]
+            pres_pen,  # [B]
+            rep_pen,  # [B]
             step_idx,
         ):
             B, E = input_ids.shape
             if mode_is_decode:
                 # Append this step's slot, then read rows from the table.
-                table = table.at[req_indices, jnp.maximum(seq_lens - 1, 0)].set(
-                    cache_locs[:, 0]
+                table = table_merge_window(
+                    table, req_indices, jnp.maximum(seq_lens - 1, 0), cache_locs, 1
                 )
                 kv_indices = table[req_indices, :C]
             else:
                 # Host provided full rows (prefix + new); persist them.
-                table = table.at[req_indices, :C].set(kv_indices_in)
+                table = table_write_rows(table, req_indices, kv_indices_in)
                 kv_indices = kv_indices_in
 
             step = StepArrays(
@@ -211,42 +305,125 @@ class ModelRunner:
                 kv_indices=kv_indices,
             )
             logits, k_cache, v_cache = model.forward(params, step, k_cache, v_cache)
+            if has_penalties:
+                from ltp_sglang_tpu.ops.sampling import apply_penalties
+
+                logits = apply_penalties(
+                    logits, output_counts, seen_mask, freq_pen, pres_pen, rep_pen
+                )
             logits = apply_logit_processing(
                 logits, logit_bias if has_logit_bias else None, None
             )
             key = jax.random.fold_in(self._rng_key, step_idx)
-            tokens = sample_tokens(logits, temperatures, top_ps, top_ks, min_ps, key)
+            tokens = _sample(
+                sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
+            )
             out_logits = logits if return_logits else jnp.zeros((0,), jnp.float32)
             return tokens, out_logits, k_cache, v_cache, table
 
         return jax.jit(step_fn, donate_argnums=(1, 2, 3))
 
-    def _get_step_fn(self, fb: ForwardBatch, has_logit_bias: bool, return_logits: bool):
+    def _build_window_fn(self, K: int, C: int, sampler_kind: str):
+        """K decode steps fully on device (token feedback via fori_loop)."""
+        model = self.model
+        table_merge_window = self._table_merge_window
+
+        def window_fn(
+            params,
+            k_cache,
+            v_cache,
+            table,
+            input_ids,  # [B]
+            seq0,  # [B] seqlen at window start (incl. the input token)
+            slots,  # [B, K]
+            req_indices,  # [B]
+            temperatures,
+            top_ps,
+            top_ks,
+            min_ps,
+            step_idx,
+        ):
+            B = input_ids.shape[0]
+            base_rows = table[req_indices, :C]  # [B, C]
+            cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+            start = jnp.maximum(seq0 - 1, 0)[:, None]  # column of slot[.,0]
+            off = jnp.clip(cols - start, 0, K - 1)
+            win_vals = jnp.take_along_axis(slots, off, axis=1)  # [B, C]
+            in_window = (cols >= start) & (cols < start + K)
+            kv_indices = jnp.where(in_window, win_vals, base_rows)
+
+            def body(t, carry):
+                tok, kc, vc, out = carry
+                pos = jnp.maximum(seq0 - 1 + t, 0)
+                slot_t = jax.lax.dynamic_slice_in_dim(slots, t, 1, axis=1)  # [B,1]
+                step = StepArrays(
+                    input_ids=tok[:, None],
+                    positions=pos[:, None],
+                    cache_locs=slot_t,
+                    seq_lens=seq0 + t,
+                    prefix_lens=jnp.maximum(seq0 + t - 1, 0),
+                    extend_lens=jnp.ones((B,), jnp.int32),
+                    kv_indices=kv_indices,
+                )
+                logits, kc, vc = model.forward(params, step, kc, vc)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self._rng_key, step_idx), t
+                )
+                tok = _sample(
+                    sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
+                )
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
+                return tok, kc, vc, out
+
+            out0 = jnp.zeros((B, K), jnp.int32)
+            _, k_cache, v_cache, out = jax.lax.fori_loop(
+                0, K, body, (input_ids, k_cache, v_cache, out0)
+            )
+            table = table_merge_window(
+                table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
+            )
+            return out, k_cache, v_cache, table
+
+        return jax.jit(window_fn, donate_argnums=(1, 2, 3))
+
+    def _get_step_fn(self, fb: ForwardBatch, has_logit_bias: bool, return_logits: bool,
+                     sampler_kind: str, has_penalties: bool):
         B, E = fb.input_ids.shape
         key = (fb.mode == ForwardMode.DECODE, B, E, fb.kv_bucket, has_logit_bias,
-               return_logits)
+               return_logits, sampler_kind, has_penalties)
         fn = self._step_cache.get(key)
         if fn is None:
-            t0 = time.time()
-            fn = self._build_step_fn(key[0], fb.kv_bucket, has_logit_bias, return_logits)
+            fn = self._build_step_fn(
+                key[0], fb.kv_bucket, has_logit_bias, return_logits, sampler_kind,
+                has_penalties,
+            )
             self._step_cache[key] = fn
             logger.info(
-                "compiling step fn mode=%s B=%d E=%d C=%d",
-                "decode" if key[0] else "extend", B, E, fb.kv_bucket,
+                "compiling step fn mode=%s B=%d E=%d C=%d sampler=%s",
+                "decode" if key[0] else "extend", B, E, fb.kv_bucket, sampler_kind,
             )
         return fn
 
     def mark_row_dirty(self, req_idx: int):
         """Host radix relink changed this request's token row; re-upload it
-        before the next device step."""
-        self._dirty_rows[req_idx] = self.req_to_token_pool.req_to_token[req_idx].copy()
+        before the next device step. Only the index is recorded — the row is
+        snapshotted at flush time so later host-side writes (e.g. decode slot
+        allocation) are never clobbered by a stale copy."""
+        self._dirty_rows[req_idx] = True
 
     def _flush_dirty_rows(self):
         if not self._dirty_rows:
             return
-        idx = np.array(list(self._dirty_rows.keys()), dtype=np.int32)
-        rows = np.stack(list(self._dirty_rows.values()))
-        self.req_table = _row_update(self.req_table, jnp.asarray(idx), jnp.asarray(rows))
+        idx = np.array(sorted(self._dirty_rows.keys()), dtype=np.int32)
+        rows = self.req_to_token_pool.req_to_token[idx].astype(np.int32)
+        w = rows.shape[1]
+        if w < self.table_width:
+            rows = np.pad(rows, ((0, 0), (0, self.table_width - w)))
+        fn = self._step_cache.get(("dirty", rows.shape))
+        if fn is None:
+            fn = jax.jit(self._table_write_rows, donate_argnums=(0,))
+            self._step_cache[("dirty", rows.shape)] = fn
+        self.req_table = fn(self.req_table, jnp.asarray(idx), jnp.asarray(rows))
         self._dirty_rows.clear()
 
     def forward(self, fb: ForwardBatch, return_logits: bool = False):
@@ -259,21 +436,28 @@ class ModelRunner:
         if fb.mode == ForwardMode.DECODE:
             kv_indices = np.zeros((1, 1), dtype=np.int32)
         else:
-            # Full rows from the host table (prefix slots + new slots already
-            # written by the scheduler's prepare_for_extend).
             rows = self.req_to_token_pool.req_to_token[
                 np.minimum(fb.req_indices, self.req_to_token_pool.size - 1), :C
             ]
-            # Padded rows must not corrupt real rows: their req_indices already
-            # point at the dump row; contents are irrelevant.
             kv_indices = np.ascontiguousarray(rows)
+            if kv_indices.shape[1] < C:  # host table narrower than the bucket
+                kv_indices = np.pad(
+                    kv_indices, ((0, 0), (0, C - kv_indices.shape[1]))
+                )
 
         has_logit_bias = si is not None and si.logit_bias is not None
         logit_bias = (
             si.logit_bias if has_logit_bias else np.zeros((1, 1), dtype=np.float32)
         )
+        has_penalties = si.has_penalties and si.output_counts is not None
+        dummy = np.zeros((1, 1), dtype=np.float32)
+        dummy_b = np.zeros((1, 1), dtype=bool)
+        zeros_b = np.zeros((B,), dtype=np.float32)
+        ones_b = np.ones((B,), dtype=np.float32)
 
-        fn = self._get_step_fn(fb, has_logit_bias, return_logits)
+        fn = self._get_step_fn(
+            fb, has_logit_bias, return_logits, si.sampler_kind, has_penalties
+        )
         self._step_counter += 1
         tokens, logits, self.k_cache, self.v_cache, self.req_table = fn(
             self.params,
@@ -293,22 +477,55 @@ class ModelRunner:
             si.top_ks,
             si.min_ps,
             logit_bias,
+            si.output_counts if has_penalties else dummy,
+            si.seen_mask if has_penalties else dummy_b,
+            si.frequency_penalties if has_penalties else zeros_b,
+            si.presence_penalties if has_penalties else zeros_b,
+            si.repetition_penalties if has_penalties else ones_b,
             np.int32(self._step_counter),
         )
         return tokens, (logits if return_logits else None)
+
+    def forward_window(self, wb: DecodeWindowBatch):
+        """Run a K-step decode window; returns tokens [B, K] (device array)."""
+        self._flush_dirty_rows()
+        si = wb.sampling_info
+        B, K = wb.slots.shape
+        key = ("window", B, K, wb.kv_bucket, si.sampler_kind)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = self._build_window_fn(K, wb.kv_bucket, si.sampler_kind)
+            self._step_cache[key] = fn
+            logger.info(
+                "compiling decode window fn B=%d K=%d C=%d sampler=%s",
+                B, K, wb.kv_bucket, si.sampler_kind,
+            )
+        self._step_counter += 1
+        tokens, self.k_cache, self.v_cache, self.req_table = fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self.req_table,
+            wb.input_ids,
+            wb.seq0,
+            wb.slots,
+            wb.req_indices,
+            si.temperatures,
+            si.top_ps,
+            si.top_ks,
+            si.min_ps,
+            np.int32(self._step_counter),
+        )
+        return tokens
 
     # -------------------------------------------------------------- utilities
     def flush_cache(self):
         self.req_to_token_pool.clear()
         self.token_to_kv_pool_allocator.clear()
+        self._dirty_rows.clear()
 
     def update_weights_from_params(self, params):
         """Weight hot-swap (update_weights_from_tensor analog)."""
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
             params = shard_pytree(params, self.model.param_specs(), self.mesh_ctx)
         self.params = params
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _row_update(table, idx, rows):
-    return table.at[idx].set(rows)

@@ -31,6 +31,7 @@ from ltp_sglang_tpu.layers.activation import silu_and_mul
 from ltp_sglang_tpu.layers.norm import rms_norm
 from ltp_sglang_tpu.layers.rotary import apply_rope, build_cos_sin_cache
 from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
+from ltp_sglang_tpu.ops.kv_cache_ops import kv_write_pallas, kv_write_xla
 from ltp_sglang_tpu.utils.dtypes import to_jnp_dtype
 
 
@@ -48,10 +49,16 @@ class StepArrays(NamedTuple):
 
 class LlamaForCausalLM:
     has_bias = False  # qwen2 subclass sets qkv bias
+    has_qk_norm = False  # qwen3 subclass: per-head RMS norm on q/k before RoPE
 
-    def __init__(self, config: ModelConfig, attn_impl=None):
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         self.config = config
         self.dtype = to_jnp_dtype(config.dtype)
+        if kv_write_impl is None:
+            kv_write_impl = (
+                kv_write_pallas if jax.default_backend() == "tpu" else kv_write_xla
+            )
+        self.kv_write = kv_write_impl
         hf = config.hf_config
         self.rms_eps = hf.get("rms_norm_eps", 1e-6)
         self.rope_theta = hf.get("rope_theta", 10000.0)
@@ -72,13 +79,17 @@ class LlamaForCausalLM:
         """Random (dummy-loader) initialization, reference DummyModelLoader
         (model_loader/loader.py:531)."""
         cfg = self.config
-        rng = np.random.default_rng(seed)
         L, Dm, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
+        # Device-side init: host RNG + H2D for billions of params is far too
+        # slow (and the driver bench runs through a network-attached chip).
+        key_box = [jax.random.PRNGKey(seed)]
+
         def w(*shape, scale=0.02):
-            return jnp.asarray(
-                rng.standard_normal(shape, dtype=np.float32) * scale, dtype=self.dtype
+            key_box[0], sub = jax.random.split(key_box[0])
+            return (jax.random.normal(sub, shape, dtype=jnp.float32) * scale).astype(
+                self.dtype
             )
 
         layers = {
@@ -199,8 +210,8 @@ class LlamaForCausalLM:
         self,
         params: Dict[str, Any],
         step: StepArrays,
-        k_cache: jnp.ndarray,  # [L, S, Hkv, D]
-        v_cache: jnp.ndarray,  # [L, S, Hkv, D]
+        k_cache: jnp.ndarray,  # [L, S, r, ln] native DMA row layout (kv_layout)
+        v_cache: jnp.ndarray,  # [L, S, r, ln]
     ):
         """Returns (last_token_logits [B, V], k_cache, v_cache)."""
         cfg = self.config
@@ -226,20 +237,27 @@ class LlamaForCausalLM:
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
+            if self.has_qk_norm:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
 
             # Write new KV into the paged cache (pads land in garbage slot 0),
             # then attend over the gathered pages (SURVEY §7.5a).
-            kc = kc.at[li, cache_locs_flat].set(
-                k.reshape(-1, Hkv, D).astype(kc.dtype)
+            kc, vc = self.kv_write(
+                kc,
+                vc,
+                li,
+                cache_locs_flat,
+                k.reshape(-1, Hkv, D).astype(kc.dtype),
+                v.reshape(-1, Hkv, D).astype(vc.dtype),
+                jnp.asarray(B * E, jnp.int32),
             )
-            vc = vc.at[li, cache_locs_flat].set(
-                v.reshape(-1, Hkv, D).astype(vc.dtype)
-            )
+            S = kc.shape[1]
             attn_out = self.attn_impl(
                 q,
-                kc[li],
-                vc[li],
+                kc[li].reshape(S, Hkv, D),
+                vc[li].reshape(S, Hkv, D),
                 step.kv_indices,
                 step.seq_lens,
                 step.prefix_lens,
@@ -277,12 +295,20 @@ class LlamaForCausalLM:
             hidden, last_idx[:, None, None], axis=1
         )[:, 0]  # [B, Dm]
 
-        lm_kernel = (
-            params["embed"]["weight"].T
-            if self.tie_word_embeddings
-            else params["lm_head"]["kernel"]
-        )
-        logits = jnp.einsum(
-            "bd,dv->bv", last_hidden.astype(jnp.float32), lm_kernel.astype(jnp.float32)
-        )
+        # MXU-friendly: low-precision operands, fp32 accumulation (never cast
+        # the [V, D] weight to fp32 — that materializes a vocab-sized buffer).
+        if self.tie_word_embeddings:
+            logits = jnp.einsum(
+                "bd,vd->bv",
+                last_hidden,
+                params["embed"]["weight"],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv",
+                last_hidden,
+                params["lm_head"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
         return logits, k_cache, v_cache

@@ -29,6 +29,29 @@ class SamplingBatchInfo:
     # step (constrained/ base_grammar_backend contract).
     grammars: Optional[List] = None
     logit_bias: Optional[np.ndarray] = None  # [B, V] float32 or None
+    # Penalties (penaltylib): set when any request uses them; the scheduler
+    # then runs single-step decode and ships count/seen tensors per step.
+    frequency_penalties: Optional[np.ndarray] = None  # [B]
+    presence_penalties: Optional[np.ndarray] = None  # [B]
+    repetition_penalties: Optional[np.ndarray] = None  # [B]
+    has_penalties: bool = False
+    # Per-step tensors built by build_penalty_tensors (not filtered/merged).
+    output_counts: Optional[np.ndarray] = None  # [B, V] float32
+    seen_mask: Optional[np.ndarray] = None  # [B, V] bool
+
+    @property
+    def sampler_kind(self) -> str:
+        """Which device sampler variant this batch needs (jit-cache key)."""
+        from ltp_sglang_tpu.ops.sampling import TOP_K_WINDOW
+
+        if self.is_all_greedy:
+            return "greedy"
+        if bool(np.all(self.top_ks <= TOP_K_WINDOW)):
+            return "window"
+        unrestricted = (self.top_ps >= 1.0) & (self.min_ps <= 0.0)
+        if bool(np.all(unrestricted | (self.top_ks == 1))):
+            return "free"
+        return "full_sort"
 
     @classmethod
     def from_reqs(cls, reqs, vocab_size: int) -> "SamplingBatchInfo":
@@ -57,6 +80,19 @@ class SamplingBatchInfo:
                     if 0 <= t < vocab_size:
                         logit_bias[i, t] = bias
 
+        freq = np.array(
+            [r.sampling_params.frequency_penalty for r in reqs], dtype=np.float32
+        )
+        pres = np.array(
+            [r.sampling_params.presence_penalty for r in reqs], dtype=np.float32
+        )
+        rep = np.array(
+            [r.sampling_params.repetition_penalty for r in reqs], dtype=np.float32
+        )
+        has_penalties = bool(
+            np.any(freq != 0.0) or np.any(pres != 0.0) or np.any(rep != 1.0)
+        )
+
         return cls(
             temperatures=temperatures,
             top_ps=top_ps,
@@ -67,7 +103,26 @@ class SamplingBatchInfo:
             vocab_size=vocab_size,
             grammars=grammars,
             logit_bias=logit_bias,
+            frequency_penalties=freq,
+            presence_penalties=pres,
+            repetition_penalties=rep,
+            has_penalties=has_penalties,
         )
+
+    def build_penalty_tensors(self, reqs, bucket_size: int):
+        """[B, V] per-step tensors for apply_penalties (padded)."""
+        B, V = bucket_size, self.vocab_size
+        counts = np.zeros((B, V), dtype=np.float32)
+        seen = np.zeros((B, V), dtype=bool)
+        for i, r in enumerate(reqs):
+            if r.output_ids:
+                out = np.asarray(r.output_ids, dtype=np.int64)
+                np.add.at(counts[i], out, 1.0)
+                seen[i, out] = True
+            if r.origin_input_ids:
+                seen[i, np.asarray(r.origin_input_ids, dtype=np.int64)] = True
+        self.output_counts = counts
+        self.seen_mask = seen
 
     def __len__(self):
         return len(self.temperatures)
@@ -81,6 +136,10 @@ class SamplingBatchInfo:
             self.grammars = [self.grammars[i] for i in keep_indices]
         if self.logit_bias is not None:
             self.logit_bias = self.logit_bias[keep_indices]
+        if self.frequency_penalties is not None:
+            self.frequency_penalties = self.frequency_penalties[keep_indices]
+            self.presence_penalties = self.presence_penalties[keep_indices]
+            self.repetition_penalties = self.repetition_penalties[keep_indices]
         self.is_all_greedy = bool(np.all(self.top_ks == 1))
         self.need_min_p = bool(np.any(self.min_ps > 0))
 
@@ -107,8 +166,19 @@ class SamplingBatchInfo:
                 else np.zeros((len(other.top_ps), self.vocab_size), dtype=np.float32)
             )
             self.logit_bias = np.concatenate([lb_self, lb_other])
+        if self.frequency_penalties is not None and other.frequency_penalties is not None:
+            self.frequency_penalties = np.concatenate(
+                [self.frequency_penalties, other.frequency_penalties]
+            )
+            self.presence_penalties = np.concatenate(
+                [self.presence_penalties, other.presence_penalties]
+            )
+            self.repetition_penalties = np.concatenate(
+                [self.repetition_penalties, other.repetition_penalties]
+            )
         self.is_all_greedy = self.is_all_greedy and other.is_all_greedy
         self.need_min_p = self.need_min_p or other.need_min_p
+        self.has_penalties = self.has_penalties or other.has_penalties
 
     def padded(self, bucket_size: int) -> "SamplingBatchInfo":
         """Pad to the batch bucket with greedy rows."""
@@ -130,4 +200,20 @@ class SamplingBatchInfo:
                 if self.logit_bias is not None
                 else None
             ),
+            frequency_penalties=(
+                np.pad(self.frequency_penalties, (0, pad))
+                if self.frequency_penalties is not None
+                else None
+            ),
+            presence_penalties=(
+                np.pad(self.presence_penalties, (0, pad))
+                if self.presence_penalties is not None
+                else None
+            ),
+            repetition_penalties=(
+                np.pad(self.repetition_penalties, (0, pad), constant_values=1.0)
+                if self.repetition_penalties is not None
+                else None
+            ),
+            has_penalties=self.has_penalties,
         )

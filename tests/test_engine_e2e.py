@@ -138,3 +138,27 @@ def test_abort_and_flush(engine):
     assert engine.flush_cache() is True
     info = engine.get_server_info()
     assert info["max_total_num_tokens"] == 2048
+
+
+def test_repetition_penalty_reduces_repeats(engine):
+    # Greedy on a random tiny model tends to loop; a strong repetition
+    # penalty must change the output (and the engine must accept the params).
+    base = engine.generate(
+        input_ids=[7, 8, 9], sampling_params={"max_new_tokens": 16, "temperature": 0.0}
+    )
+    pen = engine.generate(
+        input_ids=[7, 8, 9],
+        sampling_params={
+            "max_new_tokens": 16,
+            "temperature": 0.0,
+            "repetition_penalty": 1.9,
+            "frequency_penalty": 1.5,
+        },
+    )
+    assert len(pen["output_ids"]) == 16
+    assert pen["output_ids"] != base["output_ids"]
+    # penalized run must have fewer repeated tokens
+    import collections
+    base_max = max(collections.Counter(base["output_ids"]).values())
+    pen_max = max(collections.Counter(pen["output_ids"]).values())
+    assert pen_max <= base_max

@@ -1,0 +1,166 @@
+"""HTTP server integration tests (aiohttp in-process test client) — the
+analog of the reference's popen_launch_server pattern (test_utils.py:462),
+without a subprocess since the engine is single-controller."""
+
+import asyncio
+import json
+import tempfile
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tiny_configs import write_tiny_model_dir
+
+
+@pytest.fixture(scope="module")
+def server_bits():
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+
+    d = tempfile.mkdtemp(prefix="http_llama_")
+    write_tiny_model_dir(d, with_weights=False)
+    engine = Engine(
+        ServerArgs(
+            model_path=d,
+            load_format="dummy",
+            dtype="float32",
+            max_total_tokens=2048,
+            max_running_requests=8,
+        )
+    )
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    yield server
+    server.loop_thread.stop()
+
+
+def run(coro):
+    return asyncio.get_event_loop().run_until_complete(coro)
+
+
+@pytest.fixture(scope="module")
+def client(server_bits):
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def make():
+        c = TestClient(TestServer(server_bits.app))
+        await c.start_server()
+        return c
+
+    client = loop.run_until_complete(make())
+    yield client, loop
+    loop.run_until_complete(client.close())
+
+
+def test_health(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/health")
+        assert resp.status == 200
+        assert await resp.text() == "OK"
+
+    loop.run_until_complete(go())
+
+
+def test_generate(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post(
+            "/generate",
+            json={
+                "input_ids": [1, 5, 9],
+                "sampling_params": {"max_new_tokens": 4, "temperature": 0.0},
+            },
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert len(body["output_ids"]) == 4
+        assert body["meta_info"]["completion_tokens"] == 4
+        assert body["meta_info"]["finish_reason"]["type"] == "length"
+
+    loop.run_until_complete(go())
+
+
+def test_generate_stream(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post(
+            "/generate",
+            json={
+                "input_ids": [2, 4, 6],
+                "sampling_params": {"max_new_tokens": 3, "temperature": 0.0},
+                "stream": True,
+            },
+        )
+        assert resp.status == 200
+        chunks = []
+        async for line in resp.content:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+        assert chunks, "no stream chunks"
+        assert len(chunks[-1]["output_ids"]) == 3
+
+    loop.run_until_complete(go())
+
+
+def test_bad_request(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/generate", json={"sampling_params": {}})
+        assert resp.status == 400
+        resp = await c.post("/generate", data=b"not json")
+        assert resp.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_server_info_and_load(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/get_server_info")
+        info = await resp.json()
+        assert info["max_total_num_tokens"] == 2048
+        resp = await c.get("/get_load")
+        load = await resp.json()
+        assert "num_reqs_running" in load
+
+    loop.run_until_complete(go())
+
+
+def test_openai_models_and_completions(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.get("/v1/models")
+        models = await resp.json()
+        assert models["data"][0]["object"] == "model"
+
+        resp = await c.post(
+            "/v1/completions",
+            json={"prompt": [1, 2, 3], "max_tokens": 4, "temperature": 0.0},
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["object"] == "text_completion"
+        assert body["usage"]["completion_tokens"] == 4
+
+    loop.run_until_complete(go())
+
+
+def test_flush_cache(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/flush_cache", json={})
+        body = await resp.json()
+        assert body["success"] is True
+
+    loop.run_until_complete(go())

@@ -80,3 +80,25 @@ def test_token_logprobs():
     np.testing.assert_allclose(np.asarray(lp), np.log([0.7]), atol=1e-5)
     vals, idx = topk
     np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1])
+
+
+def test_apply_penalties():
+    from ltp_sglang_tpu.ops.sampling import apply_penalties
+
+    logits = np.array([[1.0, 2.0, -1.0, 0.5]], dtype=np.float32)
+    counts = np.array([[2.0, 0.0, 1.0, 0.0]], dtype=np.float32)
+    seen = np.array([[True, False, True, False]])
+    out = np.asarray(
+        apply_penalties(
+            jnp.asarray(logits), jnp.asarray(counts), jnp.asarray(seen),
+            jnp.asarray([0.5]), jnp.asarray([0.1]), jnp.asarray([2.0]),
+        )
+    )
+    # token 0: 1.0 - 0.5*2 - 0.1 = -0.1 -> seen & negative -> *2 = -0.2
+    np.testing.assert_allclose(out[0, 0], -0.2, rtol=1e-5)
+    # token 1: unseen, no counts -> unchanged
+    np.testing.assert_allclose(out[0, 1], 2.0, rtol=1e-5)
+    # token 2: -1.0 - 0.5*1 - 0.1 = -1.6 -> seen & negative -> *2 = -3.2
+    np.testing.assert_allclose(out[0, 2], -3.2, rtol=1e-5)
+    # token 3: unseen -> unchanged
+    np.testing.assert_allclose(out[0, 3], 0.5, rtol=1e-5)
