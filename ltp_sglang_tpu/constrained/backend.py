@@ -1,0 +1,74 @@
+"""Grammar backend: compile + cache constraints per (type, value) key.
+
+Counterpart of BaseGrammarBackend + cache (constrained/base_grammar_backend.py:
+111-167). Compilation is synchronous for now (the reference compiles in a
+thread pool and parks requests in a grammar_queue; our compile is pure Python
+and fast for typical patterns — async compile can be layered on later).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+from ltp_sglang_tpu.constrained.json_schema import schema_to_regex
+from ltp_sglang_tpu.constrained.regex_engine import compile_regex
+from ltp_sglang_tpu.constrained.token_fsm import RegexGrammar, TokenFSM, VocabTrie
+
+logger = logging.getLogger(__name__)
+
+
+def _token_strings_from_tokenizer(tokenizer) -> List[Optional[str]]:
+    """Decoded text of each vocab id (None for specials)."""
+    size = len(tokenizer)
+    special_ids = set(getattr(tokenizer, "all_special_ids", []) or [])
+    strings: List[Optional[str]] = [None] * size
+    # Batch-decode in chunks for speed.
+    for start in range(0, size, 4096):
+        ids = list(range(start, min(start + 4096, size)))
+        for i in ids:
+            if i in special_ids:
+                continue
+            try:
+                s = tokenizer.decode([i])
+            except Exception:
+                s = None
+            strings[i] = s if s else None
+    return strings
+
+
+class GrammarBackend:
+    def __init__(self, tokenizer, vocab_size: int, eos_ids):
+        self.tokenizer = tokenizer
+        self.vocab_size = vocab_size
+        self.eos_ids = set(eos_ids)
+        self._trie: Optional[VocabTrie] = None
+        self._token_strings: Optional[List[Optional[str]]] = None
+        self._fsm_cache: Dict[Tuple[str, str], TokenFSM] = {}
+
+    def _ensure_vocab(self):
+        if self._trie is None:
+            if self.tokenizer is None:
+                raise ValueError("grammar constraints require a tokenizer")
+            self._token_strings = _token_strings_from_tokenizer(self.tokenizer)
+            self._trie = VocabTrie(self._token_strings)
+
+    def get_grammar(self, key: Tuple[str, str]) -> RegexGrammar:
+        """key: ("regex"|"json_schema"|"ebnf", value)."""
+        self._ensure_vocab()
+        fsm = self._fsm_cache.get(key)
+        if fsm is None:
+            kind, value = key
+            if kind == "regex":
+                pattern = value
+            elif kind == "json_schema":
+                pattern = schema_to_regex(value)
+            else:
+                raise ValueError(f"unsupported grammar kind: {kind}")
+            dfa = compile_regex(pattern)
+            fsm = TokenFSM(dfa, self._trie, self.vocab_size, self.eos_ids)
+            self._fsm_cache[key] = fsm
+            logger.info(
+                "compiled grammar %s (%d DFA states)", kind, dfa.num_states
+            )
+        return RegexGrammar(fsm, self._token_strings)

@@ -80,6 +80,15 @@ class Engine:
         )
         if self.tokenizer is not None:
             self.scheduler.detokenizer = IncrementalDecoder(self.tokenizer)
+            from ltp_sglang_tpu.constrained.backend import GrammarBackend
+
+            self.scheduler.grammar_backend = GrammarBackend(
+                self.tokenizer,
+                self.model_config.vocab_size,
+                self.scheduler.eos_token_ids
+                if hasattr(self.scheduler, "eos_token_ids")
+                else self.scheduler._eos_from_config(),
+            )
 
         self._stream_queues: Dict[str, queue.Queue] = {}
         self._loop_lock = threading.Lock()
@@ -141,7 +150,7 @@ class Engine:
         sp.max_new_tokens = min(
             sp.max_new_tokens, self.model_config.context_len - len(ids) - 1
         )
-        return Req(
+        req = Req(
             rid=one.rid,
             origin_input_ids=ids,
             sampling_params=sp,
@@ -149,6 +158,13 @@ class Engine:
             top_logprobs_num=int(one.top_logprobs_num or 0),
             stream=one.stream,
         )
+        if sp.regex:
+            req.grammar_key = ("regex", sp.regex)
+        elif sp.json_schema:
+            req.grammar_key = ("json_schema", sp.json_schema)
+        elif sp.ebnf:
+            req.grammar_key = ("ebnf", sp.ebnf)
+        return req
 
     def _make_output(self, req: Req) -> Dict[str, Any]:
         if self.tokenizer is not None:
@@ -175,6 +191,16 @@ class Engine:
         meta = {
             "id": req.rid,
             "prompt_tokens": len(req.origin_input_ids),
+            **(
+                {
+                    "output_token_logprobs": [
+                        [lp, tok, None] for lp, tok in req.output_token_logprobs
+                    ],
+                    "output_top_logprobs": req.output_top_logprobs,
+                }
+                if req.return_logprob
+                else {}
+            ),
             "completion_tokens": len(req.output_ids),
             "finish_reason": (
                 req.finished_reason.to_json() if req.finished_reason else None

@@ -1,0 +1,52 @@
+"""Linear application with quantization dispatch.
+
+The TPU translation of the reference's parallel-linear + quant_method.apply
+stack (layers/linear.py:113-1123 + quantization method classes): here a
+"linear layer" is just a param dict, and `apply_linear` dispatches on its
+structure:
+
+  {"kernel": [K, N]}                         -> dense matmul (bf16/f32)
+  {"w4", "scales", "zeros"[, "perm"]}        -> INT4 weight-only (AWQ/GPTQ)
+  {"w8", "weight_scale"}                     -> FP8/INT8 weight (+bias opt.)
+
+Tensor parallelism stays a PartitionSpec concern (no per-method classes).
+The INT4 fast path uses the fused Pallas dequant+matmul kernel on TPU; other
+backends dequantize inline (XLA fuses what it can).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ltp_sglang_tpu.layers.quantization.int4 import quantized_matmul_ref
+
+
+def apply_linear(p: Dict[str, Any], x: jnp.ndarray, group_size: int = 128):
+    """x: [..., K] -> [..., N]."""
+    if "kernel" in p:
+        out = jnp.einsum(
+            "...k,kn->...n", x, p["kernel"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    elif "w4" in p:
+        if jax.default_backend() == "tpu":
+            from ltp_sglang_tpu.ops.quant_matmul import int4_matmul_pallas
+
+            out = int4_matmul_pallas(
+                x, p["w4"], p["scales"], p["zeros"], group_size,
+                perm=p.get("perm"),
+            )
+        else:
+            out = quantized_matmul_ref(x, p, group_size)
+    elif "w8" in p:
+        w = p["w8"].astype(jnp.bfloat16) * p["weight_scale"].astype(jnp.bfloat16)
+        out = jnp.einsum(
+            "...k,kn->...n", x, w, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    else:
+        raise ValueError(f"unknown linear param structure: {sorted(p)}")
+    if "bias" in p:
+        out = out + p["bias"]
+    return out

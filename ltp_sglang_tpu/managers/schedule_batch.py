@@ -119,7 +119,8 @@ class Req:
         self.lock_ref_held = False
 
         # Logprobs
-        self.output_token_logprobs: List[float] = []
+        self.output_token_logprobs: List[tuple] = []  # (logprob, token_id)
+        self.output_top_logprobs: List[tuple] = []  # ([vals], [ids]) per step
 
         # Incremental detokenization state (DecodeStatus analog).
         self.read_offset = 0

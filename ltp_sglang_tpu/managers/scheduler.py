@@ -44,11 +44,12 @@ class BatchResult:
     """What one step produced, before host-side post-processing."""
 
     def __init__(self, batch: ScheduleBatch, next_tokens, mode: ForwardMode,
-                 window_k: int = 1):
+                 window_k: int = 1, logprobs=None):
         self.batch = batch
         self.next_tokens = next_tokens  # device array [B_padded] or [B_padded, K]
         self.mode = mode
         self.window_k = window_k
+        self.logprobs = logprobs  # (chosen [B], top_vals [B,k], top_idx [B,k])
 
 
 class Scheduler:
@@ -110,6 +111,9 @@ class Scheduler:
         # Optional incremental detokenizer (set by the engine when a
         # tokenizer is available); needed for stop-string detection.
         self.detokenizer = None
+        # Optional grammar backend for structured outputs (set by the engine).
+        self.grammar_backend = None
+        self._pending_logprobs = None
 
     def _eos_from_config(self) -> set:
         eos = self.model_config.hf_config.get("eos_token_id")
@@ -124,6 +128,19 @@ class Scheduler:
         if not req.eos_token_ids:
             req.eos_token_ids = self.eos_token_ids
         req.queued_time = time.time()
+        if req.grammar_key is not None and req.grammar is None:
+            if self.grammar_backend is None:
+                req.finished_reason = FINISH_ABORT(
+                    "structured output requires a tokenizer/grammar backend"
+                )
+                self._emit_output(req)
+                return
+            try:
+                req.grammar = self.grammar_backend.get_grammar(req.grammar_key)
+            except Exception as e:
+                req.finished_reason = FINISH_ABORT(f"grammar compile failed: {e}")
+                self._emit_output(req)
+                return
         self._rid_to_req[req.rid] = req
         self.waiting_queue.append(req)
 
@@ -251,6 +268,8 @@ class Scheduler:
             return 1
         if any(getattr(r, "grammar", None) is not None for r in batch.reqs):
             return 1
+        if any(r.return_logprob for r in batch.reqs):
+            return 1
         # Penalties need per-token count updates (single-step path ships the
         # count tensors each step).
         sp = [r.sampling_params for r in batch.reqs]
@@ -313,8 +332,13 @@ class Scheduler:
             fb.sampling_info.build_penalty_tensors(
                 batch.reqs, fb.input_ids.shape[0]
             )
-        next_tokens, _ = self.runner.forward(fb)
-        return BatchResult(batch, next_tokens, batch.forward_mode)
+        if fb.sampling_info is not None:
+            fb.vocab_mask = fb.sampling_info.build_vocab_mask(
+                batch.reqs, fb.input_ids.shape[0]
+            )
+        want_lp = any(r.return_logprob for r in batch.reqs)
+        next_tokens, lp, _ = self.runner.forward(fb, want_logprobs=want_lp)
+        return BatchResult(batch, next_tokens, batch.forward_mode, logprobs=lp)
 
     # ----------------------------------------------------------- post-process
     def process_batch_result(self, result: BatchResult):
@@ -323,12 +347,43 @@ class Scheduler:
         # over K tokens; reference analog: tp_worker_overlap_thread).
         tokens = np.asarray(result.next_tokens)[: batch.batch_size()]
 
+        self._pending_logprobs = None
+        if result.logprobs is not None:
+            self._pending_logprobs = (
+                np.asarray(result.logprobs[0]),
+                np.asarray(result.logprobs[1]),
+                np.asarray(result.logprobs[2]),
+            )
         if result.mode == ForwardMode.EXTEND or result.mode == ForwardMode.MIXED:
             self._process_extend_result(batch, tokens)
         elif result.window_k > 1:
             self._process_decode_window_result(batch, tokens)
         else:
             self._process_decode_result(batch, tokens)
+        self._pending_logprobs = None
+
+    def _advance_grammar(self, req: Req):
+        """grammar.accept_token after sampling (B.3 step 3); a mismatch means
+        the mask and matcher disagree — abort the request, not the server."""
+        if req.grammar is None or req.finished():
+            return
+        if not req.grammar.accept_token(req.output_ids[-1]):
+            req.finished_reason = FINISH_ABORT("grammar violation")
+
+    def _record_logprobs(self, req: Req, i: int):
+        lp = self._pending_logprobs
+        if lp is None or not req.return_logprob:
+            return
+        chosen, tvals, tidx = lp
+        req.output_token_logprobs.append(
+            (float(chosen[i]), req.output_ids[-1])
+        )
+        k = req.top_logprobs_num
+        if k > 0:
+            k = min(k, tvals.shape[1])
+            req.output_top_logprobs.append(
+                (tvals[i, :k].tolist(), tidx[i, :k].tolist())
+            )
 
     def _process_extend_result(self, batch: ScheduleBatch, tokens: np.ndarray):
         for i, req in enumerate(batch.reqs):
@@ -341,6 +396,8 @@ class Scheduler:
             if len(req.output_ids) < req.sampling_params.max_new_tokens:
                 req.output_ids.append(int(tokens[i]))
                 self.num_generated_tokens += 1
+                self._record_logprobs(req, i)
+                self._advance_grammar(req)
             if req.first_token_time is None:
                 req.first_token_time = time.time()
             if self.detokenizer is not None:
@@ -372,6 +429,8 @@ class Scheduler:
         for i, req in enumerate(batch.reqs):
             req.output_ids.append(int(tokens[i]))
             self.num_generated_tokens += 1
+            self._record_logprobs(req, i)
+            self._advance_grammar(req)
             if self.detokenizer is not None:
                 self.detokenizer.step(req)
             req.check_finished()

@@ -61,6 +61,7 @@ class ForwardBatch:
     extend_lens: np.ndarray  # [B] int32 new tokens this step (pad: 0)
     kv_bucket: int  # C: static max kv length this step
     sampling_info: Optional[SamplingBatchInfo] = None
+    vocab_mask: Optional[np.ndarray] = None  # [B, V] bool (grammar constraints)
 
     @property
     def bucket_key(self):

@@ -55,6 +55,10 @@ from ltp_sglang_tpu.utils.dtypes import to_jnp_dtype
 
 logger = logging.getLogger(__name__)
 
+# Number of top-logprob candidates returned when a batch requests logprobs
+# (static for jit; the reference caps top_logprobs_num similarly).
+_TOPK_LOGPROBS = 8
+
 
 @dataclasses.dataclass
 class DecodeWindowBatch:
@@ -253,7 +257,8 @@ class ModelRunner:
     # ----------------------------------------------------------------- steps
     def _build_step_fn(self, mode_is_decode: bool, C: int, has_logit_bias: bool,
                        return_logits: bool, sampler_kind: str,
-                       has_penalties: bool = False):
+                       has_penalties: bool = False, want_logprobs: bool = False,
+                       has_vocab_mask: bool = False):
         model = self.model
         table_write_rows = self._table_write_rows
         table_merge_window = self._table_merge_window
@@ -276,6 +281,7 @@ class ModelRunner:
             top_ks,
             min_ps,
             logit_bias,  # [B, V] or dummy [1, 1]
+            vocab_mask,  # [B, V] bool or dummy [1, 1] (grammar constraints)
             output_counts,  # [B, V] or dummy [1, 1] (penalties)
             seen_mask,  # [B, V] bool or dummy [1, 1]
             freq_pen,  # [B]
@@ -312,14 +318,25 @@ class ModelRunner:
                     logits, output_counts, seen_mask, freq_pen, pres_pen, rep_pen
                 )
             logits = apply_logit_processing(
-                logits, logit_bias if has_logit_bias else None, None
+                logits,
+                logit_bias if has_logit_bias else None,
+                vocab_mask if has_vocab_mask else None,
             )
             key = jax.random.fold_in(self._rng_key, step_idx)
             tokens = _sample(
                 sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
             )
             out_logits = logits if return_logits else jnp.zeros((0,), jnp.float32)
-            return tokens, out_logits, k_cache, v_cache, table
+            if want_logprobs:
+                # Chosen-token logprob + top-k candidates, in-program.
+                logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                chosen = jnp.take_along_axis(logprobs, tokens[:, None], axis=-1)[:, 0]
+                top_vals, top_idx = jax.lax.top_k(logprobs, _TOPK_LOGPROBS)
+            else:
+                chosen = jnp.zeros((0,), jnp.float32)
+                top_vals = jnp.zeros((0, 0), jnp.float32)
+                top_idx = jnp.zeros((0, 0), jnp.int32)
+            return tokens, (chosen, top_vals, top_idx), out_logits, k_cache, v_cache, table
 
         return jax.jit(step_fn, donate_argnums=(1, 2, 3))
 
@@ -387,15 +404,17 @@ class ModelRunner:
         return jax.jit(window_fn, donate_argnums=(1, 2, 3))
 
     def _get_step_fn(self, fb: ForwardBatch, has_logit_bias: bool, return_logits: bool,
-                     sampler_kind: str, has_penalties: bool):
+                     sampler_kind: str, has_penalties: bool, want_logprobs: bool,
+                     has_vocab_mask: bool):
         B, E = fb.input_ids.shape
         key = (fb.mode == ForwardMode.DECODE, B, E, fb.kv_bucket, has_logit_bias,
-               return_logits, sampler_kind, has_penalties)
+               return_logits, sampler_kind, has_penalties, want_logprobs,
+               has_vocab_mask)
         fn = self._step_cache.get(key)
         if fn is None:
             fn = self._build_step_fn(
                 key[0], fb.kv_bucket, has_logit_bias, return_logits, sampler_kind,
-                has_penalties,
+                has_penalties, want_logprobs, has_vocab_mask,
             )
             self._step_cache[key] = fn
             logger.info(
@@ -426,8 +445,10 @@ class ModelRunner:
         self.req_table = fn(self.req_table, jnp.asarray(idx), jnp.asarray(rows))
         self._dirty_rows.clear()
 
-    def forward(self, fb: ForwardBatch, return_logits: bool = False):
-        """Run one step. Returns (next_token_ids device array [B], logits or None)."""
+    def forward(self, fb: ForwardBatch, return_logits: bool = False,
+                want_logprobs: bool = False):
+        """Run one step. Returns (next_token_ids [B], logprobs tuple or None,
+        logits or None) — all device arrays."""
         self._flush_dirty_rows()
         si = fb.sampling_info
         B, E = fb.input_ids.shape
@@ -450,16 +471,19 @@ class ModelRunner:
             si.logit_bias if has_logit_bias else np.zeros((1, 1), dtype=np.float32)
         )
         has_penalties = si.has_penalties and si.output_counts is not None
+        vocab_mask = getattr(fb, "vocab_mask", None)
+        has_vocab_mask = vocab_mask is not None
         dummy = np.zeros((1, 1), dtype=np.float32)
         dummy_b = np.zeros((1, 1), dtype=bool)
         zeros_b = np.zeros((B,), dtype=np.float32)
         ones_b = np.ones((B,), dtype=np.float32)
 
         fn = self._get_step_fn(
-            fb, has_logit_bias, return_logits, si.sampler_kind, has_penalties
+            fb, has_logit_bias, return_logits, si.sampler_kind, has_penalties,
+            want_logprobs, has_vocab_mask,
         )
         self._step_counter += 1
-        tokens, logits, self.k_cache, self.v_cache, self.req_table = fn(
+        tokens, lp, logits, self.k_cache, self.v_cache, self.req_table = fn(
             self.params,
             self.k_cache,
             self.v_cache,
@@ -477,6 +501,7 @@ class ModelRunner:
             si.top_ks,
             si.min_ps,
             logit_bias,
+            vocab_mask if has_vocab_mask else dummy_b,
             si.output_counts if has_penalties else dummy,
             si.seen_mask if has_penalties else dummy_b,
             si.frequency_penalties if has_penalties else zeros_b,
@@ -484,7 +509,9 @@ class ModelRunner:
             si.repetition_penalties if has_penalties else ones_b,
             np.int32(self._step_counter),
         )
-        return tokens, (logits if return_logits else None)
+        return tokens, (lp if want_logprobs else None), (
+            logits if return_logits else None
+        )
 
     def forward_window(self, wb: DecodeWindowBatch):
         """Run a K-step decode window; returns tokens [B, K] (device array)."""

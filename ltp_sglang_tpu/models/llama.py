@@ -28,6 +28,7 @@ from jax.sharding import PartitionSpec as P
 
 from ltp_sglang_tpu.config.model_config import ModelConfig
 from ltp_sglang_tpu.layers.activation import silu_and_mul
+from ltp_sglang_tpu.layers.linear import apply_linear
 from ltp_sglang_tpu.layers.norm import rms_norm
 from ltp_sglang_tpu.layers.rotary import apply_rope, build_cos_sin_cache
 from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
@@ -66,6 +67,18 @@ class LlamaForCausalLM:
         self.tie_word_embeddings = hf.get("tie_word_embeddings", False)
         self.attn_impl = attn_impl or ref_paged_attention
         self.sm_scale = config.head_dim**-0.5
+        # Weight-only quantization (awq/gptq): projections carry packed
+        # int4 leaves instead of dense kernels (layers/quantization).
+        self.quant = (
+            config.quantization
+            if config.quantization in ("awq", "awq_marlin", "gptq", "gptq_marlin")
+            else None
+        )
+        qc = config.quant_config or {}
+        self.quant_group_size = int(qc.get("group_size", 128))
+        self.quant_format = (
+            "gptq_v2" if qc.get("checkpoint_format") == "gptq_v2" else "gptq"
+        )
         self.sliding_window = 0
         self.cos_sin_cache = build_cos_sin_cache(
             config.head_dim,
@@ -155,16 +168,60 @@ class LlamaForCausalLM:
                 return weights[name]
             return weights[name.replace("model.", "", 1)]
 
+        def has(name):
+            return name in weights or name.replace("model.", "", 1) in weights
+
         def stack_linear(sub):
-            return jnp.asarray(
-                np.stack(
-                    [
-                        np.asarray(get(f"model.layers.{i}.{sub}.weight")).T
-                        for i in range(L)
-                    ]
-                ),
-                dtype=self.dtype,
-            )
+            """Dense or quantized projection -> stacked param dict."""
+            if self.quant and has(f"model.layers.0.{sub}.qweight"):
+                from ltp_sglang_tpu.layers.quantization.int4 import (
+                    unpack_awq_to_internal,
+                    unpack_gptq_to_internal,
+                )
+
+                per_layer = []
+                for i in range(L):
+                    qw = np.asarray(get(f"model.layers.{i}.{sub}.qweight"))
+                    qz = np.asarray(get(f"model.layers.{i}.{sub}.qzeros"))
+                    sc = np.asarray(
+                        get(f"model.layers.{i}.{sub}.scales"), dtype=np.float32
+                    )
+                    if self.quant.startswith("awq"):
+                        per_layer.append(unpack_awq_to_internal(qw, qz, sc))
+                    else:
+                        g_idx = (
+                            np.asarray(get(f"model.layers.{i}.{sub}.g_idx"))
+                            if has(f"model.layers.{i}.{sub}.g_idx")
+                            else None
+                        )
+                        per_layer.append(
+                            unpack_gptq_to_internal(
+                                qw, qz, sc, g_idx, self.quant_format
+                            )
+                        )
+                out = {
+                    "w4": jnp.asarray(np.stack([d["w4"] for d in per_layer])),
+                    "scales": jnp.asarray(
+                        np.stack([d["scales"] for d in per_layer]), dtype=self.dtype
+                    ),
+                    "zeros": jnp.asarray(
+                        np.stack([d["zeros"] for d in per_layer]), dtype=self.dtype
+                    ),
+                }
+                if "perm" in per_layer[0]:
+                    out["perm"] = jnp.asarray(np.stack([d["perm"] for d in per_layer]))
+                return out
+            return {
+                "kernel": jnp.asarray(
+                    np.stack(
+                        [
+                            np.asarray(get(f"model.layers.{i}.{sub}.weight")).T
+                            for i in range(L)
+                        ]
+                    ),
+                    dtype=self.dtype,
+                )
+            }
 
         def stack_vec(sub, field="weight"):
             return jnp.asarray(
@@ -177,13 +234,13 @@ class LlamaForCausalLM:
         layers = {
             "input_layernorm": stack_vec("input_layernorm"),
             "post_attention_layernorm": stack_vec("post_attention_layernorm"),
-            "q_proj": {"kernel": stack_linear("self_attn.q_proj")},
-            "k_proj": {"kernel": stack_linear("self_attn.k_proj")},
-            "v_proj": {"kernel": stack_linear("self_attn.v_proj")},
-            "o_proj": {"kernel": stack_linear("self_attn.o_proj")},
-            "gate_proj": {"kernel": stack_linear("mlp.gate_proj")},
-            "up_proj": {"kernel": stack_linear("mlp.up_proj")},
-            "down_proj": {"kernel": stack_linear("mlp.down_proj")},
+            "q_proj": stack_linear("self_attn.q_proj"),
+            "k_proj": stack_linear("self_attn.k_proj"),
+            "v_proj": stack_linear("self_attn.v_proj"),
+            "o_proj": stack_linear("self_attn.o_proj"),
+            "gate_proj": stack_linear("mlp.gate_proj"),
+            "up_proj": stack_linear("mlp.up_proj"),
+            "down_proj": stack_linear("mlp.down_proj"),
         }
         if self.has_bias:
             layers["q_proj"]["bias"] = stack_vec("self_attn.q_proj", "bias")
@@ -227,13 +284,10 @@ class LlamaForCausalLM:
 
             # Self-attention
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = jnp.einsum("bed,dk->bek", normed, lp["q_proj"]["kernel"])
-            k = jnp.einsum("bed,dk->bek", normed, lp["k_proj"]["kernel"])
-            v = jnp.einsum("bed,dk->bek", normed, lp["v_proj"]["kernel"])
-            if self.has_bias:
-                q = q + lp["q_proj"]["bias"]
-                k = k + lp["k_proj"]["bias"]
-                v = v + lp["v_proj"]["bias"]
+            gs = self.quant_group_size
+            q = apply_linear(lp["q_proj"], normed, gs)
+            k = apply_linear(lp["k_proj"], normed, gs)
+            v = apply_linear(lp["v_proj"], normed, gs)
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
@@ -264,19 +318,13 @@ class LlamaForCausalLM:
                 self.sm_scale,
                 sliding_window=self.sliding_window,
             )
-            attn_out = jnp.einsum(
-                "bek,kd->bed", attn_out.reshape(B, E, Hq * D), lp["o_proj"]["kernel"]
-            )
-            h = h + attn_out
+            h = h + apply_linear(lp["o_proj"], attn_out.reshape(B, E, Hq * D), gs)
 
             # MLP
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            gate = jnp.einsum("bed,di->bei", normed, lp["gate_proj"]["kernel"])
-            up = jnp.einsum("bed,di->bei", normed, lp["up_proj"]["kernel"])
-            mlp = jnp.einsum(
-                "bei,id->bed", jax.nn.silu(gate) * up, lp["down_proj"]["kernel"]
-            )
-            h = h + mlp
+            gate = apply_linear(lp["gate_proj"], normed, gs)
+            up = apply_linear(lp["up_proj"], normed, gs)
+            h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up, gs)
             return (h, kc, vc), None
 
         L = cfg.num_layers

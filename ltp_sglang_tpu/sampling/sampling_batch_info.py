@@ -109,6 +109,18 @@ class SamplingBatchInfo:
             has_penalties=has_penalties,
         )
 
+    def build_vocab_mask(self, reqs, bucket_size: int):
+        """[B, V] bool (True = forbidden) from per-request grammars, or None
+        when no request is constrained (sampling_batch_info.py:171-223)."""
+        grams = [getattr(r, "grammar", None) for r in reqs]
+        if not any(g is not None for g in grams):
+            return None
+        mask = np.zeros((bucket_size, self.vocab_size), dtype=bool)
+        for i, g in enumerate(grams):
+            if g is not None:
+                g.fill_vocab_mask(mask[i])
+        return mask
+
     def build_penalty_tensors(self, reqs, bucket_size: int):
         """[B, V] per-step tensors for apply_penalties (padded)."""
         B, V = bucket_size, self.vocab_size

@@ -162,3 +162,23 @@ def test_repetition_penalty_reduces_repeats(engine):
     base_max = max(collections.Counter(base["output_ids"]).values())
     pen_max = max(collections.Counter(pen["output_ids"]).values())
     assert pen_max <= base_max
+
+
+def test_return_logprob(engine):
+    out = engine.generate(
+        input_ids=[1, 2, 3],
+        sampling_params={"max_new_tokens": 5, "temperature": 0.0},
+        return_logprob=True,
+        top_logprobs_num=3,
+    )
+    lps = out["meta_info"]["output_token_logprobs"]
+    assert len(lps) == 5
+    for lp, tok, _ in lps:
+        assert lp <= 0.0
+    assert [t for _, t, _ in lps] == out["output_ids"]
+    tops = out["meta_info"]["output_top_logprobs"]
+    assert len(tops) == 5 and len(tops[0][0]) == 3
+    # greedy: chosen token must be the argmax => equals top-1
+    for (lp, tok, _), (tvals, tids) in zip(lps, tops):
+        assert tok == tids[0]
+        assert abs(lp - tvals[0]) < 1e-5
