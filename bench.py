@@ -55,8 +55,15 @@ def main():
     on_tpu = backend == "tpu"
     if not on_tpu:
         jax.config.update("jax_platforms", "cpu")
+    # BENCH_QUANT=awq runs the same model with dummy INT4 weights through the
+    # fused Pallas dequant+matmul path (north-star config).
+    quant = os.environ.get("BENCH_QUANT")
 
     cfg = dict(LLAMA_1B_CFG)
+    if quant:
+        cfg["quantization_config"] = {
+            "quant_method": quant, "bits": 4, "group_size": 128,
+        }
     bs, prompt_len, gen_len = (32, 64, 96) if on_tpu else (8, 16, 24)
     if not on_tpu:
         cfg.update(
@@ -104,8 +111,9 @@ def main():
     param_bytes = count_param_bytes(eng.model_runner.params)
     ideal_step = param_bytes / HBM_BW.get(backend, 100e9)
     ideal_tok_per_s = bs / ideal_step
+    wtag = f"{quant}4" if quant else "bf16"
     result = {
-        "metric": f"decode_tok_per_s_llama1b_bf16_bs{bs}_{backend}",
+        "metric": f"decode_tok_per_s_llama1b_{wtag}_bs{bs}_{backend}",
         "value": round(tok_per_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_per_s / ideal_tok_per_s, 4),

@@ -183,7 +183,15 @@ class ModelRunner:
             limit = stats.get("bytes_limit", 0)
             in_use = stats.get("bytes_in_use", 0)
             free = (limit - in_use) * self.server_args.mem_fraction_static
-            per_token = self.model_config.kv_cache_bytes_per_token()
+            if hasattr(self.model, "kv_row_elems"):
+                k_e, v_e = self.model.kv_row_elems()
+                per_token = (
+                    self.model_config.num_layers
+                    * (k_e + v_e)
+                    * jnp.dtype(self.kv_dtype).itemsize
+                )
+            else:
+                per_token = self.model_config.kv_cache_bytes_per_token()
             n_dev = self.mesh_ctx.mesh.devices.size if self.mesh_ctx else 1
             tokens = int(free * n_dev / per_token)
             if tokens <= 0:
@@ -222,12 +230,18 @@ class ModelRunner:
         # Device KV cache [L, S+1, r, ln] (+1 garbage slot 0; native DMA row
         # layout, ops/kv_cache_ops.kv_layout) and req table [R+1, W] (row R =
         # scatter dump; W lane-padded for the DMA kernels).
-        from ltp_sglang_tpu.ops.kv_cache_ops import kv_layout
+        from ltp_sglang_tpu.ops.kv_cache_ops import _row_dims
 
         L = cfg.num_layers
         S = self.max_total_num_tokens + 1
         Hkv, D = cfg.num_kv_heads, cfg.head_dim
-        r, ln = kv_layout(Hkv, D)
+        # Models with asymmetric K/V rows (MLA) override kv_row_elems.
+        if hasattr(self.model, "kv_row_elems"):
+            k_elems, v_elems = self.model.kv_row_elems()
+        else:
+            k_elems = v_elems = Hkv * D
+        rk, lnk = _row_dims(k_elems)
+        rv, lnv = _row_dims(v_elems)
         kv_sharding = None
         table_sharding = None
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
@@ -238,12 +252,12 @@ class ModelRunner:
             # pallas path disabled, which multi-device already implies).
             kv_sharding = self.mesh_ctx.sharding(
                 P(None, None, "tp", None)
-                if r % self.mesh_ctx.tp_size == 0
+                if rk % self.mesh_ctx.tp_size == 0 and rv % self.mesh_ctx.tp_size == 0
                 else P(None, None, None, None)
             )
             table_sharding = self.mesh_ctx.replicated()
-        self.k_cache = jnp.zeros((L, S, r, ln), dtype=self.kv_dtype, device=kv_sharding)
-        self.v_cache = jnp.zeros((L, S, r, ln), dtype=self.kv_dtype, device=kv_sharding)
+        self.k_cache = jnp.zeros((L, S, rk, lnk), dtype=self.kv_dtype, device=kv_sharding)
+        self.v_cache = jnp.zeros((L, S, rv, lnv), dtype=self.kv_dtype, device=kv_sharding)
         self.table_width = round_up(cfg.context_len, 128)
         self.req_table = jnp.zeros(
             (max_reqs + 1, self.table_width), dtype=jnp.int32, device=table_sharding

@@ -1,0 +1,388 @@
+"""DeepSeek-V2/V3 family: MLA attention + shared-expert MoE.
+
+Reference: python/sglang/srt/models/deepseek_v2.py (2629 LoC). This round
+implements the MHA-materialized cache mode (decompressed K/V written to the
+paged cache — the reference's non-absorb path); the latent-KV (kv_lora+rope)
+cache with weight absorption is the follow-up optimization.
+
+Architecture facts replicated:
+- q path: q_proj (V2-Lite) or q_a_proj -> rmsnorm -> q_b_proj; per head the
+  query splits into [qk_nope_head_dim | qk_rope_head_dim].
+- kv path: kv_a_proj_with_mqa -> [kv_lora_rank | qk_rope_head_dim]; the lora
+  part is rms-normed then kv_b_proj expands to per-head [nope | v]; the rope
+  part is a single shared key channel, broadcast to all heads.
+- MoE: first_k_dense_replace dense layers, then n_routed_experts with
+  num_experts_per_tok routing (softmax for V2, sigmoid + e_score bias for V3),
+  routed_scaling_factor, plus n_shared_experts always-on experts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ltp_sglang_tpu.config.model_config import ModelConfig
+from ltp_sglang_tpu.layers.linear import apply_linear
+from ltp_sglang_tpu.layers.moe import moe_ffn, moe_topk
+from ltp_sglang_tpu.layers.norm import rms_norm
+from ltp_sglang_tpu.layers.rotary import apply_rope, build_cos_sin_cache
+from ltp_sglang_tpu.models.llama import LlamaForCausalLM, StepArrays
+
+
+class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        hf = config.hf_config
+        self.q_lora_rank = hf.get("q_lora_rank") or 0
+        self.kv_lora_rank = hf["kv_lora_rank"]
+        self.qk_nope = hf["qk_nope_head_dim"]
+        self.qk_rope = hf["qk_rope_head_dim"]
+        self.v_head_dim = hf["v_head_dim"]
+        self.qk_head_dim = self.qk_nope + self.qk_rope
+        self.first_k_dense = hf.get("first_k_dense_replace", 0)
+        self.n_routed_experts = hf.get("n_routed_experts", 0)
+        self.n_shared_experts = hf.get("n_shared_experts", 0)
+        self.top_k = hf.get("num_experts_per_tok", 6)
+        self.moe_intermediate = hf.get("moe_intermediate_size", 0)
+        self.norm_topk_prob = hf.get("norm_topk_prob", hf.get("topk_method") == "noaux_tc")
+        self.scoring = hf.get("scoring_func", "softmax")
+        self.routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
+        self.topk_method = hf.get("topk_method", "greedy")
+        if hf.get("n_group", 1) > 1:
+            raise NotImplementedError("group-limited routing (n_group>1) TODO")
+
+        # MLA softmax scale includes yarn mscale (deepseek_v2.py reference).
+        self.sm_scale = self.qk_head_dim**-0.5
+        rs = hf.get("rope_scaling")
+        if rs and rs.get("type", rs.get("rope_type")) == "yarn":
+            mscale_all_dim = rs.get("mscale_all_dim", 0)
+            factor = rs.get("factor", 1.0)
+            if mscale_all_dim:
+                m = 0.1 * mscale_all_dim * math.log(factor) + 1.0 if factor > 1 else 1.0
+                self.sm_scale = self.sm_scale * m * m
+        self.cos_sin_cache = build_cos_sin_cache(
+            self.qk_rope,
+            config.context_len,
+            base=self.rope_theta,
+            rope_scaling=self.rope_scaling,
+        )
+
+    # KV cache row sizes: k rows hold [nope|rope] per head, v rows v_head_dim.
+    def kv_row_elems(self):
+        H = self.config.num_attention_heads
+        return H * self.qk_head_dim, H * self.v_head_dim
+
+    # ------------------------------------------------------------- parameters
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        cfg = self.config
+        hf = cfg.hf_config
+        L, Dm = cfg.num_layers, cfg.hidden_size
+        H = cfg.num_attention_heads
+        key_box = [jax.random.PRNGKey(seed)]
+
+        def w(*shape, scale=0.02):
+            key_box[0], sub = jax.random.split(key_box[0])
+            return (jax.random.normal(sub, shape, dtype=jnp.float32) * scale).astype(
+                self.dtype
+            )
+
+        def attn_layer(nl):
+            p = {
+                "input_layernorm": jnp.ones((nl, Dm), dtype=self.dtype),
+                "post_attention_layernorm": jnp.ones((nl, Dm), dtype=self.dtype),
+                "kv_a_proj": {"kernel": w(nl, Dm, self.kv_lora_rank + self.qk_rope)},
+                "kv_a_norm": jnp.ones((nl, self.kv_lora_rank), dtype=self.dtype),
+                "kv_b_proj": {
+                    "kernel": w(nl, self.kv_lora_rank, H * (self.qk_nope + self.v_head_dim))
+                },
+                "o_proj": {"kernel": w(nl, H * self.v_head_dim, Dm)},
+            }
+            if self.q_lora_rank:
+                p["q_a_proj"] = {"kernel": w(nl, Dm, self.q_lora_rank)}
+                p["q_a_norm"] = jnp.ones((nl, self.q_lora_rank), dtype=self.dtype)
+                p["q_b_proj"] = {"kernel": w(nl, self.q_lora_rank, H * self.qk_head_dim)}
+            else:
+                p["q_proj"] = {"kernel": w(nl, Dm, H * self.qk_head_dim)}
+            return p
+
+        Ld = self.first_k_dense
+        Lm = L - Ld
+        I = cfg.intermediate_size
+        Im = self.moe_intermediate
+        E = self.n_routed_experts
+
+        dense = attn_layer(Ld)
+        dense.update(
+            {
+                "gate_proj": {"kernel": w(Ld, Dm, I)},
+                "up_proj": {"kernel": w(Ld, Dm, I)},
+                "down_proj": {"kernel": w(Ld, I, Dm)},
+            }
+        )
+        moe = attn_layer(Lm)
+        moe.update(
+            {
+                "router": {"kernel": w(Lm, Dm, E)},
+                "experts_gate": w(Lm, E, Dm, Im),
+                "experts_up": w(Lm, E, Dm, Im),
+                "experts_down": w(Lm, E, Im, Dm),
+            }
+        )
+        if self.topk_method == "noaux_tc":
+            moe["e_score_bias"] = jnp.zeros((Lm, E), dtype=jnp.float32)
+        if self.n_shared_experts:
+            Is = Im * self.n_shared_experts
+            moe["shared_gate_proj"] = {"kernel": w(Lm, Dm, Is)}
+            moe["shared_up_proj"] = {"kernel": w(Lm, Dm, Is)}
+            moe["shared_down_proj"] = {"kernel": w(Lm, Is, Dm)}
+
+        params = {
+            "embed": {"weight": w(cfg.vocab_size, Dm)},
+            "layers_dense": dense,
+            "layers_moe": moe,
+            "norm": jnp.ones((Dm,), dtype=self.dtype),
+        }
+        if not self.tie_word_embeddings:
+            params["lm_head"] = {"kernel": w(Dm, cfg.vocab_size)}
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        # Replicated for now on multi-chip (MLA TP sharding is follow-up work);
+        # expert dim sharded over tp.
+        def like(tree, expert_sharded=False):
+            return jax.tree.map(lambda _: P(), tree)
+
+        # Build specs lazily from a dummy init structure.
+        raise NotImplementedError(
+            "deepseek multi-chip sharding specs arrive with the EP shard_map work"
+        )
+
+    # ------------------------------------------------------------ hf weights
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        cfg = self.config
+        L, Dm = cfg.num_layers, cfg.hidden_size
+        H = cfg.num_attention_heads
+        Ld = self.first_k_dense
+
+        def get(name):
+            if name in weights:
+                return weights[name]
+            return weights[name.replace("model.", "", 1)]
+
+        def lin(i, sub):
+            return np.asarray(get(f"model.layers.{i}.{sub}.weight")).T
+
+        def vec(i, sub):
+            return np.asarray(get(f"model.layers.{i}.{sub}.weight"))
+
+        def attn_stack(layer_ids):
+            p = {
+                "input_layernorm": np.stack([vec(i, "input_layernorm") for i in layer_ids]),
+                "post_attention_layernorm": np.stack(
+                    [vec(i, "post_attention_layernorm") for i in layer_ids]
+                ),
+                "kv_a_proj": {
+                    "kernel": np.stack([lin(i, "self_attn.kv_a_proj_with_mqa") for i in layer_ids])
+                },
+                "kv_a_norm": np.stack([vec(i, "self_attn.kv_a_layernorm") for i in layer_ids]),
+                "kv_b_proj": {"kernel": np.stack([lin(i, "self_attn.kv_b_proj") for i in layer_ids])},
+                "o_proj": {"kernel": np.stack([lin(i, "self_attn.o_proj") for i in layer_ids])},
+            }
+            if self.q_lora_rank:
+                p["q_a_proj"] = {"kernel": np.stack([lin(i, "self_attn.q_a_proj") for i in layer_ids])}
+                p["q_a_norm"] = np.stack([vec(i, "self_attn.q_a_layernorm") for i in layer_ids])
+                p["q_b_proj"] = {"kernel": np.stack([lin(i, "self_attn.q_b_proj") for i in layer_ids])}
+            else:
+                p["q_proj"] = {"kernel": np.stack([lin(i, "self_attn.q_proj") for i in layer_ids])}
+            return p
+
+        dense_ids = list(range(Ld))
+        moe_ids = list(range(Ld, L))
+        dense = attn_stack(dense_ids)
+        if dense_ids:
+            dense.update(
+                {
+                    "gate_proj": {"kernel": np.stack([lin(i, "mlp.gate_proj") for i in dense_ids])},
+                    "up_proj": {"kernel": np.stack([lin(i, "mlp.up_proj") for i in dense_ids])},
+                    "down_proj": {"kernel": np.stack([lin(i, "mlp.down_proj") for i in dense_ids])},
+                }
+            )
+        moe = attn_stack(moe_ids)
+        E = self.n_routed_experts
+        moe["router"] = {"kernel": np.stack([lin(i, "mlp.gate") for i in moe_ids])}
+        if self.topk_method == "noaux_tc":
+            moe["e_score_bias"] = np.stack(
+                [np.asarray(get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")) for i in moe_ids]
+            ).astype(np.float32)
+
+        def experts(sub):
+            return np.stack(
+                [
+                    np.stack([lin(i, f"mlp.experts.{e}.{sub}") for e in range(E)])
+                    for i in moe_ids
+                ]
+            )
+
+        moe["experts_gate"] = experts("gate_proj")
+        moe["experts_up"] = experts("up_proj")
+        moe["experts_down"] = experts("down_proj")
+        if self.n_shared_experts:
+            moe["shared_gate_proj"] = {
+                "kernel": np.stack([lin(i, "mlp.shared_experts.gate_proj") for i in moe_ids])
+            }
+            moe["shared_up_proj"] = {
+                "kernel": np.stack([lin(i, "mlp.shared_experts.up_proj") for i in moe_ids])
+            }
+            moe["shared_down_proj"] = {
+                "kernel": np.stack([lin(i, "mlp.shared_experts.down_proj") for i in moe_ids])
+            }
+
+        to_dev = lambda x: jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self.dtype if a.dtype != np.float32 or True else a.dtype),
+            x,
+        )
+        params = {
+            "embed": {"weight": jnp.asarray(get("model.embed_tokens.weight"), dtype=self.dtype)},
+            "layers_dense": to_dev(dense),
+            "layers_moe": to_dev(moe),
+            "norm": jnp.asarray(get("model.norm.weight"), dtype=self.dtype),
+        }
+        if self.topk_method == "noaux_tc":
+            params["layers_moe"]["e_score_bias"] = jnp.asarray(
+                moe["e_score_bias"], dtype=jnp.float32
+            )
+        if not self.tie_word_embeddings:
+            params["lm_head"] = {"kernel": jnp.asarray(np.asarray(get("lm_head.weight")).T, dtype=self.dtype)}
+        return params
+
+    # ---------------------------------------------------------------- forward
+    def _attention(self, lp, h, step: StepArrays, kc, vc, li):
+        cfg = self.config
+        B, E = step.input_ids.shape
+        H = cfg.num_attention_heads
+
+        normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+        if self.q_lora_rank:
+            qa = apply_linear(lp["q_a_proj"], normed)
+            qa = rms_norm(qa, lp["q_a_norm"], self.rms_eps)
+            q = apply_linear(lp["q_b_proj"], qa)
+        else:
+            q = apply_linear(lp["q_proj"], normed)
+        q = q.reshape(B, E, H, self.qk_head_dim)
+        q_nope, q_rope = q[..., : self.qk_nope], q[..., self.qk_nope :]
+
+        kva = apply_linear(lp["kv_a_proj"], normed)  # [B,E, lora+rope]
+        kv_lora = rms_norm(kva[..., : self.kv_lora_rank], lp["kv_a_norm"], self.rms_eps)
+        k_rope = kva[..., self.kv_lora_rank :][:, :, None, :]  # [B,E,1,rope]
+
+        kv = apply_linear(lp["kv_b_proj"], kv_lora).reshape(
+            B, E, H, self.qk_nope + self.v_head_dim
+        )
+        k_nope, v = kv[..., : self.qk_nope], kv[..., self.qk_nope :]
+
+        q_rope, k_rope = apply_rope(q_rope, k_rope, step.positions, self.cos_sin_cache)
+        k = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_rope, (B, E, H, self.qk_rope))], axis=-1
+        )
+        q = jnp.concatenate([q_nope, q_rope], axis=-1)
+
+        cache_locs_flat = step.cache_locs.reshape(-1)
+        kc, vc = self.kv_write(
+            kc, vc, li, cache_locs_flat,
+            k.reshape(-1, H, self.qk_head_dim).astype(kc.dtype),
+            v.reshape(-1, H, self.v_head_dim).astype(vc.dtype),
+            jnp.asarray(B * E, jnp.int32),
+        )
+        S = kc.shape[1]
+        attn_out = self.attn_impl(
+            q,
+            kc[li].reshape(S, H, self.qk_head_dim),
+            vc[li].reshape(S, H, self.v_head_dim),
+            step.kv_indices,
+            step.seq_lens,
+            step.prefix_lens,
+            self.sm_scale,
+            sliding_window=0,
+        )
+        out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, H * self.v_head_dim))
+        return h + out, kc, vc
+
+    def _moe_mlp(self, lp, normed):
+        B, E_, Dm = normed.shape
+        x = normed.reshape(-1, Dm)
+        logits = jnp.einsum(
+            "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
+        )
+        bias = lp.get("e_score_bias") if self.topk_method == "noaux_tc" else None
+        w, idx = moe_topk(
+            logits,
+            self.top_k,
+            self.norm_topk_prob,
+            scoring=self.scoring,
+            routed_scaling_factor=self.routed_scaling_factor,
+            e_score_bias=bias,
+        )
+        out = moe_ffn(x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"])
+        if self.n_shared_experts:
+            g = apply_linear(lp["shared_gate_proj"], x)
+            u = apply_linear(lp["shared_up_proj"], x)
+            out = out + apply_linear(lp["shared_down_proj"], jax.nn.silu(g) * u)
+        return out.reshape(B, E_, Dm)
+
+    def forward(self, params, step: StepArrays, k_cache, v_cache):
+        cfg = self.config
+        hidden = params["embed"]["weight"][step.input_ids]
+
+        def dense_body(carry, xs):
+            h, kc, vc = carry
+            lp, li = xs
+            h, kc, vc = self._attention(lp, h, step, kc, vc, li)
+            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            gate = apply_linear(lp["gate_proj"], normed)
+            up = apply_linear(lp["up_proj"], normed)
+            h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+            return (h, kc, vc), None
+
+        def moe_body(carry, xs):
+            h, kc, vc = carry
+            lp, li = xs
+            h, kc, vc = self._attention(lp, h, step, kc, vc, li)
+            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            h = h + self._moe_mlp(lp, normed)
+            return (h, kc, vc), None
+
+        Ld = self.first_k_dense
+        carry = (hidden, k_cache, v_cache)
+        if Ld > 0:
+            carry, _ = jax.lax.scan(
+                dense_body, carry, (params["layers_dense"], jnp.arange(Ld, dtype=jnp.int32))
+            )
+        carry, _ = jax.lax.scan(
+            moe_body,
+            carry,
+            (
+                params["layers_moe"],
+                jnp.arange(Ld, cfg.num_layers, dtype=jnp.int32),
+            ),
+        )
+        hidden, k_cache, v_cache = carry
+
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        last_idx = jnp.maximum(step.extend_lens - 1, 0)
+        last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
+        if self.tie_word_embeddings:
+            logits = jnp.einsum(
+                "bd,vd->bv", last_hidden, params["embed"]["weight"],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv", last_hidden, params["lm_head"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+        return logits, k_cache, v_cache

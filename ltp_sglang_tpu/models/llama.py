@@ -105,16 +105,33 @@ class LlamaForCausalLM:
                 self.dtype
             )
 
+        def proj(K, N):
+            """Dense or (dummy) int4-quantized projection params."""
+            if not self.quant:
+                return {"kernel": w(K, N)}
+            key_box[0], sub = jax.random.split(key_box[0])
+            G = self.quant_group_size
+            return {
+                "w4": jax.random.randint(sub, (K // 2, N), -128, 128, dtype=jnp.int32)
+                .astype(jnp.int8),
+                "scales": jnp.full((K // G, N), 0.005, dtype=self.dtype),
+                "zeros": jnp.full((K // G, N), 8.0, dtype=self.dtype),
+            }
+
+        def stack_proj(K, N):
+            parts = [proj(K, N) for _ in range(L)]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *parts)
+
         layers = {
             "input_layernorm": jnp.ones((L, Dm), dtype=self.dtype),
             "post_attention_layernorm": jnp.ones((L, Dm), dtype=self.dtype),
-            "q_proj": {"kernel": w(L, Dm, Hq * D)},
-            "k_proj": {"kernel": w(L, Dm, Hkv * D)},
-            "v_proj": {"kernel": w(L, Dm, Hkv * D)},
-            "o_proj": {"kernel": w(L, Hq * D, Dm)},
-            "gate_proj": {"kernel": w(L, Dm, I)},
-            "up_proj": {"kernel": w(L, Dm, I)},
-            "down_proj": {"kernel": w(L, I, Dm)},
+            "q_proj": stack_proj(Dm, Hq * D),
+            "k_proj": stack_proj(Dm, Hkv * D),
+            "v_proj": stack_proj(Dm, Hkv * D),
+            "o_proj": stack_proj(Hq * D, Dm),
+            "gate_proj": stack_proj(Dm, I),
+            "up_proj": stack_proj(Dm, I),
+            "down_proj": stack_proj(I, Dm),
         }
         if self.has_bias:
             layers["q_proj"]["bias"] = jnp.zeros((L, Hq * D), dtype=self.dtype)
@@ -263,6 +280,12 @@ class LlamaForCausalLM:
         return params
 
     # ---------------------------------------------------------------- forward
+    def mlp(self, lp, normed):
+        gs = self.quant_group_size
+        gate = apply_linear(lp["gate_proj"], normed, gs)
+        up = apply_linear(lp["up_proj"], normed, gs)
+        return apply_linear(lp["down_proj"], jax.nn.silu(gate) * up, gs)
+
     def forward(
         self,
         params: Dict[str, Any],
@@ -320,11 +343,9 @@ class LlamaForCausalLM:
             )
             h = h + apply_linear(lp["o_proj"], attn_out.reshape(B, E, Hq * D), gs)
 
-            # MLP
+            # MLP (subclasses override mlp() — MoE models route here)
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            gate = apply_linear(lp["gate_proj"], normed, gs)
-            up = apply_linear(lp["up_proj"], normed, gs)
-            h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up, gs)
+            h = h + self.mlp(lp, normed)
             return (h, kc, vc), None
 
         L = cfg.num_layers

@@ -19,7 +19,6 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2ForCausalLM": ("ltp_sglang_tpu.models.qwen2", "Qwen2ForCausalLM"),
     "Qwen3ForCausalLM": ("ltp_sglang_tpu.models.qwen3", "Qwen3ForCausalLM"),
     "MistralForCausalLM": ("ltp_sglang_tpu.models.mistral", "MistralForCausalLM"),
-    "Gemma2ForCausalLM": ("ltp_sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "Qwen2MoeForCausalLM": ("ltp_sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("ltp_sglang_tpu.models.mixtral", "MixtralForCausalLM"),

@@ -95,7 +95,8 @@ def kv_write_pallas(k_cache, v_cache, layer_idx, locs, k_new, v_new, num_valid):
     and silently degrades to a full-cache copy per call. locs: [N] slot ids
     (garbage slot 0 for pads). k_new/v_new: [N, Hkv, D].
     """
-    L, S, r, ln = k_cache.shape
+    L, S, rk, lnk = k_cache.shape
+    rv, lnv = v_cache.shape[2], v_cache.shape[3]
     N = k_new.shape[0]
     hbm = pltpu.MemorySpace.HBM
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -115,8 +116,8 @@ def kv_write_pallas(k_cache, v_cache, layer_idx, locs, k_new, v_new, num_valid):
         jnp.reshape(num_valid, (1,)).astype(jnp.int32),
         jnp.reshape(layer_idx, (1,)).astype(jnp.int32),
         locs.astype(jnp.int32),
-        k_new.reshape(N, r, ln).astype(k_cache.dtype),
-        v_new.reshape(N, r, ln).astype(v_cache.dtype),
+        k_new.reshape(N, rk, lnk).astype(k_cache.dtype),
+        v_new.reshape(N, rv, lnv).astype(v_cache.dtype),
         k_cache,
         v_cache,
     )
@@ -125,13 +126,12 @@ def kv_write_pallas(k_cache, v_cache, layer_idx, locs, k_new, v_new, num_valid):
 
 def kv_write_xla(k_cache, v_cache, layer_idx, locs, k_new, v_new, num_valid):
     """jnp scatter fallback (CPU backend / tests). Caches [L, S, r, ln]."""
-    L, S, r, ln = k_cache.shape
     N = k_new.shape[0]
     k_cache = k_cache.at[layer_idx, locs].set(
-        k_new.reshape(N, r, ln).astype(k_cache.dtype)
+        k_new.reshape(N, k_cache.shape[2], k_cache.shape[3]).astype(k_cache.dtype)
     )
     v_cache = v_cache.at[layer_idx, locs].set(
-        v_new.reshape(N, r, ln).astype(v_cache.dtype)
+        v_new.reshape(N, v_cache.shape[2], v_cache.shape[3]).astype(v_cache.dtype)
     )
     return k_cache, v_cache
 

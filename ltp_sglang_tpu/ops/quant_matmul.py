@@ -23,6 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ltp_sglang_tpu.utils import cdiv
 
 
+def _effective_group(G: int, Kb: int) -> int:
+    """Largest divisor of G with Kb // Geff >= 8 (scale-block sublane rule)."""
+    geff = G
+    while geff > 1 and Kb // geff < 8:
+        # G is a power of two times small factors in practice; halve.
+        geff //= 2
+    return max(geff, 1)
+
+
 def _int4_matmul_kernel(
     x_lo_ref,  # [Mb, Kb] bf16 (rows k0 .. k0+Kb of x)
     x_hi_ref,  # [Mb, Kb] bf16 (rows K/2+k0 ..)
@@ -42,7 +51,8 @@ def _int4_matmul_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w4_ref[:].astype(jnp.uint8)
+    # Mosaic can't cast uint8->bf16 directly; widen through int32.
+    w = w4_ref[:].astype(jnp.int32) & 0xFF
     lo = (w & 0xF).astype(jnp.bfloat16)
     hi = ((w >> 4) & 0xF).astype(jnp.bfloat16)
 
@@ -78,17 +88,24 @@ def _int4_matmul_2d(x, w4, scales, zeros, group_size: int):
 
     Mb = pick(M, [256, 128, 64, 32, 16, 8, 4, 2, 1])
     Nb = pick(N, [512, 256, 128])
-    # K blocks must hold whole scale groups.
+    # K blocks must hold whole scale groups, and the scale block needs >= 8
+    # sublanes: use an effective group size Geff (scales pre-repeated by the
+    # caller) so that Kb // Geff >= 8.
     assert G <= Kh, "group_size must not exceed K/2"
-    Kb = pick(Kh, [c for c in (512, 256, 128, 64, 32, 16, 8) if c % G == 0])
+    Kb = pick(Kh, [c for c in (1024, 512, 256, 128, 64, 32, 16, 8) if c % G == 0])
     grid = (M // Mb, N // Nb, Kh // Kb)
     kh_blocks = Kh // Kb  # offset (in blocks) of the hi half's x rows
-    gb = Kb // G  # scale rows per block
-    g_hi_off = Kh // G // gb if G <= Kh else 0
+    Geff = _effective_group(G, Kb)
+    if Geff != G:
+        reps = G // Geff
+        scales = jnp.repeat(scales, reps, axis=0)
+        zeros = jnp.repeat(zeros, reps, axis=0)
+    gb = Kb // Geff  # scale rows per block (>= 8)
+    g_hi_off = kh_blocks
 
     x = x.astype(jnp.bfloat16)
     out = pl.pallas_call(
-        functools.partial(_int4_matmul_kernel, group_size=G),
+        functools.partial(_int4_matmul_kernel, group_size=Geff),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Mb, Kb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),

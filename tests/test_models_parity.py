@@ -47,3 +47,210 @@ def test_greedy_parity(cfg):
         input_ids=prompt, sampling_params={"max_new_tokens": 16, "temperature": 0.0}
     )
     assert out["output_ids"] == ref, f"{cfg['model_type']}: {out['output_ids']} != {ref}"
+
+
+TINY_MIXTRAL_CFG = {
+    "architectures": ["MixtralForCausalLM"],
+    "model_type": "mixtral",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "num_local_experts": 4,
+    "num_experts_per_tok": 2,
+    "torch_dtype": "float32",
+}
+
+TINY_QWEN3_MOE_CFG = {
+    "architectures": ["Qwen3MoeForCausalLM"],
+    "model_type": "qwen3_moe",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "moe_intermediate_size": 96,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "num_experts": 8,
+    "num_experts_per_tok": 3,
+    "norm_topk_prob": True,
+    "decoder_sparse_step": 1,
+    "mlp_only_layers": [],
+    "torch_dtype": "float32",
+}
+
+
+@pytest.mark.parametrize(
+    "cfg", [TINY_MIXTRAL_CFG, TINY_QWEN3_MOE_CFG], ids=["mixtral", "qwen3_moe"]
+)
+def test_moe_greedy_parity(cfg):
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix=f"tiny_{cfg['model_type']}_")
+    write_tiny_model_dir(d, cfg=cfg)
+
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=12, do_sample=False
+        )[0].tolist()[len(prompt):]
+
+    eng = Engine(
+        ServerArgs(
+            model_path=d, dtype="float32", max_total_tokens=2048,
+            max_running_requests=8,
+        )
+    )
+    out = eng.generate(
+        input_ids=prompt, sampling_params={"max_new_tokens": 12, "temperature": 0.0}
+    )
+    assert out["output_ids"] == ref, f"{cfg['model_type']}: {out['output_ids']} != {ref}"
+
+
+TINY_DEEPSEEK_V2_CFG = {
+    "architectures": ["DeepseekV2ForCausalLM"],
+    "model_type": "deepseek_v2",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "moe_intermediate_size": 64,
+    "num_hidden_layers": 3,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 4,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "q_lora_rank": None,
+    "kv_lora_rank": 64,
+    "qk_nope_head_dim": 32,
+    "qk_rope_head_dim": 16,
+    "v_head_dim": 32,
+    "first_k_dense_replace": 1,
+    "n_routed_experts": 8,
+    "n_shared_experts": 2,
+    "num_experts_per_tok": 3,
+    "n_group": 1,
+    "topk_group": 1,
+    "topk_method": "greedy",
+    "norm_topk_prob": False,
+    "scoring_func": "softmax",
+    "routed_scaling_factor": 1.0,
+    "moe_layer_freq": 1,
+    "aux_loss_alpha": 0.0,
+    "seq_aux": False,
+    "torch_dtype": "float32",
+}
+
+
+def test_deepseek_v2_greedy_parity():
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_dsv2_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=12, do_sample=False
+        )[0].tolist()[len(prompt):]
+
+    eng = Engine(
+        ServerArgs(
+            model_path=d, dtype="float32", max_total_tokens=2048,
+            max_running_requests=8,
+        )
+    )
+    out = eng.generate(
+        input_ids=prompt, sampling_params={"max_new_tokens": 12, "temperature": 0.0}
+    )
+    assert out["output_ids"] == ref, f"dsv2: {out['output_ids']} != {ref}"
+
+
+TINY_PHI3_CFG = {
+    "architectures": ["Phi3ForCausalLM"],
+    "model_type": "phi3",
+    "pad_token_id": 0,
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "torch_dtype": "float32",
+}
+
+TINY_QWEN2_MOE_CFG = {
+    "architectures": ["Qwen2MoeForCausalLM"],
+    "model_type": "qwen2_moe",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "moe_intermediate_size": 64,
+    "shared_expert_intermediate_size": 96,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "num_experts": 8,
+    "num_experts_per_tok": 2,
+    "norm_topk_prob": False,
+    "decoder_sparse_step": 1,
+    "mlp_only_layers": [],
+    "torch_dtype": "float32",
+}
+
+
+@pytest.mark.parametrize(
+    "cfg", [TINY_PHI3_CFG, TINY_QWEN2_MOE_CFG], ids=["phi3", "qwen2_moe"]
+)
+def test_more_model_parity(cfg):
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix=f"tiny_{cfg['model_type']}_")
+    write_tiny_model_dir(d, cfg=cfg)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200]
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([prompt]), max_new_tokens=12, do_sample=False)[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(model_path=d, dtype="float32", max_total_tokens=2048, max_running_requests=8))
+    out = eng.generate(input_ids=prompt, sampling_params={"max_new_tokens": 12, "temperature": 0.0})
+    assert out["output_ids"] == ref, f"{cfg['model_type']}: {out['output_ids']} != {ref}"
