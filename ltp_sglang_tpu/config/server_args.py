@@ -56,6 +56,7 @@ class ServerArgs:
     # 1 = sync every token (needed for grammar-constrained requests).
     decode_window_size: int = 8
     disable_radix_cache: bool = False
+    radix_cache_backend: str = "python"  # python | cpp (ctypes C++ tree)
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20

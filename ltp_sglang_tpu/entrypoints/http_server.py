@@ -126,6 +126,9 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_get("/metrics", self.metrics)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
         r.add_get("/v1/models", self.openai_models)
         r.add_post("/v1/completions", self.openai_completions)
         r.add_post("/v1/chat/completions", self.openai_chat)
@@ -272,6 +275,42 @@ class HttpServer:
             return web.json_response({"success": True, "message": "weights updated"})
         except Exception as e:
             return web.json_response({"success": False, "message": str(e)}, status=400)
+
+    async def metrics(self, request):
+        collector = self.engine.scheduler.metrics
+        if collector is None:
+            return web.Response(
+                text="metrics disabled; start with --enable-metrics", status=404
+            )
+        collector.update_state(self.engine.scheduler)
+        return web.Response(
+            body=collector.render(), content_type="text/plain", charset="utf-8"
+        )
+
+    async def start_profile(self, request):
+        """jax.profiler trace (the reference's torch-profiler /start_profile,
+        scheduler_profiler_mixin.py). Output readable with XProf/TensorBoard."""
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        out_dir = body.get("output_dir", "/tmp/ltp_sglang_tpu_trace")
+        import jax
+
+        jax.profiler.start_trace(out_dir)
+        self._profile_dir = out_dir
+        return web.json_response({"success": True, "output_dir": out_dir})
+
+    async def stop_profile(self, request):
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except Exception as e:
+            return web.json_response({"success": False, "message": str(e)}, status=400)
+        return web.json_response(
+            {"success": True, "output_dir": getattr(self, "_profile_dir", None)}
+        )
 
     # ----------------------------------------------------------- OpenAI API
     async def openai_models(self, request):

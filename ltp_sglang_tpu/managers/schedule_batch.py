@@ -118,6 +118,11 @@ class Req:
         # Whether this request currently holds a radix lock on last_node.
         self.lock_ref_held = False
 
+        # Speculative decoding (draft-model) state: the draft cache's request
+        # row and how many positions of this request it has processed.
+        self.spec_draft_req_idx = None
+        self.spec_draft_len = 0
+
         # Logprobs
         self.output_token_logprobs: List[tuple] = []  # (logprob, token_id)
         self.output_top_logprobs: List[tuple] = []  # ([vals], [ids]) per step

@@ -76,6 +76,14 @@ class Scheduler:
                 self.token_to_kv_pool_allocator,
                 page_size=server_args.page_size,
             )
+        elif server_args.radix_cache_backend == "cpp":
+            from ltp_sglang_tpu.mem_cache.radix_cache_cpp import CppRadixCache
+
+            self.tree_cache = CppRadixCache(
+                self.req_to_token_pool,
+                self.token_to_kv_pool_allocator,
+                page_size=server_args.page_size,
+            )
         else:
             self.tree_cache = RadixCache(
                 self.req_to_token_pool,
@@ -114,6 +122,19 @@ class Scheduler:
         # Optional grammar backend for structured outputs (set by the engine).
         self.grammar_backend = None
         self._pending_logprobs = None
+        # Speculative decoding worker (speculative/spec_worker.py).
+        self.spec_worker = None
+        if server_args.speculative_algorithm:
+            from ltp_sglang_tpu.speculative.spec_worker import SpecWorker
+
+            self.spec_worker = SpecWorker(model_runner, server_args)
+        # Prometheus metrics (metrics/collector.py).
+        if server_args.enable_metrics:
+            from ltp_sglang_tpu.metrics.collector import SchedulerMetricsCollector
+
+            self.metrics = SchedulerMetricsCollector(server_args.served_model_name)
+        else:
+            self.metrics = None
 
     def _eos_from_config(self) -> set:
         eos = self.model_config.hf_config.get("eos_token_id")
@@ -302,6 +323,7 @@ class Scheduler:
                 len(retracted), new_ratio,
             )
             for req in retracted:
+                self._free_draft_state(req)
                 self.waiting_queue.append(req)
         else:
             self.new_token_ratio = max(
@@ -311,6 +333,18 @@ class Scheduler:
         if batch.is_empty():
             self.running_batch = None
             return None
+        if self._spec_eligible(batch):
+            batch.window_K = 0  # marker: speculative round
+            batch.forward_mode = ForwardMode.DECODE
+            if batch.sampling_info is None:
+                from ltp_sglang_tpu.sampling.sampling_batch_info import (
+                    SamplingBatchInfo,
+                )
+
+                batch.sampling_info = SamplingBatchInfo.from_reqs(
+                    batch.reqs, self.model_config.vocab_size
+                )
+            return batch
         window_k = min(window_k, self._choose_window(batch))
         if window_k > 1:
             batch.prepare_for_decode_window(window_k)
@@ -319,10 +353,141 @@ class Scheduler:
             batch.prepare_for_decode()
         return batch
 
+    def _spec_eligible(self, batch: ScheduleBatch) -> bool:
+        if self.spec_worker is None:
+            return False
+        if self.server_args.page_size != 1:
+            return False
+        k = self.spec_worker.k
+        for r in batch.reqs:
+            sp = r.sampling_params
+            if not sp.is_greedy or r.grammar is not None or r.return_logprob:
+                return False
+            if r.seqlen() + k >= self.model_config.context_len:
+                return False
+        # Need K+1 target slots per request this round.
+        return batch.check_decode_mem(k + 1)
+
     # ----------------------------------------------------------------- device
+    # ------------------------------------------------------ speculative round
+    def _run_spec_round(self, batch: ScheduleBatch) -> BatchResult:
+        from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
+        from ltp_sglang_tpu.speculative.spec_worker import SpecRoundBatch
+        from ltp_sglang_tpu.utils import bucketize
+
+        sw = self.spec_worker
+        K = sw.k
+        d = sw.draft
+        n = len(batch.reqs)
+        pool = self.req_to_token_pool
+        alloc = self.token_to_kv_pool_allocator
+
+        # Draft catch-up + draft row assignment (covers initial draft prefill).
+        for r in batch.reqs:
+            if r.spec_draft_req_idx is None:
+                slots = d.req_to_token.alloc(1)
+                assert slots is not None, "draft request pool exhausted"
+                r.spec_draft_req_idx = slots[0]
+                r.spec_draft_len = 0
+            committed = r.origin_input_ids + r.output_ids
+            target_cov = len(committed) - 1  # draft must cover [0, s-1)
+            if r.spec_draft_len < target_cov:
+                sw.draft_prefill(r, committed[r.spec_draft_len : target_cov])
+
+        # Allocate this round's slots and record them in the host tables.
+        t_flat = batch.alloc_token_slots(n * (K + 1))
+        assert t_flat is not None, "KV pool exhausted in spec round"
+        t_slots = np.asarray(t_flat, dtype=np.int32).reshape(n, K + 1)
+        d_slots_flat = d.allocator.alloc(n * K)
+        assert d_slots_flat is not None, "draft KV pool exhausted"
+        d_slots = np.asarray(d_slots_flat, dtype=np.int32).reshape(n, K)
+        seq0 = np.array([r.seqlen() for r in batch.reqs], dtype=np.int32)
+        for i, r in enumerate(batch.reqs):
+            pool.req_to_token[r.req_pool_idx, seq0[i] - 1 : seq0[i] + K] = t_slots[i]
+            d.req_to_token.req_to_token[
+                r.spec_draft_req_idx, seq0[i] - 1 : seq0[i] - 1 + K
+            ] = d_slots[i]
+
+        B = bucketize(n, self.server_args.decode_bs_buckets)
+        C = bucketize(
+            min(int(seq0.max()) + K + 1, self.server_args.context_buckets[-1]),
+            self.server_args.context_buckets,
+        )
+
+        def pad2(a, fill=0):
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        rb = SpecRoundBatch(
+            batch_size=n,
+            input_ids=pad2(np.array([r.output_ids[-1] for r in batch.reqs], np.int32)),
+            seq0=pad2(seq0),
+            target_slots=pad2(t_slots),
+            draft_slots=pad2(d_slots),
+            target_req=np.full((B,), self.runner.dump_req_row, np.int32),
+            draft_req=np.full((B,), d.dump_row, np.int32),
+            kv_bucket=C,
+        )
+        rb.target_req[:n] = [r.req_pool_idx for r in batch.reqs]
+        rb.draft_req[:n] = [r.spec_draft_req_idx for r in batch.reqs]
+
+        self.runner._flush_dirty_rows()
+        preds, accepted = sw.run_round(rb)
+        batch.spec_round_data = (preds, accepted, t_slots, d_slots, K)
+        return BatchResult(batch, preds, ForwardMode.DECODE, window_k=0)
+
+    def _process_spec_result(self, batch: ScheduleBatch):
+        preds, accepted, t_slots, d_slots, K = batch.spec_round_data
+        sw = self.spec_worker
+        alloc = self.token_to_kv_pool_allocator
+        for i, req in enumerate(batch.reqs):
+            m = 0
+            for t in range(int(accepted[i]) + 1):
+                if req.finished():
+                    break
+                if len(req.output_ids) >= req.sampling_params.max_new_tokens:
+                    req.check_finished()
+                    break
+                req.output_ids.append(int(preds[i, t]))
+                m += 1
+                self.num_generated_tokens += 1
+                if self.detokenizer is not None:
+                    self.detokenizer.step(req)
+                req.check_finished()
+            # Free unused slots: target keeps m, draft keeps min(m, K).
+            alloc.free(t_slots[i, m:])
+            dm = min(m, K)
+            sw.draft.allocator.free(d_slots[i, dm:])
+            req.spec_draft_len += dm
+            if req.finished():
+                self._free_draft_state(req)
+                self.tree_cache.cache_finished_req(req)
+                req.finish_time = time.time()
+                self._emit_output(req)
+                self._rid_to_req.pop(req.rid, None)
+            else:
+                self._emit_output(req)
+        batch.filter_batch()
+        if batch.is_empty():
+            self.running_batch = None
+        self._maybe_log_decode_stats(batch)
+
+    def _free_draft_state(self, req: Req):
+        if self.spec_worker is None or req.spec_draft_req_idx is None:
+            return
+        d = self.spec_worker.draft
+        row = d.req_to_token.req_to_token[req.spec_draft_req_idx, : req.spec_draft_len]
+        d.allocator.free(row)
+        d.req_to_token.free(req.spec_draft_req_idx)
+        req.spec_draft_req_idx = None
+        req.spec_draft_len = 0
+
     def run_batch(self, batch: ScheduleBatch) -> BatchResult:
         self.forward_ct += 1
         window_k = getattr(batch, "window_K", 1)
+        if batch.forward_mode == ForwardMode.DECODE and window_k == 0:
+            return self._run_spec_round(batch)
         if batch.forward_mode == ForwardMode.DECODE and window_k > 1:
             wb = batch.get_window_batch(self.server_args, self.runner.dump_req_row)
             tokens = self.runner.forward_window(wb)
@@ -356,6 +521,8 @@ class Scheduler:
             )
         if result.mode == ForwardMode.EXTEND or result.mode == ForwardMode.MIXED:
             self._process_extend_result(batch, tokens)
+        elif result.window_k == 0:
+            self._process_spec_result(batch)
         elif result.window_k > 1:
             self._process_decode_window_result(batch, tokens)
         else:
@@ -492,6 +659,9 @@ class Scheduler:
             self.runner.mark_row_dirty(req.req_pool_idx)
 
     def _emit_output(self, req: Req):
+        if self.metrics is not None and req.finished():
+            self.metrics.observe_request(req)
+            self.metrics.update_state(self)
         if self.on_output is not None:
             self.on_output(req)
 

@@ -334,7 +334,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             out = out + apply_linear(lp["shared_down_proj"], jax.nn.silu(g) * u)
         return out.reshape(B, E_, Dm)
 
-    def forward(self, params, step: StepArrays, k_cache, v_cache):
+    def forward(self, params, step: StepArrays, k_cache, v_cache, all_logits=False):
         cfg = self.config
         hidden = params["embed"]["weight"][step.input_ids]
 
@@ -373,16 +373,5 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         hidden, k_cache, v_cache = carry
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
-        last_idx = jnp.maximum(step.extend_lens - 1, 0)
-        last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)[:, 0]
-        if self.tie_word_embeddings:
-            logits = jnp.einsum(
-                "bd,vd->bv", last_hidden, params["embed"]["weight"],
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            logits = jnp.einsum(
-                "bd,dv->bv", last_hidden, params["lm_head"]["kernel"],
-                preferred_element_type=jnp.float32,
-            )
+        logits = self._lm_head(params, hidden, step, all_logits)
         return logits, k_cache, v_cache

@@ -292,8 +292,10 @@ class LlamaForCausalLM:
         step: StepArrays,
         k_cache: jnp.ndarray,  # [L, S, r, ln] native DMA row layout (kv_layout)
         v_cache: jnp.ndarray,  # [L, S, r, ln]
+        all_logits: bool = False,
     ):
-        """Returns (last_token_logits [B, V], k_cache, v_cache)."""
+        """Returns (logits, k_cache, v_cache): last-token logits [B, V], or
+        per-position logits [B, E, V] when all_logits (speculative verify)."""
         cfg = self.config
         B, E = step.input_ids.shape
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
@@ -356,28 +358,29 @@ class LlamaForCausalLM:
         )
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        logits = self._lm_head(params, hidden, step, all_logits)
+        return logits, k_cache, v_cache
 
-        # Last-token hidden per request (LogitsProcessor last-token path,
-        # layers/logits_processor.py:237).
-        last_idx = jnp.maximum(step.extend_lens - 1, 0)  # [B]
-        last_hidden = jnp.take_along_axis(
-            hidden, last_idx[:, None, None], axis=1
-        )[:, 0]  # [B, Dm]
-
+    def _lm_head(self, params, hidden, step: StepArrays, all_logits: bool):
         # MXU-friendly: low-precision operands, fp32 accumulation (never cast
         # the [V, D] weight to fp32 — that materializes a vocab-sized buffer).
+        if not all_logits:
+            # Last-token hidden per request (LogitsProcessor last-token path,
+            # layers/logits_processor.py:237).
+            last_idx = jnp.maximum(step.extend_lens - 1, 0)  # [B]
+            hidden = jnp.take_along_axis(
+                hidden, last_idx[:, None, None], axis=1
+            )[:, 0]  # [B, Dm]
         if self.tie_word_embeddings:
-            logits = jnp.einsum(
-                "bd,vd->bv",
-                last_hidden,
+            return jnp.einsum(
+                "...d,vd->...v",
+                hidden,
                 params["embed"]["weight"],
                 preferred_element_type=jnp.float32,
             )
-        else:
-            logits = jnp.einsum(
-                "bd,dv->bv",
-                last_hidden,
-                params["lm_head"]["kernel"],
-                preferred_element_type=jnp.float32,
-            )
-        return logits, k_cache, v_cache
+        return jnp.einsum(
+            "...d,dv->...v",
+            hidden,
+            params["lm_head"]["kernel"],
+            preferred_element_type=jnp.float32,
+        )

@@ -164,3 +164,37 @@ def test_flush_cache(client):
         assert body["success"] is True
 
     loop.run_until_complete(go())
+
+
+def test_metrics_endpoint():
+    # Separate engine with metrics enabled.
+    import tempfile
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+
+    d = tempfile.mkdtemp(prefix="metrics_llama_")
+    write_tiny_model_dir(d, with_weights=False)
+    engine = Engine(ServerArgs(model_path=d, load_format="dummy", dtype="float32",
+                               max_total_tokens=1024, max_running_requests=4,
+                               enable_metrics=True))
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        resp = await c.post("/generate", json={
+            "input_ids": [1, 2, 3],
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0}})
+        assert resp.status == 200
+        resp = await c.get("/metrics")
+        text = await resp.text()
+        assert "ltp_sglang_tpu_generation_tokens_total" in text
+        assert "ltp_sglang_tpu_e2e_request_latency_seconds" in text
+        await c.close()
+
+    loop.run_until_complete(go())
+    server.loop_thread.stop()
