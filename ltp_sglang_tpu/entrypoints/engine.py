@@ -93,6 +93,10 @@ class Engine:
         self._stream_queues: Dict[str, queue.Queue] = {}
         self._loop_lock = threading.Lock()
 
+        from ltp_sglang_tpu.managers.session_controller import SessionController
+
+        self.sessions = SessionController()
+
     # ------------------------------------------------------------- generation
     def generate(
         self,
@@ -102,6 +106,7 @@ class Engine:
         return_logprob: bool = False,
         top_logprobs_num: int = 0,
         stream: bool = False,
+        session_params: Optional[Dict] = None,
     ):
         """Synchronous batch generation (Engine.generate, engine.py:137)."""
         gri = GenerateReqInput(
@@ -111,13 +116,23 @@ class Engine:
             return_logprob=return_logprob,
             top_logprobs_num=top_logprobs_num,
             stream=stream,
+            session_params=session_params,
         )
         gri.normalize_batch_and_arguments()
+
+        session = None
+        if session_params:
+            session = self.sessions.get(session_params["id"])
 
         reqs = []
         for i in range(gri.batch_size):
             one = gri[i] if not gri.is_single else gri
             req = self._make_req(one)
+            if session is not None:
+                # Continue from the session history (shared prefix -> radix
+                # reuse does the rest).
+                base = session.base_tokens(session_params.get("rid"))
+                req.origin_input_ids = base + req.origin_input_ids
             self.scheduler.add_request(req)
             reqs.append(req)
 
@@ -128,8 +143,21 @@ class Engine:
                 if not worked and any(not r.finished() for r in reqs):
                     raise RuntimeError("scheduler stalled with unfinished requests")
 
+        if session is not None:
+            for r in reqs:
+                session.record(
+                    r.rid,
+                    r.origin_input_ids + r.output_ids,
+                    session_params.get("rid"),
+                )
         outs = [self._make_output(r) for r in reqs]
         return outs[0] if gri.is_single else outs
+
+    def open_session(self, session_id: Optional[str] = None) -> str:
+        return self.sessions.open_session(session_id)
+
+    def close_session(self, session_id: str):
+        self.sessions.close_session(session_id)
 
     def _make_req(self, one: GenerateReqInput) -> Req:
         sp_dict = one.sampling_params or {}

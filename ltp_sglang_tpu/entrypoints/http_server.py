@@ -126,6 +126,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
         r.add_get("/metrics", self.metrics)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
@@ -275,6 +277,22 @@ class HttpServer:
             return web.json_response({"success": True, "message": "weights updated"})
         except Exception as e:
             return web.json_response({"success": False, "message": str(e)}, status=400)
+
+    async def open_session(self, request):
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        try:
+            sid = self.engine.open_session(body.get("session_id"))
+            return web.json_response({"session_id": sid})
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    async def close_session(self, request):
+        body = await request.json()
+        self.engine.close_session(body.get("session_id", ""))
+        return web.json_response({"success": True})
 
     async def metrics(self, request):
         collector = self.engine.scheduler.metrics

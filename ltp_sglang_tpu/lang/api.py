@@ -1,0 +1,148 @@
+"""Frontend DSL: the "sglang" language surface.
+
+Counterpart of python/sglang/api.py:23-283 + lang/ir.py + lang/interpreter.py,
+reduced to the core primitives users actually compose: `@function`, `gen`,
+`select`, and the chat-role wrappers. Programs run against a local Engine (the
+RuntimeEndpoint analog is the HTTP client in lang/backend.py).
+
+`select` is implemented with the native grammar engine: a regex alternation
+over the choices constrains generation, so the model's own preference picks
+the branch — no separate scoring pass needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Union
+
+
+@dataclasses.dataclass
+class Gen:
+    name: Optional[str] = None
+    max_tokens: int = 128
+    stop: Optional[Union[str, List[str]]] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1
+    regex: Optional[str] = None
+    json_schema: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Select:
+    name: Optional[str]
+    choices: List[str]
+    temperature: float = 0.0
+
+
+@dataclasses.dataclass
+class Role:
+    role: str
+    parts: List[Any]
+
+
+def gen(name: Optional[str] = None, max_tokens: int = 128, stop=None,
+        temperature: float = 1.0, top_p: float = 1.0, top_k: int = -1,
+        regex: Optional[str] = None, json_schema: Optional[str] = None) -> Gen:
+    return Gen(name, max_tokens, stop, temperature, top_p, top_k, regex, json_schema)
+
+
+def select(name: Optional[str] = None, choices: Optional[List[str]] = None,
+           temperature: float = 0.0) -> Select:
+    return Select(name, list(choices or []), temperature)
+
+
+def system(*parts) -> Role:
+    return Role("system", list(parts))
+
+
+def user(*parts) -> Role:
+    return Role("user", list(parts))
+
+
+def assistant(*parts) -> Role:
+    return Role("assistant", list(parts))
+
+
+class ProgramState:
+    """Accumulates text and captured variables while a program runs."""
+
+    def __init__(self, backend):
+        self.backend = backend
+        self.text = ""
+        self.vars: Dict[str, str] = {}
+        self.messages: List[Dict[str, str]] = []
+
+    def __getitem__(self, name: str) -> str:
+        return self.vars[name]
+
+    def __iadd__(self, item):
+        self.append(item)
+        return self
+
+    def append(self, item):
+        if isinstance(item, str):
+            self.text += item
+        elif isinstance(item, Gen):
+            self._run_gen(item)
+        elif isinstance(item, Select):
+            self._run_select(item)
+        elif isinstance(item, Role):
+            for part in item.parts:
+                self.append(part)
+        else:
+            raise TypeError(f"cannot append {type(item)} to program state")
+
+    def _run_gen(self, g: Gen):
+        sp = {
+            "max_new_tokens": g.max_tokens,
+            "temperature": g.temperature,
+            "top_p": g.top_p,
+            "top_k": g.top_k,
+        }
+        if g.stop:
+            sp["stop"] = g.stop
+        if g.regex:
+            sp["regex"] = g.regex
+        if g.json_schema:
+            sp["json_schema"] = g.json_schema
+        out = self.backend.generate(prompt=self.text, sampling_params=sp)
+        piece = out["text"]
+        if g.name:
+            self.vars[g.name] = piece
+        self.text += piece
+
+    def _run_select(self, s: Select):
+        import re as _re
+
+        pattern = "(?:" + "|".join(_re.escape(c) for c in s.choices) + ")"
+        out = self.backend.generate(
+            prompt=self.text,
+            sampling_params={
+                "max_new_tokens": 64,
+                "temperature": s.temperature,
+                "regex": pattern,
+            },
+        )
+        piece = out["text"]
+        if s.name:
+            self.vars[s.name] = piece
+        self.text += piece
+
+
+class CompiledFunction:
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def run(self, backend=None, **kwargs) -> ProgramState:
+        state = ProgramState(backend)
+        self.fn(state, **kwargs)
+        return state
+
+    def __call__(self, state: ProgramState, **kwargs):
+        return self.fn(state, **kwargs)
+
+
+def function(fn: Callable) -> CompiledFunction:
+    """`@function def prog(s, **args): s += ...` (python/sglang/api.py:23)."""
+    return CompiledFunction(fn)

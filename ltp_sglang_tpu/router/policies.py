@@ -1,0 +1,123 @@
+"""Router load-balancing policies.
+
+Counterpart of sgl-router/src/policies/ (Rust: cache_aware.rs:399,
+power_of_two.rs, round_robin.rs, random.rs). The cache-aware policy keeps an
+approximate radix tree of recently routed prompts per worker and routes to
+the worker with the longest shared prefix (prefix-cache affinity), falling
+back to least-load when the match is weak — same balance_abs_threshold idea
+as the reference.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from typing import Dict, List, Optional, Tuple
+
+
+class Worker:
+    def __init__(self, url: str):
+        self.url = url
+        self.healthy = True
+        self.inflight = 0
+        self.total = 0
+        self.last_failure = 0.0
+
+
+class BasePolicy:
+    def select(self, workers: List[Worker], prompt_key: str) -> Worker:
+        raise NotImplementedError
+
+    def note_routed(self, worker: Worker, prompt_key: str):
+        pass
+
+
+class RoundRobinPolicy(BasePolicy):
+    def __init__(self):
+        self._i = 0
+
+    def select(self, workers, prompt_key):
+        alive = [w for w in workers if w.healthy]
+        w = alive[self._i % len(alive)]
+        self._i += 1
+        return w
+
+
+class RandomPolicy(BasePolicy):
+    def select(self, workers, prompt_key):
+        return random.choice([w for w in workers if w.healthy])
+
+
+class PowerOfTwoPolicy(BasePolicy):
+    """Pick two random workers, route to the less loaded."""
+
+    def select(self, workers, prompt_key):
+        alive = [w for w in workers if w.healthy]
+        if len(alive) == 1:
+            return alive[0]
+        a, b = random.sample(alive, 2)
+        return a if a.inflight <= b.inflight else b
+
+
+class ShortestQueuePolicy(BasePolicy):
+    def select(self, workers, prompt_key):
+        alive = [w for w in workers if w.healthy]
+        return min(alive, key=lambda w: w.inflight)
+
+
+class _PrefixTree:
+    """Small character-radix tree recording which worker served a prefix."""
+
+    def __init__(self, max_entries: int = 4096):
+        self.entries: List[Tuple[str, str]] = []  # (prompt_key, worker_url)
+        self.max_entries = max_entries
+
+    def insert(self, key: str, url: str):
+        self.entries.append((key[:512], url))
+        if len(self.entries) > self.max_entries:
+            self.entries = self.entries[-self.max_entries // 2 :]
+
+    def best_match(self, key: str) -> Tuple[int, Optional[str]]:
+        best_len, best_url = 0, None
+        for k, url in self.entries:
+            n = 0
+            for a, b in zip(k, key):
+                if a != b:
+                    break
+                n += 1
+            if n > best_len:
+                best_len, best_url = n, url
+        return best_len, best_url
+
+
+class CacheAwarePolicy(BasePolicy):
+    """Longest-prefix affinity with load-based fallback
+    (sgl-router/src/policies/cache_aware.rs)."""
+
+    def __init__(self, min_match: int = 16, balance_abs_threshold: int = 32):
+        self.tree = _PrefixTree()
+        self.min_match = min_match
+        self.balance_abs_threshold = balance_abs_threshold
+
+    def select(self, workers, prompt_key):
+        alive = {w.url: w for w in workers if w.healthy}
+        match_len, url = self.tree.best_match(prompt_key)
+        least = min(alive.values(), key=lambda w: w.inflight)
+        if url is not None and url in alive and match_len >= self.min_match:
+            cand = alive[url]
+            # Don't pile onto a hot worker just for cache affinity.
+            if cand.inflight - least.inflight <= self.balance_abs_threshold:
+                return cand
+        return least
+
+    def note_routed(self, worker, prompt_key):
+        self.tree.insert(prompt_key, worker.url)
+
+
+POLICIES = {
+    "round_robin": RoundRobinPolicy,
+    "random": RandomPolicy,
+    "power_of_two": PowerOfTwoPolicy,
+    "shortest_queue": ShortestQueuePolicy,
+    "cache_aware": CacheAwarePolicy,
+}

@@ -1,0 +1,152 @@
+"""Router policies + proxy behavior, session control, and the frontend DSL."""
+
+import asyncio
+import tempfile
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from tiny_configs import write_tiny_model_dir, write_tiny_tokenizer
+
+
+# ------------------------------ policies (unit) ------------------------------
+def test_policies_unit():
+    from ltp_sglang_tpu.router.policies import (
+        CacheAwarePolicy,
+        PowerOfTwoPolicy,
+        RoundRobinPolicy,
+        ShortestQueuePolicy,
+        Worker,
+    )
+
+    ws = [Worker("http://a"), Worker("http://b"), Worker("http://c")]
+    rr = RoundRobinPolicy()
+    assert [rr.select(ws, "") .url for _ in range(4)] == [
+        "http://a", "http://b", "http://c", "http://a",
+    ]
+    ws[0].inflight = 5
+    sq = ShortestQueuePolicy()
+    assert sq.select(ws, "").url in ("http://b", "http://c")
+
+    ca = CacheAwarePolicy(min_match=4, balance_abs_threshold=100)
+    ca.note_routed(ws[2], "hello world this is a long prompt")
+    assert ca.select(ws, "hello world different suffix").url == "http://c"
+    # Weak match -> least load
+    assert ca.select(ws, "zzz").url in ("http://b", "http://c")
+
+    p2 = PowerOfTwoPolicy()
+    assert p2.select(ws, "").url in ("http://a", "http://b", "http://c")
+
+
+# ------------------------------ router proxy e2e -----------------------------
+@pytest.fixture(scope="module")
+def backend_engine():
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+
+    d = tempfile.mkdtemp(prefix="router_llama_")
+    write_tiny_model_dir(d, with_weights=False)
+    write_tiny_tokenizer(d)
+    engine = Engine(
+        ServerArgs(
+            model_path=d, load_format="dummy", dtype="float32",
+            max_total_tokens=1024, max_running_requests=8,
+        )
+    )
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    yield engine, server
+    server.loop_thread.stop()
+
+
+def test_router_proxies_generate(backend_engine):
+    from ltp_sglang_tpu.router.router import Router
+
+    engine, server = backend_engine
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def go():
+        worker_client = TestClient(TestServer(server.app))
+        await worker_client.start_server()
+        worker_url = str(worker_client.make_url("")).rstrip("/")
+
+        router = Router([worker_url], policy="round_robin",
+                        health_check_interval=1000)
+        rc = TestClient(TestServer(router.app))
+        await rc.start_server()
+
+        resp = await rc.post(
+            "/generate",
+            json={"input_ids": [1, 2, 3],
+                  "sampling_params": {"max_new_tokens": 4, "temperature": 0.0}},
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert len(body["output_ids"]) == 4
+
+        resp = await rc.get("/workers")
+        ws = await resp.json()
+        assert ws[0]["total"] == 1
+
+        # remove the only worker -> 503
+        await rc.post("/remove_worker", json={"url": worker_url})
+        resp = await rc.post(
+            "/generate",
+            json={"input_ids": [1], "sampling_params": {"max_new_tokens": 1}},
+        )
+        assert resp.status == 503
+
+        await rc.close()
+        await worker_client.close()
+
+    loop.run_until_complete(go())
+
+
+# ------------------------------ sessions -------------------------------------
+def test_sessions(backend_engine):
+    engine, _ = backend_engine
+    sid = engine.open_session()
+    o1 = engine.generate(
+        input_ids=[1, 5, 7],
+        sampling_params={"max_new_tokens": 4, "temperature": 0.0},
+        session_params={"id": sid},
+    )
+    # Second turn continues from turn 1's history.
+    o2 = engine.generate(
+        input_ids=[9, 9],
+        sampling_params={"max_new_tokens": 4, "temperature": 0.0},
+        session_params={"id": sid},
+    )
+    # Equivalent to a single request with the concatenated history.
+    full = [1, 5, 7] + o1["output_ids"] + [9, 9]
+    ref = engine.generate(
+        input_ids=full, sampling_params={"max_new_tokens": 4, "temperature": 0.0}
+    )
+    assert o2["output_ids"] == ref["output_ids"]
+    engine.close_session(sid)
+    with pytest.raises(ValueError):
+        engine.generate(
+            input_ids=[1], sampling_params={"max_new_tokens": 1},
+            session_params={"id": sid},
+        )
+
+
+# ------------------------------ frontend DSL ---------------------------------
+def test_lang_dsl(backend_engine):
+    engine, _ = backend_engine
+    from ltp_sglang_tpu.lang import function, gen, select, user
+
+    @function
+    def prog(s, topic):
+        s += user(f"topic: {topic}\n")
+        s += "answer: "
+        s += gen("answer", max_tokens=6, temperature=0.0)
+        s += "\nchoice: "
+        s += select("pick", choices=["yes", "no"])
+
+    state = prog.run(backend=engine, topic="test")
+    assert "answer" in state.vars and len(state.vars["answer"]) >= 0
+    assert state.vars["pick"] in ("yes", "no")
+    assert state.text.endswith(state.vars["pick"])
