@@ -186,6 +186,7 @@ class Engine:
             top_logprobs_num=int(one.top_logprobs_num or 0),
             stream=one.stream,
         )
+        req.lora_path = one.lora_path
         if sp.regex:
             req.grammar_key = ("regex", sp.regex)
         elif sp.json_schema:
@@ -255,6 +256,61 @@ class Engine:
             })
 
     # ------------------------------------------------------------- control
+    def get_weights_by_name(self, name: str):
+        """Fetch a parameter leaf by slash-separated path
+        (update/get weight RPC parity, model_runner.py:708-954)."""
+        node = self.model_runner.params
+        for part in name.split("/"):
+            node = node[part]
+        return np.asarray(node)
+
+    def update_weights_from_tensor(self, named_tensors):
+        """In-place update of param leaves: [(slash_path, np.ndarray), ...]
+        (RLHF weight-sync path, update_weights_from_tensor:869)."""
+        import jax.numpy as jnp
+
+        params = self.model_runner.params
+        for name, tensor in named_tensors:
+            parts = name.split("/")
+            node = params
+            for part in parts[:-1]:
+                node = node[part]
+            old = node[parts[-1]]
+            if tuple(old.shape) != tuple(tensor.shape):
+                raise ValueError(
+                    f"shape mismatch for {name}: {old.shape} vs {tensor.shape}"
+                )
+            node[parts[-1]] = jnp.asarray(tensor, dtype=old.dtype)
+        return True
+
+    def release_memory_occupation(self):
+        """Free KV pools (RL colocation: /release_memory_occupation,
+        torch_memory_saver_adapter analog). Params stay resident."""
+        r = self.model_runner
+        if not self.scheduler.flush_cache():
+            return False
+        self._released_shapes = (r.k_cache.shape, r.v_cache.shape, r.k_cache.dtype)
+        r.k_cache = None
+        r.v_cache = None
+        return True
+
+    def resume_memory_occupation(self):
+        import jax.numpy as jnp
+
+        r = self.model_runner
+        if r.k_cache is not None:
+            return True
+        kshape, vshape, dtype = self._released_shapes
+        r.k_cache = jnp.zeros(kshape, dtype=dtype)
+        r.v_cache = jnp.zeros(vshape, dtype=dtype)
+        return True
+
+    def load_lora_adapter(self, path: str, name: Optional[str] = None) -> int:
+        return self.model_runner.lora_manager.load_adapter(path, name)
+
+    def unload_lora_adapter(self, name: str):
+        self.model_runner.lora_manager.unload_adapter(name)
+
     def flush_cache(self) -> bool:
         return self.scheduler.flush_cache()
 

@@ -23,6 +23,8 @@ import queue
 import threading
 import time
 import uuid
+
+import numpy as np
 from typing import Any, Dict, Optional
 
 from aiohttp import web
@@ -128,6 +130,11 @@ class HttpServer:
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
+        r.add_post("/get_weights_by_name", self.get_weights_by_name)
+        r.add_post("/release_memory_occupation", self.release_memory)
+        r.add_post("/resume_memory_occupation", self.resume_memory)
+        r.add_post("/load_lora_adapter", self.load_lora_adapter)
+        r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_get("/metrics", self.metrics)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
@@ -185,6 +192,7 @@ class HttpServer:
             sampling_params=body.get("sampling_params"),
             rid=body.get("rid"),
             stream=body.get("stream", False),
+            lora_path=body.get("lora_path"),
         )
         gri.normalize_batch_and_arguments()
         if not gri.is_single:
@@ -277,6 +285,36 @@ class HttpServer:
             return web.json_response({"success": True, "message": "weights updated"})
         except Exception as e:
             return web.json_response({"success": False, "message": str(e)}, status=400)
+
+    async def get_weights_by_name(self, request):
+        body = await request.json()
+        try:
+            w = self.engine.get_weights_by_name(body["name"])
+            return web.json_response(
+                {"shape": list(w.shape), "dtype": str(w.dtype),
+                 "truncated_value": np.asarray(w).ravel()[:8].tolist()}
+            )
+        except (KeyError, TypeError):
+            return web.json_response({"error": "unknown parameter"}, status=400)
+
+    async def release_memory(self, request):
+        return web.json_response({"success": self.engine.release_memory_occupation()})
+
+    async def resume_memory(self, request):
+        return web.json_response({"success": self.engine.resume_memory_occupation()})
+
+    async def load_lora_adapter(self, request):
+        body = await request.json()
+        try:
+            aid = self.engine.load_lora_adapter(body["lora_path"], body.get("lora_name"))
+            return web.json_response({"success": True, "adapter_id": aid})
+        except Exception as e:
+            return web.json_response({"success": False, "error": str(e)}, status=400)
+
+    async def unload_lora_adapter(self, request):
+        body = await request.json()
+        self.engine.unload_lora_adapter(body.get("lora_name", ""))
+        return web.json_response({"success": True})
 
     async def open_session(self, request):
         try:

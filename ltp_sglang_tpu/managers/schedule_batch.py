@@ -123,6 +123,10 @@ class Req:
         self.spec_draft_req_idx = None
         self.spec_draft_len = 0
 
+        # LoRA adapter (0 = none); resolved from lora_path at admission.
+        self.lora_path = None
+        self.lora_id = 0
+
         # Logprobs
         self.output_token_logprobs: List[tuple] = []  # (logprob, token_id)
         self.output_top_logprobs: List[tuple] = []  # ([vals], [ids]) per step
@@ -151,8 +155,10 @@ class Req:
         (schedule_batch.py:637-669)."""
         self.fill_ids = self.origin_input_ids + self.output_ids
         if tree_cache is not None and not getattr(tree_cache, "disable", False):
+            from ltp_sglang_tpu.mem_cache.radix_cache import radix_key
+
             # Cap matching at len-1 so at least one token is computed.
-            match = tree_cache.match_prefix(self.fill_ids[:-1])
+            match = tree_cache.match_prefix(radix_key(self.fill_ids[:-1], self.lora_id))
             self.prefix_indices = match.device_indices
             self.last_node = match.last_node
         # With the radix cache disabled, prefix_indices set by
@@ -386,6 +392,8 @@ class ScheduleBatch:
         seq0[:n] = self.window_seq0
         slots[:n] = self.window_slots
         req_idx[:n] = [r.req_pool_idx for r in self.reqs]
+        lora_ids = np.zeros((B,), np.int32)
+        lora_ids[:n] = [getattr(r, "lora_id", 0) for r in self.reqs]
         return DecodeWindowBatch(
             batch_size=n,
             input_ids=input_ids,
@@ -394,6 +402,7 @@ class ScheduleBatch:
             req_indices=req_idx,
             kv_bucket=C,
             sampling_info=self.sampling_info.padded(B),
+            lora_ids=lora_ids,
         )
 
     def check_decode_mem(self, buf_multiplier: int = 1) -> bool:
@@ -498,4 +507,5 @@ class ScheduleBatch:
             extend_buckets=server_args.prefill_token_buckets,
             context_buckets=server_args.context_buckets,
             dump_req_row=dump_req_row,
+            lora_ids_list=[getattr(r, "lora_id", 0) for r in self.reqs],
         )

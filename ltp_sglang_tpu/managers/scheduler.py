@@ -149,6 +149,13 @@ class Scheduler:
         if not req.eos_token_ids:
             req.eos_token_ids = self.eos_token_ids
         req.queued_time = time.time()
+        if req.lora_path:
+            try:
+                req.lora_id = self.runner.lora_manager.resolve(req.lora_path)
+            except Exception as e:
+                req.finished_reason = FINISH_ABORT(f"lora load failed: {e}")
+                self._emit_output(req)
+                return
         if req.grammar_key is not None and req.grammar is None:
             if self.grammar_backend is None:
                 req.finished_reason = FINISH_ABORT(
@@ -362,6 +369,8 @@ class Scheduler:
         for r in batch.reqs:
             sp = r.sampling_params
             if not sp.is_greedy or r.grammar is not None or r.return_logprob:
+                return False
+            if r.lora_id != 0:
                 return False
             if r.seqlen() + k >= self.model_config.context_len:
                 return False

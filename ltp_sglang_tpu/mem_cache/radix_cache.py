@@ -55,6 +55,16 @@ class MatchResult:
     last_node: TreeNode
 
 
+def radix_key(tokens, lora_id: int = 0):
+    """KV content depends on the adapter, so the cache key must too
+    (LoRA-aware prefix caching): encode the adapter id into every token.
+    Vocabularies are < 2^24; adapter ids < 2^7 keep this in int32."""
+    if not lora_id:
+        return tokens
+    shift = lora_id << 24
+    return [t + shift for t in tokens]
+
+
 class RadixCache:
     def __init__(self, req_to_token_pool, token_to_kv_pool_allocator, page_size: int = 1,
                  disable: bool = False):
@@ -195,7 +205,9 @@ class RadixCache:
             self.req_to_token_pool.free(req.req_pool_idx)
             return
 
-        token_ids = (req.origin_input_ids + req.output_ids)[:-1]
+        token_ids = radix_key(
+            (req.origin_input_ids + req.output_ids)[:-1], getattr(req, "lora_id", 0)
+        )
         all_len = len(token_ids)
         if self.page_size != 1:
             all_len = (all_len // self.page_size) * self.page_size
@@ -226,7 +238,7 @@ class RadixCache:
         the request to the canonical tree slots (radix_cache.py:245-288)."""
         if self.disable:
             return
-        token_ids = req.fill_ids
+        token_ids = radix_key(req.fill_ids, getattr(req, "lora_id", 0))
         all_len = len(token_ids)
         if self.page_size != 1:
             all_len = (all_len // self.page_size) * self.page_size

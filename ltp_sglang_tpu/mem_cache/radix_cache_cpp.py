@@ -163,7 +163,11 @@ class CppRadixCache:
             self.token_to_kv_pool_allocator.free(kv)
             self.req_to_token_pool.free(req.req_pool_idx)
             return
-        token_ids = (req.origin_input_ids + req.output_ids)[:-1]
+        from ltp_sglang_tpu.mem_cache.radix_cache import radix_key
+
+        token_ids = radix_key(
+            (req.origin_input_ids + req.output_ids)[:-1], getattr(req, "lora_id", 0)
+        )
         all_len = len(token_ids)
         if self.page_size != 1:
             all_len = (all_len // self.page_size) * self.page_size
@@ -184,7 +188,9 @@ class CppRadixCache:
     def cache_unfinished_req(self, req):
         if self.disable:
             return
-        token_ids = req.fill_ids
+        from ltp_sglang_tpu.mem_cache.radix_cache import radix_key
+
+        token_ids = radix_key(req.fill_ids, getattr(req, "lora_id", 0))
         all_len = len(token_ids)
         if self.page_size != 1:
             all_len = (all_len // self.page_size) * self.page_size

@@ -62,6 +62,7 @@ class ForwardBatch:
     kv_bucket: int  # C: static max kv length this step
     sampling_info: Optional[SamplingBatchInfo] = None
     vocab_mask: Optional[np.ndarray] = None  # [B, V] bool (grammar constraints)
+    lora_ids: Optional[np.ndarray] = None  # [B] int32 adapter ids (0 = none)
 
     @property
     def bucket_key(self):
@@ -81,6 +82,7 @@ def build_forward_batch(
     extend_buckets: List[int],
     context_buckets: List[int],
     dump_req_row: int,
+    lora_ids_list: Optional[List[int]] = None,
 ) -> ForwardBatch:
     n = len(input_ids_list)
     B = bucketize(n, bs_buckets)
@@ -107,6 +109,10 @@ def build_forward_batch(
         pre[i] = prefix_lens[i]
         ext[i] = e
 
+    lora_ids = np.zeros((B,), dtype=np.int32)
+    if lora_ids_list is not None:
+        lora_ids[:n] = lora_ids_list
+
     return ForwardBatch(
         mode=mode,
         batch_size=n,
@@ -119,4 +125,5 @@ def build_forward_batch(
         extend_lens=ext,
         kv_bucket=C,
         sampling_info=sampling_info.padded(B) if sampling_info else None,
+        lora_ids=lora_ids,
     )

@@ -72,6 +72,7 @@ class DecodeWindowBatch:
     req_indices: np.ndarray  # [B]
     kv_bucket: int  # C covering seq0 + K
     sampling_info: Any = None
+    lora_ids: Any = None  # [B] int32
 
 
 def _sample(kind, logits, temperatures, top_ps, top_ks, min_ps, key):
@@ -146,6 +147,15 @@ class ModelRunner:
 
         self.load_model()
         self.init_memory_pool()
+        # LoRA adapters (lora/lora_manager.py); id 0 = no adapter.
+        from ltp_sglang_tpu.lora.lora_manager import LoRAManager
+
+        self.lora_manager = LoRAManager(
+            model_config.num_layers, max_adapters=server_args.max_loras_per_batch
+        )
+        for p in server_args.lora_paths or []:
+            name, _, path = p.partition("=")
+            self.lora_manager.load_adapter(path or name, name if path else None)
         self._step_cache: Dict[Tuple, Any] = {}
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
         self._step_counter = 0
@@ -268,6 +278,20 @@ class ModelRunner:
             self.max_total_num_tokens, L, Hkv, D, str(self.kv_dtype), max_reqs,
         )
 
+    def _lora_weights(self):
+        if not self.lora_manager.has_adapters:
+            return None
+        cfg = self.model_config
+        Dm, I = cfg.hidden_size, cfg.intermediate_size
+        HqD = cfg.num_attention_heads * cfg.head_dim
+        HkvD = cfg.num_kv_heads * cfg.head_dim
+        shapes = {
+            "q_proj": (Dm, HqD), "k_proj": (Dm, HkvD), "v_proj": (Dm, HkvD),
+            "o_proj": (HqD, Dm), "gate_proj": (Dm, I), "up_proj": (Dm, I),
+            "down_proj": (I, Dm),
+        }
+        return self.lora_manager.build_device_weights(shapes, self.dtype)
+
     # ----------------------------------------------------------------- steps
     def _build_step_fn(self, mode_is_decode: bool, C: int, has_logit_bias: bool,
                        return_logits: bool, sampler_kind: str,
@@ -302,6 +326,8 @@ class ModelRunner:
             pres_pen,  # [B]
             rep_pen,  # [B]
             step_idx,
+            lora_ids,  # [B] int32
+            lora,  # LoRA weight pytree or None
         ):
             B, E = input_ids.shape
             if mode_is_decode:
@@ -323,8 +349,11 @@ class ModelRunner:
                 prefix_lens=prefix_lens,
                 extend_lens=extend_lens,
                 kv_indices=kv_indices,
+                lora_ids=lora_ids,
             )
-            logits, k_cache, v_cache = model.forward(params, step, k_cache, v_cache)
+            logits, k_cache, v_cache = model.forward(
+                params, step, k_cache, v_cache, lora=lora
+            )
             if has_penalties:
                 from ltp_sglang_tpu.ops.sampling import apply_penalties
 
@@ -373,6 +402,8 @@ class ModelRunner:
             top_ks,
             min_ps,
             step_idx,
+            lora_ids,
+            lora,
         ):
             B = input_ids.shape[0]
             base_rows = table[req_indices, :C]  # [B, C]
@@ -395,8 +426,9 @@ class ModelRunner:
                     prefix_lens=jnp.maximum(seq0 + t - 1, 0),
                     extend_lens=jnp.ones((B,), jnp.int32),
                     kv_indices=kv_indices,
+                    lora_ids=lora_ids,
                 )
-                logits, kc, vc = model.forward(params, step, kc, vc)
+                logits, kc, vc = model.forward(params, step, kc, vc, lora=lora)
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._rng_key, step_idx), t
                 )
@@ -522,6 +554,8 @@ class ModelRunner:
             si.presence_penalties if has_penalties else zeros_b,
             si.repetition_penalties if has_penalties else ones_b,
             np.int32(self._step_counter),
+            fb.lora_ids if fb.lora_ids is not None else np.zeros((B,), np.int32),
+            self._lora_weights(),
         )
         return tokens, (lp if want_logprobs else None), (
             logits if return_logits else None
@@ -556,6 +590,8 @@ class ModelRunner:
             si.top_ks,
             si.min_ps,
             np.int32(self._step_counter),
+            wb.lora_ids if wb.lora_ids is not None else np.zeros((wb.slots.shape[0],), np.int32),
+            self._lora_weights(),
         )
         return tokens
 

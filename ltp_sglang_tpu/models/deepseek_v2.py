@@ -334,7 +334,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             out = out + apply_linear(lp["shared_down_proj"], jax.nn.silu(g) * u)
         return out.reshape(B, E_, Dm)
 
-    def forward(self, params, step: StepArrays, k_cache, v_cache, all_logits=False):
+    def forward(self, params, step: StepArrays, k_cache, v_cache, all_logits=False,
+                lora=None):
         cfg = self.config
         hidden = params["embed"]["weight"][step.input_ids]
 

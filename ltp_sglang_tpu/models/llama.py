@@ -46,6 +46,7 @@ class StepArrays(NamedTuple):
     prefix_lens: jnp.ndarray  # [B] int32
     extend_lens: jnp.ndarray  # [B] int32
     kv_indices: jnp.ndarray  # [B, C] int32
+    lora_ids: jnp.ndarray = None  # [B] int32 adapter ids (0 = none); optional
 
 
 class LlamaForCausalLM:
@@ -293,6 +294,7 @@ class LlamaForCausalLM:
         k_cache: jnp.ndarray,  # [L, S, r, ln] native DMA row layout (kv_layout)
         v_cache: jnp.ndarray,  # [L, S, r, ln]
         all_logits: bool = False,
+        lora: Optional[Dict[str, Any]] = None,
     ):
         """Returns (logits, k_cache, v_cache): last-token logits [B, V], or
         per-position logits [B, E, V] when all_logits (speculative verify)."""
@@ -302,17 +304,42 @@ class LlamaForCausalLM:
 
         hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
         cache_locs_flat = step.cache_locs.reshape(-1)  # [B*E]
+        if lora is not None:
+            from ltp_sglang_tpu.lora.lora_manager import lora_apply
+
+            lora_scaling = lora["scaling"]
+            lora_ids_tok = jnp.repeat(step.lora_ids, E)  # [B*E]
+            lora_layers = {k: v for k, v in lora.items() if k != "scaling"}
+        else:
+            lora_layers = None
 
         def layer_body(carry, xs):
             h, kc, vc = carry
-            lp, li = xs
+            if lora_layers is not None:
+                lp, li, ll = xs
+            else:
+                lp, li = xs
+
+            def lin(name, x):
+                y = apply_linear(lp[name], x, self.quant_group_size)
+                if lora_layers is not None and name in ll:
+                    T = x.shape[0] * x.shape[1]
+                    delta = lora_apply(
+                        x.reshape(T, x.shape[-1]),
+                        lora_ids_tok,
+                        ll[name]["A"],
+                        ll[name]["B"],
+                        lora_scaling,
+                    )
+                    y = y + delta.reshape(y.shape)
+                return y
 
             # Self-attention
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
             gs = self.quant_group_size
-            q = apply_linear(lp["q_proj"], normed, gs)
-            k = apply_linear(lp["k_proj"], normed, gs)
-            v = apply_linear(lp["v_proj"], normed, gs)
+            q = lin("q_proj", normed)
+            k = lin("k_proj", normed)
+            v = lin("v_proj", normed)
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
@@ -343,18 +370,26 @@ class LlamaForCausalLM:
                 self.sm_scale,
                 sliding_window=self.sliding_window,
             )
-            h = h + apply_linear(lp["o_proj"], attn_out.reshape(B, E, Hq * D), gs)
+            h = h + lin("o_proj", attn_out.reshape(B, E, Hq * D))
 
             # MLP (subclasses override mlp() — MoE models route here)
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            h = h + self.mlp(lp, normed)
+            if lora_layers is not None and "gate_proj" in lp:
+                gate = lin("gate_proj", normed)
+                up = lin("up_proj", normed)
+                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+            else:
+                h = h + self.mlp(lp, normed)
             return (h, kc, vc), None
 
         L = cfg.num_layers
+        xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        if lora_layers is not None:
+            xs = xs + (lora_layers,)
         (hidden, k_cache, v_cache), _ = jax.lax.scan(
             layer_body,
             (hidden, k_cache, v_cache),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+            xs,
         )
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)

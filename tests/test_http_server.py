@@ -198,3 +198,24 @@ def test_metrics_endpoint():
 
     loop.run_until_complete(go())
     server.loop_thread.stop()
+
+
+def test_weight_and_memory_apis(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/get_weights_by_name", json={"name": "norm"})
+        body = await resp.json()
+        assert body["shape"] == [128]
+        resp = await c.post("/get_weights_by_name", json={"name": "nope/bad"})
+        assert resp.status == 400
+        resp = await c.post("/release_memory_occupation", json={})
+        assert (await resp.json())["success"] is True
+        resp = await c.post("/resume_memory_occupation", json={})
+        assert (await resp.json())["success"] is True
+        # still generates after release/resume
+        resp = await c.post("/generate", json={
+            "input_ids": [5, 6], "sampling_params": {"max_new_tokens": 2, "temperature": 0.0}})
+        assert resp.status == 200
+
+    loop.run_until_complete(go())
