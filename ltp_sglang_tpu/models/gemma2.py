@@ -1,0 +1,168 @@
+"""Gemma-2: sandwich norms, soft-capping, alternating sliding-window layers.
+
+Reference: python/sglang/srt/models/gemma2.py. Facts replicated:
+- embeddings scaled by sqrt(hidden_size); all RMS norms are (1 + w) style.
+- four norms per layer: pre/post attention and pre/post feedforward (the
+  post-norms apply to the block OUTPUT before the residual add).
+- gelu_tanh gated MLP; query scaling by query_pre_attn_scalar^-0.5.
+- attention logit softcap and final lm-head logit softcap.
+- even layers use sliding-window attention, odd layers are global (handled
+  with a per-layer window value carried through the scan; global layers get
+  a window larger than the context so the same masked kernel serves both).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ltp_sglang_tpu.config.model_config import ModelConfig
+from ltp_sglang_tpu.layers.linear import apply_linear
+from ltp_sglang_tpu.layers.norm import rms_norm
+from ltp_sglang_tpu.layers.rotary import apply_rope, build_cos_sin_cache
+from ltp_sglang_tpu.models.llama import LlamaForCausalLM, StepArrays
+
+
+class Gemma2ForCausalLM(LlamaForCausalLM):
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        hf = config.hf_config
+        self.tie_word_embeddings = hf.get("tie_word_embeddings", True)
+        self.attn_logit_softcap = hf.get("attn_logit_softcapping", 50.0) or 0.0
+        self.final_logit_softcap = hf.get("final_logit_softcapping", 30.0) or 0.0
+        qpas = hf.get("query_pre_attn_scalar", config.head_dim)
+        self.sm_scale = qpas**-0.5
+        self.sw_size = hf.get("sliding_window", 4096)
+        # Even layers slide, odd are global (HF gemma2 convention).
+        self.layer_windows = np.array(
+            [
+                self.sw_size if i % 2 == 0 else config.context_len + 1
+                for i in range(config.num_layers)
+            ],
+            dtype=np.int32,
+        )
+        self.embed_scale = config.hidden_size**0.5
+
+    # ------------------------------------------------------------- parameters
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        params = super().init_params(seed)
+        cfg = self.config
+        L, Dm = cfg.num_layers, cfg.hidden_size
+        # Gemma norms store (w) with effective weight (1 + w): zeros == unit.
+        for name in ("input_layernorm", "post_attention_layernorm"):
+            params["layers"][name] = jnp.zeros((L, Dm), dtype=self.dtype)
+        params["layers"]["pre_feedforward_layernorm"] = jnp.zeros((L, Dm), dtype=self.dtype)
+        params["layers"]["post_feedforward_layernorm"] = jnp.zeros((L, Dm), dtype=self.dtype)
+        params["norm"] = jnp.zeros((Dm,), dtype=self.dtype)
+        params.pop("lm_head", None)
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        specs = super().param_specs()
+        specs["layers"]["pre_feedforward_layernorm"] = P(None, None)
+        specs["layers"]["post_feedforward_layernorm"] = P(None, None)
+        specs.pop("lm_head", None)
+        return specs
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        params = super().convert_hf_weights(weights)
+        cfg = self.config
+        L = cfg.num_layers
+
+        def get(name):
+            if name in weights:
+                return weights[name]
+            return weights[name.replace("model.", "", 1)]
+
+        for name in ("pre_feedforward_layernorm", "post_feedforward_layernorm"):
+            params["layers"][name] = jnp.asarray(
+                np.stack(
+                    [np.asarray(get(f"model.layers.{i}.{name}.weight")) for i in range(L)]
+                ),
+                dtype=self.dtype,
+            )
+        return params
+
+    # ---------------------------------------------------------------- forward
+    def forward(self, params, step: StepArrays, k_cache, v_cache,
+                all_logits=False, lora=None):
+        cfg = self.config
+        B, E = step.input_ids.shape
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+
+        hidden = params["embed"]["weight"][step.input_ids] * jnp.asarray(
+            self.embed_scale, dtype=self.dtype
+        )
+        cache_locs_flat = step.cache_locs.reshape(-1)
+
+        def layer_body(carry, xs):
+            h, kc, vc = carry
+            lp, li, window = xs
+
+            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps, gemma_style=True)
+            q = apply_linear(lp["q_proj"], normed)
+            k = apply_linear(lp["k_proj"], normed)
+            v = apply_linear(lp["v_proj"], normed)
+            q = q.reshape(B, E, Hq, D)
+            k = k.reshape(B, E, Hkv, D)
+            v = v.reshape(B, E, Hkv, D)
+            q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
+            kc, vc = self.kv_write(
+                kc, vc, li, cache_locs_flat,
+                k.reshape(-1, Hkv, D).astype(kc.dtype),
+                v.reshape(-1, Hkv, D).astype(vc.dtype),
+                jnp.asarray(B * E, jnp.int32),
+            )
+            S = kc.shape[1]
+            attn_out = self.attn_impl(
+                q,
+                kc[li].reshape(S, Hkv, D),
+                vc[li].reshape(S, Hkv, D),
+                step.kv_indices,
+                step.seq_lens,
+                step.prefix_lens,
+                self.sm_scale,
+                logit_cap=self.attn_logit_softcap,
+                sliding_window=window,
+            )
+            attn_out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, Hq * D))
+            attn_out = rms_norm(
+                attn_out, lp["post_attention_layernorm"], self.rms_eps, gemma_style=True
+            )
+            h = h + attn_out
+
+            normed = rms_norm(
+                h, lp["pre_feedforward_layernorm"], self.rms_eps, gemma_style=True
+            )
+            gate = apply_linear(lp["gate_proj"], normed)
+            up = apply_linear(lp["up_proj"], normed)
+            mlp = apply_linear(
+                lp["down_proj"], jax.nn.gelu(gate, approximate=True) * up
+            )
+            mlp = rms_norm(
+                mlp, lp["post_feedforward_layernorm"], self.rms_eps, gemma_style=True
+            )
+            h = h + mlp
+            return (h, kc, vc), None
+
+        L = cfg.num_layers
+        (hidden, k_cache, v_cache), _ = jax.lax.scan(
+            layer_body,
+            (hidden, k_cache, v_cache),
+            (
+                params["layers"],
+                jnp.arange(L, dtype=jnp.int32),
+                jnp.asarray(self.layer_windows),
+            ),
+        )
+
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps, gemma_style=True)
+        logits = self._lm_head(params, hidden, step, all_logits)
+        if self.final_logit_softcap:
+            cap = self.final_logit_softcap
+            logits = cap * jnp.tanh(logits / cap)
+        return logits, k_cache, v_cache

@@ -18,6 +18,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlamaModel": ("ltp_sglang_tpu.models.llama", "LlamaForCausalLM"),
     "Qwen2ForCausalLM": ("ltp_sglang_tpu.models.qwen2", "Qwen2ForCausalLM"),
     "Qwen3ForCausalLM": ("ltp_sglang_tpu.models.qwen3", "Qwen3ForCausalLM"),
+    "Gemma2ForCausalLM": ("ltp_sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "MistralForCausalLM": ("ltp_sglang_tpu.models.mistral", "MistralForCausalLM"),
     "Qwen2MoeForCausalLM": ("ltp_sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),

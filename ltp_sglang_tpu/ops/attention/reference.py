@@ -57,7 +57,10 @@ def ref_paged_attention(
     mask = (kv_pos[:, None, :] <= q_pos[:, :, None]) & (
         kv_pos[:, None, :] < seq_lens[:, None, None]
     )  # [B, E, C]
-    if sliding_window > 0:
+    apply_window = (
+        not isinstance(sliding_window, int) or sliding_window > 0
+    )  # traced per-layer windows (gemma2) always apply the term
+    if apply_window:
         mask = mask & (kv_pos[:, None, :] > q_pos[:, :, None] - sliding_window)
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 

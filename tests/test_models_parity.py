@@ -254,3 +254,45 @@ def test_more_model_parity(cfg):
     eng = Engine(ServerArgs(model_path=d, dtype="float32", max_total_tokens=2048, max_running_requests=8))
     out = eng.generate(input_ids=prompt, sampling_params={"max_new_tokens": 12, "temperature": 0.0})
     assert out["output_ids"] == ref, f"{cfg['model_type']}: {out['output_ids']} != {ref}"
+
+
+TINY_GEMMA2_CFG = {
+    "architectures": ["Gemma2ForCausalLM"],
+    "model_type": "gemma2",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": True,
+    "eos_token_id": 2,
+    "attn_logit_softcapping": 50.0,
+    "final_logit_softcapping": 30.0,
+    "query_pre_attn_scalar": 32,
+    "sliding_window": 16,
+    "hidden_activation": "gelu_pytorch_tanh",
+    "torch_dtype": "float32",
+}
+
+
+def test_gemma2_greedy_parity():
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_gemma2_")
+    write_tiny_model_dir(d, cfg=TINY_GEMMA2_CFG)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42, 77, 88]  # > sliding_window/2
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([prompt]), max_new_tokens=16, do_sample=False)[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(model_path=d, dtype="float32", max_total_tokens=2048, max_running_requests=8))
+    out = eng.generate(input_ids=prompt, sampling_params={"max_new_tokens": 16, "temperature": 0.0})
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
