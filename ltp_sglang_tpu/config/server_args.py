@@ -57,6 +57,9 @@ class ServerArgs:
     decode_window_size: int = 8
     disable_radix_cache: bool = False
     radix_cache_backend: str = "python"  # python | cpp (ctypes C++ tree)
+    # Hierarchical KV cache: device tier + host-RAM write-back tier.
+    enable_hierarchical_cache: bool = False
+    hicache_host_tokens: int = 1 << 20
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20

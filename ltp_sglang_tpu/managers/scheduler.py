@@ -76,6 +76,16 @@ class Scheduler:
                 self.token_to_kv_pool_allocator,
                 page_size=server_args.page_size,
             )
+        elif server_args.enable_hierarchical_cache:
+            from ltp_sglang_tpu.mem_cache.hiradix_cache import HiRadixCache
+
+            self.tree_cache = HiRadixCache(
+                self.req_to_token_pool,
+                self.token_to_kv_pool_allocator,
+                model_runner,
+                page_size=server_args.page_size,
+                host_tokens=server_args.hicache_host_tokens,
+            )
         elif server_args.radix_cache_backend == "cpp":
             from ltp_sglang_tpu.mem_cache.radix_cache_cpp import CppRadixCache
 
