@@ -92,6 +92,8 @@ class ServerArgs:
 
     # Structured output
     grammar_backend: str = "native"
+    tool_call_parser: str = "qwen25"  # llama3 | qwen25 | mistral | pythonic
+    reasoning_parser: Optional[str] = None  # e.g. "deepseek-r1"
 
     # Observability
     log_level: str = "info"

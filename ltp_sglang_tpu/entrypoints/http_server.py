@@ -447,6 +447,33 @@ class HttpServer:
         out = await self._generate_one({"text": prompt, "sampling_params": sp})
         if out is None:
             return web.json_response({"error": "timeout"}, status=504)
+
+        content = out["decoded_text"]
+        message = {"role": "assistant", "content": content}
+        finish = _openai_finish_reason(out["finish_reason"])
+        if self.engine.server_args.reasoning_parser or body.get("separate_reasoning"):
+            from ltp_sglang_tpu.reasoning_parser import ReasoningParser
+
+            reasoning, content = ReasoningParser().parse_non_stream(content)
+            message["content"] = content
+            if reasoning:
+                message["reasoning_content"] = reasoning
+        if body.get("tools"):
+            from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+            parser = FunctionCallParser(self.engine.server_args.tool_call_parser)
+            normal, calls = parser.parse_non_stream(content)
+            if calls:
+                message["content"] = normal or None
+                message["tool_calls"] = [
+                    {
+                        "id": f"call_{uuid.uuid4().hex[:12]}",
+                        "type": "function",
+                        "function": {"name": c.name, "arguments": c.parameters},
+                    }
+                    for c in calls
+                ]
+                finish = "tool_calls"
         return web.json_response(
             {
                 "id": f"chatcmpl-{uuid.uuid4().hex}",
@@ -456,8 +483,8 @@ class HttpServer:
                 "choices": [
                     {
                         "index": 0,
-                        "message": {"role": "assistant", "content": out["decoded_text"]},
-                        "finish_reason": _openai_finish_reason(out["finish_reason"]),
+                        "message": message,
+                        "finish_reason": finish,
                     }
                 ],
                 "usage": {

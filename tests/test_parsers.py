@@ -1,0 +1,83 @@
+"""Function-call detectors and the reasoning parser."""
+
+import json
+
+from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+from ltp_sglang_tpu.reasoning_parser import ReasoningParser
+
+
+def test_qwen25_detector():
+    p = FunctionCallParser("qwen25")
+    text = 'sure!\n<tool_call>\n{"name": "get_weather", "arguments": {"city": "SF"}}\n</tool_call>'
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "sure!"
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "SF"}
+
+
+def test_llama3_detector():
+    p = FunctionCallParser("llama3")
+    text = '<|python_tag|>{"name": "search", "parameters": {"q": "tpu"}}'
+    normal, calls = p.parse_non_stream(text)
+    assert calls[0].name == "search"
+    assert json.loads(calls[0].parameters)["q"] == "tpu"
+
+
+def test_mistral_detector():
+    p = FunctionCallParser("mistral")
+    text = 'ok [TOOL_CALLS] [{"name": "add", "arguments": {"a": 1, "b": 2}}]'
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "ok"
+    assert calls[0].name == "add"
+
+
+def test_pythonic_detector():
+    p = FunctionCallParser("pythonic")
+    normal, calls = p.parse_non_stream('[get_weather(city="Paris"), ping()]')
+    assert [c.name for c in calls] == ["get_weather", "ping"]
+    assert json.loads(calls[0].parameters) == {"city": "Paris"}
+    # Non-tool text passes through untouched.
+    normal, calls = p.parse_non_stream("just words [not a call]")
+    assert calls == [] and "just words" in normal
+
+
+def test_streaming_tool_parse():
+    p = FunctionCallParser("qwen25")
+    chunks = ['hello ', 'there <tool', '_call>{"name": "f", "argu',
+              'ments": {"x": 1}}</tool_call>']
+    normal_total, all_calls = "", []
+    for ch in chunks:
+        n, calls = p.parse_stream_chunk(ch)
+        normal_total += n
+        all_calls += calls
+    normal_total += p.flush()
+    assert all_calls and all_calls[0].name == "f"
+    assert "<tool_call>" not in normal_total
+
+
+def test_reasoning_parser():
+    r = ReasoningParser()
+    reasoning, content = r.parse_non_stream("<think>step 1... step 2</think>The answer is 4.")
+    assert reasoning == "step 1... step 2"
+    assert content == "The answer is 4."
+
+    # Implicit open block (R1 style).
+    r2 = ReasoningParser(force_reasoning=True)
+    reasoning, content = r2.parse_non_stream("thinking hard</think>42")
+    assert reasoning == "thinking hard"
+    assert content == "42"
+
+
+def test_reasoning_streaming():
+    r = ReasoningParser()
+    chunks = ["<thi", "nk>abc", "def</th", "ink>answer"]
+    reasoning, content = "", ""
+    for ch in chunks:
+        dr, dc = r.parse_stream_chunk(ch)
+        reasoning += dr
+        content += dc
+    dr, dc = r.flush()
+    reasoning += dr
+    content += dc
+    assert reasoning == "abcdef"
+    assert content == "answer"
