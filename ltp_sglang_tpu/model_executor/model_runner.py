@@ -383,6 +383,86 @@ class ModelRunner:
 
         return jax.jit(step_fn, donate_argnums=(1, 2, 3))
 
+    def _build_window_fn_two_source(self, K: int, C: int, sampler_kind: str):
+        """K decode steps with two-source attention: the paged cache stays a
+        READ-ONLY input through the loop (its in-loop mutation cost ~2x the
+        attention itself — see profile notes in forward_window_token); the
+        window's own K/V live in a small carried buffer flushed once at the
+        end."""
+        model = self.model
+        table_merge_window = self._table_merge_window
+        kv_write = model.kv_write
+        cfg = self.model_config
+        L, Hkv, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+
+        def window_fn(
+            params,
+            k_cache,
+            v_cache,
+            table,
+            input_ids,  # [B]
+            seq0,  # [B]
+            slots,  # [B, K]
+            req_indices,  # [B]
+            temperatures,
+            top_ps,
+            top_ks,
+            min_ps,
+            step_idx,
+            lora_ids,
+            lora,
+        ):
+            B = input_ids.shape[0]
+            prefix_len = jnp.maximum(seq0 - 1, 0)
+            kv_indices = table[req_indices, :C]
+
+            # Pre-gather the whole window's prefix pages ONCE (layer-major so
+            # the model's layer scan consumes them as xs slices).
+            k_pages = k_cache[:, kv_indices].reshape(L, B, C, Hkv, D)
+            v_pages = v_cache[:, kv_indices].reshape(L, B, C, Hkv, D)
+
+            win_k = jnp.zeros((L, B, K, Hkv, D), k_cache.dtype)
+            win_v = jnp.zeros((L, B, K, Hkv, D), v_cache.dtype)
+
+            def body(t, carry):
+                tok, wk, wv, out = carry
+                pos = jnp.maximum(seq0 - 1 + t, 0)
+                logits, wk, wv = model.forward_window_token(
+                    params, tok, pos, prefix_len,
+                    k_pages, v_pages, wk, wv, t,
+                )
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self._rng_key, step_idx), t
+                )
+                tok = _sample(
+                    sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
+                )
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
+                return tok, wk, wv, out
+
+            out0 = jnp.zeros((B, K), jnp.int32)
+            _, win_k, win_v, out = jax.lax.fori_loop(
+                0, K, body, (input_ids, win_k, win_v, out0)
+            )
+
+            # Flush the window buffers into the paged cache (one row-DMA
+            # kernel call per layer) and merge the page table.
+            slots_flat = slots.reshape(-1)
+            n_rows = jnp.asarray(B * K, jnp.int32)
+            for li in range(L):
+                k_cache, v_cache = kv_write(
+                    k_cache, v_cache, jnp.asarray(li, jnp.int32), slots_flat,
+                    win_k[li].reshape(B * K, Hkv, D),
+                    win_v[li].reshape(B * K, Hkv, D),
+                    n_rows,
+                )
+            table = table_merge_window(
+                table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
+            )
+            return out, k_cache, v_cache, table
+
+        return jax.jit(window_fn, donate_argnums=(1, 2, 3))
+
     def _build_window_fn(self, K: int, C: int, sampler_kind: str):
         """K decode steps fully on device (token feedback via fori_loop)."""
         model = self.model
@@ -566,10 +646,27 @@ class ModelRunner:
         self._flush_dirty_rows()
         si = wb.sampling_info
         B, K = wb.slots.shape
-        key = ("window", B, K, wb.kv_bucket, si.sampler_kind)
+        has_lora = wb.lora_ids is not None and np.any(wb.lora_ids != 0)
+        cfg = self.model_config
+        pregather_bytes = (
+            2 * cfg.num_layers * B * wb.kv_bucket * cfg.num_kv_heads
+            * cfg.head_dim * jnp.dtype(self.kv_dtype).itemsize
+        )
+        use_two_source = (
+            getattr(self.model, "forward_window_token", None) is not None
+            and not has_lora
+            # Pre-gathered pages must fit comfortably in HBM.
+            and pregather_bytes <= 2 << 30
+        )
+        key = ("window", B, K, wb.kv_bucket, si.sampler_kind, use_two_source)
         fn = self._step_cache.get(key)
         if fn is None:
-            fn = self._build_window_fn(K, wb.kv_bucket, si.sampler_kind)
+            build = (
+                self._build_window_fn_two_source
+                if use_two_source
+                else self._build_window_fn
+            )
+            fn = build(K, wb.kv_bucket, si.sampler_kind)
             self._step_cache[key] = fn
             logger.info(
                 "compiling decode window fn B=%d K=%d C=%d sampler=%s",

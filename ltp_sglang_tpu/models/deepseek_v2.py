@@ -35,6 +35,7 @@ from ltp_sglang_tpu.models.llama import LlamaForCausalLM, StepArrays
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    forward_window_token = None  # incompatible attention structure
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         super().__init__(config, attn_impl, kv_write_impl)
         hf = config.hf_config
@@ -298,11 +299,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             v.reshape(-1, H, self.v_head_dim).astype(vc.dtype),
             jnp.asarray(B * E, jnp.int32),
         )
-        S = kc.shape[1]
+        Cw = step.kv_indices.shape[1]
+        k_pages = kc[li, step.kv_indices].reshape(B, Cw, H, self.qk_head_dim)
+        v_pages = vc[li, step.kv_indices].reshape(B, Cw, H, self.v_head_dim)
         attn_out = self.attn_impl(
             q,
-            kc[li].reshape(S, H, self.qk_head_dim),
-            vc[li].reshape(S, H, self.v_head_dim),
+            k_pages,
+            v_pages,
             step.kv_indices,
             step.seq_lens,
             step.prefix_lens,

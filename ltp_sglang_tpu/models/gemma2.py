@@ -28,6 +28,7 @@ from ltp_sglang_tpu.models.llama import LlamaForCausalLM, StepArrays
 
 
 class Gemma2ForCausalLM(LlamaForCausalLM):
+    forward_window_token = None  # incompatible attention structure
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         super().__init__(config, attn_impl, kv_write_impl)
         hf = config.hf_config
@@ -117,11 +118,13 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
                 v.reshape(-1, Hkv, D).astype(vc.dtype),
                 jnp.asarray(B * E, jnp.int32),
             )
-            S = kc.shape[1]
+            Cw = step.kv_indices.shape[1]
+            k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+            v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
             attn_out = self.attn_impl(
                 q,
-                kc[li].reshape(S, Hkv, D),
-                vc[li].reshape(S, Hkv, D),
+                k_pages,
+                v_pages,
                 step.kv_indices,
                 step.seq_lens,
                 step.prefix_lens,

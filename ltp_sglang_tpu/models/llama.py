@@ -280,6 +280,130 @@ class LlamaForCausalLM:
             }
         return params
 
+    # ------------------------------------------------- decode-window forward
+    def forward_window_token(
+        self,
+        params: Dict[str, Any],
+        tok: jnp.ndarray,  # [B] current input token
+        pos: jnp.ndarray,  # [B] its absolute position
+        prefix_len: jnp.ndarray,  # [B] tokens resident in the pre-gathered pages
+        k_pages: jnp.ndarray,  # [L, B, C, Hkv, D] prefix pages (pre-gathered)
+        v_pages: jnp.ndarray,
+        win_k: jnp.ndarray,  # [L, B, K, Hkv, D] this window's K (carried)
+        win_v: jnp.ndarray,
+        t: jnp.ndarray,  # step index within the window
+    ):
+        """One decode step with two-source attention: pre-gathered prefix
+        pages (positions < prefix_len, gathered ONCE per window — profiling
+        showed per-step per-layer gather+relayout costing ~2x the attention)
+        plus the in-flight window buffer (positions prefix_len..prefix_len+t).
+        The big cache is neither read nor written here; the runner flushes
+        win_k/win_v once per window."""
+        cfg = self.config
+        B = tok.shape[0]
+        K = win_k.shape[2]
+        C = k_pages.shape[2]
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+        group = Hq // Hkv
+
+        hidden = params["embed"]["weight"][tok]  # [B, Dm]
+        # Single-position rope (avoids [B, 1, ...] singleton relayouts).
+        rot = self.cos_sin_cache.shape[-1]
+        cs = self.cos_sin_cache[pos]  # [B, rot]
+        cos, sin = jnp.split(cs, 2, axis=-1)  # [B, rot/2]
+        cos = cos[:, None, :]
+        sin = sin[:, None, :]
+
+        def rope1(x):  # x: [B, H, D] neox-style
+            x_rot = x[..., :rot]
+            x_pass = x[..., rot:]
+            x1, x2 = jnp.split(x_rot, 2, axis=-1)
+            o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+            if x_pass.shape[-1]:
+                o = jnp.concatenate([o, x_pass], axis=-1)
+            return o.astype(x.dtype)
+
+        kposw = jnp.arange(K, dtype=jnp.int32)[None, :]
+        cpos = jnp.arange(C, dtype=jnp.int32)[None, :]
+        mask_pre = cpos < prefix_len[:, None]
+        if self.sliding_window:
+            mask_pre = mask_pre & (cpos > (pos - self.sliding_window)[:, None])
+
+        def layer_body(carry, xs):
+            h, wk, wv = carry
+            lp, li, kp, vp = xs  # kp/vp: [B, C, Hkv, D]
+
+            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            q = apply_linear(lp["q_proj"], normed, self.quant_group_size)
+            k = apply_linear(lp["k_proj"], normed, self.quant_group_size)
+            v = apply_linear(lp["v_proj"], normed, self.quant_group_size)
+            q = q.reshape(B, Hq, D)
+            k = k.reshape(B, Hkv, D)
+            v = v.reshape(B, Hkv, D)
+            if self.has_qk_norm:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
+            q = rope1(q)
+            k = rope1(k)
+
+            wk = jax.lax.dynamic_update_slice(
+                wk, k.astype(wk.dtype).reshape(1, B, 1, Hkv, D), (li, 0, t, 0, 0)
+            )
+            wv = jax.lax.dynamic_update_slice(
+                wv, v.astype(wv.dtype).reshape(1, B, 1, Hkv, D), (li, 0, t, 0, 0)
+            )
+
+            qg = q.reshape(B, Hkv, group, D)
+            s_pre = (
+                jnp.einsum("bhgd,bchd->bhgc", qg, kp, preferred_element_type=jnp.float32)
+                * self.sm_scale
+            )
+            wk_l = jax.lax.dynamic_index_in_dim(wk, li, axis=0, keepdims=False)
+            wv_l = jax.lax.dynamic_index_in_dim(wv, li, axis=0, keepdims=False)
+            s_win = (
+                jnp.einsum("bhgd,bkhd->bhgk", qg, wk_l.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
+                * self.sm_scale
+            )
+            s_pre = jnp.where(mask_pre[:, None, None, :], s_pre, -jnp.inf)
+            s_win = jnp.where((kposw <= t)[:, None, None, :], s_win, -jnp.inf)
+            s_all = jnp.concatenate([s_pre, s_win], axis=-1)
+            m = jnp.maximum(jnp.max(s_all, axis=-1, keepdims=True), -1e30)
+            e = jnp.exp(s_all - m)
+            probs = (e / jnp.maximum(e.sum(-1, keepdims=True), 1e-30)).astype(q.dtype)
+            out = jnp.einsum(
+                "bhgc,bchd->bhgd", probs[..., :C], vp,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "bhgk,bkhd->bhgd", probs[..., C:], wv_l.astype(q.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            attn = out.reshape(B, Hq * D).astype(h.dtype)
+            h = h + apply_linear(lp["o_proj"], attn, self.quant_group_size)
+
+            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            h = h + self.mlp(lp, normed)
+            return (h, wk, wv), None
+
+        L = cfg.num_layers
+        (hidden, win_k, win_v), _ = jax.lax.scan(
+            layer_body,
+            (hidden, win_k, win_v),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32), k_pages, v_pages),
+        )
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        if self.tie_word_embeddings:
+            logits = jnp.einsum(
+                "bd,vd->bv", hidden, params["embed"]["weight"],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv", hidden, params["lm_head"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+        return logits, win_k, win_v
+
     # ---------------------------------------------------------------- forward
     def mlp(self, lp, normed):
         gs = self.quant_group_size
@@ -359,11 +483,13 @@ class LlamaForCausalLM:
                 v.reshape(-1, Hkv, D).astype(vc.dtype),
                 jnp.asarray(B * E, jnp.int32),
             )
-            S = kc.shape[1]
+            Cw = step.kv_indices.shape[1]
+            k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+            v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
             attn_out = self.attn_impl(
                 q,
-                kc[li].reshape(S, Hkv, D),
-                vc[li].reshape(S, Hkv, D),
+                k_pages,
+                v_pages,
                 step.kv_indices,
                 step.seq_lens,
                 step.prefix_lens,

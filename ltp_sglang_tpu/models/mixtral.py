@@ -122,7 +122,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
 
     # ---------------------------------------------------------------- forward
     def mlp(self, lp, normed):
-        B, E_, Dm = normed.shape
+        lead, Dm = normed.shape[:-1], normed.shape[-1]
         x = normed.reshape(-1, Dm)
         logits = jnp.einsum(
             "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
@@ -131,4 +131,4 @@ class MixtralForCausalLM(LlamaForCausalLM):
         out = moe_ffn(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"]
         )
-        return out.reshape(B, E_, Dm)
+        return out.reshape(*lead, Dm)

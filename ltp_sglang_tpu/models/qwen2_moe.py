@@ -128,7 +128,7 @@ class Qwen2MoeForCausalLM(Qwen2ForCausalLM):
         return params
 
     def mlp(self, lp, normed):
-        B, E_, Dm = normed.shape
+        lead, Dm = normed.shape[:-1], normed.shape[-1]
         x = normed.reshape(-1, Dm)
         logits = jnp.einsum(
             "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
@@ -146,4 +146,4 @@ class Qwen2MoeForCausalLM(Qwen2ForCausalLM):
             )
         )
         out = out + shared * gate_scalar.astype(shared.dtype)
-        return out.reshape(B, E_, Dm)
+        return out.reshape(*lead, Dm)

@@ -116,7 +116,7 @@ class Qwen3MoeForCausalLM(Qwen3ForCausalLM):
         return params
 
     def mlp(self, lp, normed):
-        B, E_, Dm = normed.shape
+        lead, Dm = normed.shape[:-1], normed.shape[-1]
         x = normed.reshape(-1, Dm)
         logits = jnp.einsum(
             "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
@@ -125,4 +125,4 @@ class Qwen3MoeForCausalLM(Qwen3ForCausalLM):
         out = moe_ffn(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"]
         )
-        return out.reshape(B, E_, Dm)
+        return out.reshape(*lead, Dm)

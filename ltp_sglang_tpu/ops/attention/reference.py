@@ -24,28 +24,34 @@ import jax.numpy as jnp
 
 def ref_paged_attention(
     q: jnp.ndarray,  # [B, E, Hq, D]
-    k_cache: jnp.ndarray,  # [S, Hkv, D] (this layer)
-    v_cache: jnp.ndarray,  # [S, Hkv, Dv]
-    kv_indices: jnp.ndarray,  # [B, C] int32 slot ids (garbage beyond seq_len)
+    k: jnp.ndarray,  # [B, C, Hkv, D] gathered pages (caller: kc[li, kv_indices])
+    v: jnp.ndarray,  # [B, C, Hkv, Dv]
+    kv_indices: jnp.ndarray,  # [B, C] int32 (unused here; kept for contract)
     seq_lens: jnp.ndarray,  # [B] total kv len per request (post-extend)
     q_pos_start: jnp.ndarray,  # [B] absolute position of first query token (=prefix_len)
     sm_scale: float,
     logit_cap: float = 0.0,
     sliding_window: int = 0,  # 0 = disabled
 ) -> jnp.ndarray:  # [B, E, Hq, Dv]
+    # NOTE the caller gathers pages with a SINGLE fused indexing expression
+    # `cache[layer, kv_indices]` — slicing the layer first (`cache[layer]`)
+    # materializes the whole layer (32+ MB) and its reshape, which profiling
+    # showed costing more than the attention itself.
     B, E, Hq, D = q.shape
     C = kv_indices.shape[1]
-    Hkv = k_cache.shape[1]
-    Dv = v_cache.shape[2]
+    Hkv = k.shape[2]
+    Dv = v.shape[3]
     group = Hq // Hkv
 
-    k = k_cache[kv_indices]  # [B, C, Hkv, D]
-    v = v_cache[kv_indices]  # [B, C, Hkv, Dv]
-
-    qf = q.reshape(B, E, Hkv, group, D).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
+    # Keep operands in the cache dtype and accumulate in f32 on the MXU —
+    # materializing f32 copies of the gathered K/V costs more HBM traffic
+    # than the attention itself at decode shapes.
+    qr = q.reshape(B, E, Hkv, group, D)
     # scores: [B, Hkv, group, E, C]
-    scores = jnp.einsum("behgd,bchd->bhgec", qf, kf) * sm_scale
+    scores = (
+        jnp.einsum("behgd,bchd->bhgec", qr, k, preferred_element_type=jnp.float32)
+        * sm_scale
+    )
 
     if logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
@@ -64,8 +70,14 @@ def ref_paged_attention(
         mask = mask & (kv_pos[:, None, :] > q_pos[:, :, None] - sliding_window)
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    # Fully-masked (padded) rows produce NaN from softmax(-inf); zero them.
-    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-    out = jnp.einsum("bhgec,bchd->behgd", probs, v.astype(jnp.float32))
+    # Manual safe softmax: fully-masked (padded) rows get probability 0
+    # everywhere without producing NaN.
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.maximum(m, -1e30)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = (e / jnp.maximum(denom, 1e-30)).astype(q.dtype)
+    out = jnp.einsum(
+        "bhgec,bchd->behgd", probs, v, preferred_element_type=jnp.float32
+    )
     return out.reshape(B, E, Hq, Dv).astype(q.dtype)
