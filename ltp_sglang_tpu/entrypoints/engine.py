@@ -107,6 +107,7 @@ class Engine:
         top_logprobs_num: int = 0,
         stream: bool = False,
         session_params: Optional[Dict] = None,
+        token_ids_logprob: Optional[List[int]] = None,
     ):
         """Synchronous batch generation (Engine.generate, engine.py:137)."""
         gri = GenerateReqInput(
@@ -117,6 +118,7 @@ class Engine:
             top_logprobs_num=top_logprobs_num,
             stream=stream,
             session_params=session_params,
+            token_ids_logprob=token_ids_logprob,
         )
         gri.normalize_batch_and_arguments()
 
@@ -153,6 +155,107 @@ class Engine:
         outs = [self._make_output(r) for r in reqs]
         return outs[0] if gri.is_single else outs
 
+    def encode(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+    ):
+        """Embedding mode (Engine.encode, engine.py:290): run prefill only and
+        return pooled hidden states. Works on any causal LM (last-token
+        pooling by default; hf_config.pooling_type='mean' for mean pooling)."""
+        gri = GenerateReqInput(
+            text=prompt, input_ids=input_ids, sampling_params={"max_new_tokens": 0}
+        )
+        gri.normalize_batch_and_arguments()
+        reqs = []
+        for i in range(gri.batch_size):
+            one = gri[i] if not gri.is_single else gri
+            req = self._make_req(one)
+            req.is_embedding = True
+            self.scheduler.add_request(req)
+            reqs.append(req)
+        with self._loop_lock:
+            while any(not r.finished() for r in reqs):
+                if not self.scheduler.event_loop_step():
+                    raise RuntimeError("scheduler stalled with unfinished requests")
+        outs = [
+            {
+                "embedding": r.embedding,
+                "meta_info": {
+                    "id": r.rid,
+                    "prompt_tokens": len(r.origin_input_ids),
+                },
+            }
+            for r in reqs
+        ]
+        return outs[0] if gri.is_single else outs
+
+    def score(
+        self,
+        query: Optional[str] = None,
+        items: Optional[Union[str, List[str]]] = None,
+        label_token_ids: Optional[List[int]] = None,
+        apply_softmax: bool = False,
+        item_first: bool = False,
+        query_ids: Optional[List[int]] = None,
+        items_ids: Optional[List[List[int]]] = None,
+    ) -> List[List[float]]:
+        """Score API (Engine.score / serving_score.py): probability of each
+        label token as the next token after query+item."""
+        if not label_token_ids:
+            raise ValueError("label_token_ids is required")
+        if items_ids is not None:
+            prompts = [
+                (ids + (query_ids or []))
+                if item_first
+                else ((query_ids or []) + ids)
+                for ids in items_ids
+            ]
+            outs = self.generate(
+                input_ids=prompts,
+                sampling_params=[
+                    {"max_new_tokens": 1, "temperature": 0.0} for _ in prompts
+                ],
+                token_ids_logprob=label_token_ids,
+            )
+        else:
+            item_list = [items] if isinstance(items, str) else list(items)
+            texts = [
+                (it + (query or "")) if item_first else ((query or "") + it)
+                for it in item_list
+            ]
+            outs = self.generate(
+                prompt=texts,
+                sampling_params=[
+                    {"max_new_tokens": 1, "temperature": 0.0} for _ in texts
+                ],
+                token_ids_logprob=label_token_ids,
+            )
+        if isinstance(outs, dict):
+            outs = [outs]
+        scores = []
+        for o in outs:
+            lps = o["meta_info"]["output_token_ids_logprobs"][0]
+            probs = [float(np.exp(lp)) for lp in lps]
+            if apply_softmax:
+                e = np.exp(np.asarray(lps) - np.max(lps))
+                probs = (e / e.sum()).tolist()
+            scores.append(probs)
+        return scores
+
+    def rerank(self, query: str, documents: List[str]) -> List[Dict[str, Any]]:
+        """Embedding-based rerank (serving_rerank analog): cosine similarity
+        between the pooled query embedding and each document embedding."""
+        outs = self.encode(prompt=[query] + list(documents))
+        embs = np.asarray([o["embedding"] for o in outs], dtype=np.float64)
+        q = embs[0] / (np.linalg.norm(embs[0]) + 1e-9)
+        res = []
+        for i, d in enumerate(documents):
+            v = embs[i + 1] / (np.linalg.norm(embs[i + 1]) + 1e-9)
+            res.append({"index": i, "document": d, "score": float(q @ v)})
+        res.sort(key=lambda x: -x["score"])
+        return res
+
     def open_session(self, session_id: Optional[str] = None) -> str:
         return self.sessions.open_session(session_id)
 
@@ -187,6 +290,7 @@ class Engine:
             stream=one.stream,
         )
         req.lora_path = one.lora_path
+        req.token_ids_logprob = one.token_ids_logprob
         if sp.regex:
             req.grammar_key = ("regex", sp.regex)
         elif sp.json_schema:
@@ -228,6 +332,11 @@ class Engine:
                     "output_top_logprobs": req.output_top_logprobs,
                 }
                 if req.return_logprob
+                else {}
+            ),
+            **(
+                {"output_token_ids_logprobs": req.output_token_ids_logprobs}
+                if req.token_ids_logprob
                 else {}
             ),
             "completion_tokens": len(req.output_ids),

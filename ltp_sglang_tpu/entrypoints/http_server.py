@@ -19,6 +19,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import math
 import queue
 import threading
 import time
@@ -78,24 +79,42 @@ class EngineLoopThread:
             "finish_reason": req.finished_reason.to_json() if req.finished_reason else None,
             "prompt_tokens": len(req.origin_input_ids),
         }
+        if req.is_embedding:
+            payload["embedding"] = req.embedding
+        if req.token_ids_logprob:
+            payload["token_ids_logprobs"] = list(req.output_token_ids_logprobs)
         out.put_nowait(payload)
         if req.finished():
             self.outboxes.pop(req.rid, None)
 
     def _run(self):
         sched = self.engine.scheduler
+        # Serialize with direct Engine API calls (engine.generate/encode pump
+        # the same scheduler under this lock); concurrent pumps would race on
+        # donated device buffers.
+        loop_lock = self.engine._loop_lock
         while not self._shutdown.is_set():
-            # Drain the inbox.
-            try:
-                while True:
-                    item = self.inbox.get_nowait()
-                    if isinstance(item, tuple) and item[0] == "abort":
-                        sched.abort_request(item[1])
-                    else:
-                        sched.add_request(item)
-            except queue.Empty:
-                pass
-            worked = sched.event_loop_step()
+            with loop_lock:
+                # Drain the inbox.
+                try:
+                    while True:
+                        item = self.inbox.get_nowait()
+                        if isinstance(item, tuple) and item[0] == "abort":
+                            sched.abort_request(item[1])
+                        else:
+                            sched.add_request(item)
+                except queue.Empty:
+                    pass
+                try:
+                    worked = sched.event_loop_step()
+                except Exception:
+                    # A failed batch (compile error, bad shapes) must not kill
+                    # the serving loop: abort every in-flight request with an
+                    # error payload and keep serving (reference scheduler
+                    # catches per-batch errors the same way).
+                    logger.exception("scheduler step failed; aborting in-flight requests")
+                    sched.abort_all_requests("internal error: batch failed")
+                    worked = False
             self.last_step_time = time.time()
             if not worked:
                 # Idle: block briefly on the inbox instead of spinning.
@@ -138,9 +157,13 @@ class HttpServer:
         r.add_get("/metrics", self.metrics)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/encode", self.encode)
         r.add_get("/v1/models", self.openai_models)
         r.add_post("/v1/completions", self.openai_completions)
         r.add_post("/v1/chat/completions", self.openai_chat)
+        r.add_post("/v1/embeddings", self.openai_embeddings)
+        r.add_post("/v1/score", self.openai_score)
+        r.add_post("/v1/rerank", self.openai_rerank)
 
     # ----------------------------------------------------------- native API
     async def health(self, request):
@@ -193,11 +216,29 @@ class HttpServer:
             rid=body.get("rid"),
             stream=body.get("stream", False),
             lora_path=body.get("lora_path"),
+            token_ids_logprob=body.get("token_ids_logprob"),
         )
         gri.normalize_batch_and_arguments()
         if not gri.is_single:
             raise ValueError("batch requests: submit one request per call (or use the Engine API)")
         return self.engine._make_req(gri)
+
+    async def _encode_one(self, body: Dict[str, Any], timeout: float = 600.0):
+        req = self._make_req(
+            {**body, "sampling_params": {"max_new_tokens": 0}, "stream": False}
+        )
+        req.is_embedding = True
+        out_q = self.loop_thread.submit(req)
+        loop = asyncio.get_event_loop()
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                last = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                if last["finished"]:
+                    return last
+            except queue.Empty:
+                continue
+        return None
 
     async def _generate_one(self, body: Dict[str, Any], timeout: float = 600.0):
         req = self._make_req(body)
@@ -367,6 +408,143 @@ class HttpServer:
         return web.json_response(
             {"success": True, "output_dir": getattr(self, "_profile_dir", None)}
         )
+
+    async def encode(self, request):
+        """Native embedding endpoint (/encode; EmbeddingReqInput analog)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        out = await self._encode_one(body)
+        if out is None:
+            return web.json_response({"error": "timeout"}, status=504)
+        return web.json_response(
+            {
+                "embedding": out["embedding"],
+                "meta_info": {
+                    "id": out["rid"],
+                    "prompt_tokens": out["prompt_tokens"],
+                },
+            }
+        )
+
+    async def openai_embeddings(self, request):
+        """/v1/embeddings (serving_embedding.py analog)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        inp = body.get("input")
+        if isinstance(inp, str):
+            items = [{"text": inp}]
+        elif isinstance(inp, list) and inp and isinstance(inp[0], int):
+            items = [{"input_ids": inp}]
+        elif isinstance(inp, list):
+            items = [
+                {"input_ids": x} if (x and isinstance(x[0], int)) else {"text": x}
+                for x in inp
+            ]
+        else:
+            return web.json_response({"error": "unsupported input"}, status=400)
+        outs = []
+        total_tokens = 0
+        for it in items:
+            out = await self._encode_one(it)
+            if out is None:
+                return web.json_response({"error": "timeout"}, status=504)
+            outs.append(out)
+            total_tokens += out["prompt_tokens"]
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {"object": "embedding", "embedding": o["embedding"], "index": i}
+                    for i, o in enumerate(outs)
+                ],
+                "model": self.engine.server_args.served_model_name,
+                "usage": {
+                    "prompt_tokens": total_tokens,
+                    "total_tokens": total_tokens,
+                },
+            }
+        )
+
+    async def openai_score(self, request):
+        """/v1/score (serving_score.py analog): next-token probability of each
+        label token after query+item."""
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        label_ids = body.get("label_token_ids")
+        if not label_ids:
+            return web.json_response({"error": "label_token_ids required"}, status=400)
+        query = body.get("query") or body.get("text_1") or ""
+        items = body.get("items") or body.get("text_2") or []
+        if isinstance(items, str):
+            items = [items]
+        item_first = bool(body.get("item_first", False))
+        apply_softmax = bool(body.get("apply_softmax", False))
+        scores = []
+        for it in items:
+            text = (it + query) if item_first else (query + it)
+            out = await self._generate_one(
+                {
+                    "text": text,
+                    "sampling_params": {"max_new_tokens": 1, "temperature": 0.0},
+                    "token_ids_logprob": label_ids,
+                }
+            )
+            if out is None:
+                return web.json_response({"error": "timeout"}, status=504)
+            lps = out["token_ids_logprobs"][0]
+            if apply_softmax:
+                e = [math.exp(x - max(lps)) for x in lps]
+                s = sum(e)
+                scores.append([x / s for x in e])
+            else:
+                scores.append([math.exp(x) for x in lps])
+        return web.json_response(
+            {
+                "scores": scores,
+                "model": self.engine.server_args.served_model_name,
+                "usage": None,
+                "object": "scoring",
+            }
+        )
+
+    async def openai_rerank(self, request):
+        """/v1/rerank (serving_rerank.py analog): embedding cosine similarity."""
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        query = body.get("query")
+        docs = body.get("documents") or []
+        if not query or not docs:
+            return web.json_response({"error": "query and documents required"}, status=400)
+        outs = []
+        for text in [query] + list(docs):
+            out = await self._encode_one({"text": text})
+            if out is None:
+                return web.json_response({"error": "timeout"}, status=504)
+            outs.append(out["embedding"])
+
+        def norm(v):
+            s = math.sqrt(sum(x * x for x in v)) + 1e-9
+            return [x / s for x in v]
+
+        q = norm(outs[0])
+        results = [
+            {
+                "index": i,
+                "document": docs[i],
+                "score": sum(a * b for a, b in zip(q, norm(outs[i + 1]))),
+            }
+            for i in range(len(docs))
+        ]
+        results.sort(key=lambda x: -x["score"])
+        return web.json_response(results)
 
     # ----------------------------------------------------------- OpenAI API
     async def openai_models(self, request):

@@ -25,6 +25,9 @@ class GenerateReqInput:
     top_logprobs_num: Union[int, List[int]] = 0
     stream: bool = False
     lora_path: Optional[Union[str, List[str]]] = None
+    # Logprobs at specific token ids each step (score API; token_ids_logprobs
+    # in the reference io_struct). One shared list for the whole batch.
+    token_ids_logprob: Optional[List[int]] = None
     session_params: Optional[Dict] = None
     custom_logit_processor: Optional[Union[str, List[str]]] = None
     return_hidden_states: bool = False
@@ -81,6 +84,7 @@ class GenerateReqInput:
             top_logprobs_num=pick(self.top_logprobs_num, 0),
             stream=self.stream,
             lora_path=pick(self.lora_path),
+            token_ids_logprob=self.token_ids_logprob,
         )
         out.is_single = True
         out.batch_size = 1

@@ -127,6 +127,14 @@ class Req:
         self.lora_path = None
         self.lora_id = 0
 
+        # Embedding mode (EmbeddingReqInput analog): no decode; the extend
+        # forward pools hidden states into self.embedding and finishes.
+        self.is_embedding = False
+        self.embedding: Optional[List[float]] = None
+        # Per-step logprobs at caller-specified token ids (score API).
+        self.token_ids_logprob: Optional[List[int]] = None
+        self.output_token_ids_logprobs: List[list] = []
+
         # Logprobs
         self.output_token_logprobs: List[tuple] = []  # (logprob, token_id)
         self.output_top_logprobs: List[tuple] = []  # ([vals], [ids]) per step

@@ -22,6 +22,7 @@ from ltp_sglang_tpu.config.server_args import ServerArgs
 from ltp_sglang_tpu.managers.schedule_batch import (
     BASE_MIN_NEW_TOKEN_RATIO,
     FINISH_ABORT,
+    FINISH_LENGTH,
     MIN_NEW_TOKEN_RATIO_FACTOR,
     NEW_TOKEN_RATIO_DECAY_STEPS,
     Req,
@@ -194,6 +195,24 @@ class Scheduler:
             # Running: mark; it will be filtered after the current step.
             req.finished_reason = FINISH_ABORT()
 
+    def abort_all_requests(self, message: str = "aborted"):
+        """Panic reset after a failed batch: fail every in-flight request with
+        an error output, release what can be released, and leave the scheduler
+        able to serve new requests."""
+        for req in list(self._rid_to_req.values()):
+            if req.finished():
+                continue
+            req.finished_reason = FINISH_ABORT(message)
+            try:
+                self.tree_cache.cache_finished_req(req)
+            except Exception:
+                pass
+            self._emit_output(req)
+        self._rid_to_req.clear()
+        self.waiting_queue.clear()
+        self.running_batch = None
+        self.chunked_req = None
+
     def has_unfinished_requests(self) -> bool:
         return (
             bool(self.waiting_queue)
@@ -265,6 +284,12 @@ class Scheduler:
         for req in list(self.waiting_queue):
             if running_count + len(adder.can_run_list) >= max_running:
                 break
+            if adder.can_run_list and (
+                req.is_embedding != adder.can_run_list[0].is_embedding
+            ):
+                # Embedding and generation forwards are different programs;
+                # keep prefill batches homogeneous.
+                continue
             if cache_agnostic:
                 # Cache-aware policies already matched in calc_priority.
                 req.init_next_round_input(
@@ -306,7 +331,7 @@ class Scheduler:
             return 1
         if any(getattr(r, "grammar", None) is not None for r in batch.reqs):
             return 1
-        if any(r.return_logprob for r in batch.reqs):
+        if any(r.return_logprob or r.token_ids_logprob for r in batch.reqs):
             return 1
         # Penalties need per-token count updates (single-step path ships the
         # count tensors each step).
@@ -512,6 +537,13 @@ class Scheduler:
             tokens = self.runner.forward_window(wb)
             return BatchResult(batch, tokens, batch.forward_mode, window_k)
         fb = batch.get_forward_batch(self.server_args, self.runner.dump_req_row)
+        if batch.forward_mode != ForwardMode.DECODE and all(
+            r.is_embedding for r in batch.reqs
+        ):
+            pooled = self.runner.forward_embedding(fb)
+            res = BatchResult(batch, None, batch.forward_mode)
+            res.embeddings = pooled
+            return res
         if fb.sampling_info is not None and fb.sampling_info.has_penalties:
             fb.sampling_info.build_penalty_tensors(
                 batch.reqs, fb.input_ids.shape[0]
@@ -521,16 +553,29 @@ class Scheduler:
                 batch.reqs, fb.input_ids.shape[0]
             )
         want_lp = any(r.return_logprob for r in batch.reqs)
-        next_tokens, lp, _ = self.runner.forward(fb, want_logprobs=want_lp)
-        return BatchResult(batch, next_tokens, batch.forward_mode, logprobs=lp)
+        want_ids_lp = any(r.token_ids_logprob for r in batch.reqs)
+        next_tokens, lp, logits = self.runner.forward(
+            fb, return_logits=want_ids_lp, want_logprobs=want_lp
+        )
+        res = BatchResult(batch, next_tokens, batch.forward_mode, logprobs=lp)
+        res.logits = logits if want_ids_lp else None
+        return res
 
     # ----------------------------------------------------------- post-process
     def process_batch_result(self, result: BatchResult):
         batch = result.batch
+        if getattr(result, "embeddings", None) is not None:
+            self._process_embedding_result(batch, np.asarray(result.embeddings))
+            return
         # Device -> host sync point (the decode window already amortizes this
         # over K tokens; reference analog: tp_worker_overlap_thread).
         tokens = np.asarray(result.next_tokens)[: batch.batch_size()]
 
+        self._pending_ids_logits = (
+            np.asarray(result.logits)
+            if getattr(result, "logits", None) is not None
+            else None
+        )
         self._pending_logprobs = None
         if result.logprobs is not None:
             self._pending_logprobs = (
@@ -548,6 +593,21 @@ class Scheduler:
             self._process_decode_result(batch, tokens)
         self._pending_logprobs = None
 
+    def _process_embedding_result(self, batch: ScheduleBatch, pooled: np.ndarray):
+        """Embedding batches finish at the end of prefill: store the pooled
+        vector, cache the prefix, emit (no decode phase)."""
+        for i, req in enumerate(batch.reqs):
+            if req.is_chunked > 0:
+                req.is_chunked -= 1
+                self._cache_unfinished(req)
+                continue
+            req.embedding = pooled[i].tolist()
+            req.finished_reason = FINISH_LENGTH(0)
+            req.finish_time = time.time()
+            self.tree_cache.cache_finished_req(req)
+            self._emit_output(req)
+            self._rid_to_req.pop(req.rid, None)
+
     def _advance_grammar(self, req: Req):
         """grammar.accept_token after sampling (B.3 step 3); a mismatch means
         the mask and matcher disagree — abort the request, not the server."""
@@ -557,6 +617,16 @@ class Scheduler:
             req.finished_reason = FINISH_ABORT("grammar violation")
 
     def _record_logprobs(self, req: Req, i: int):
+        ids_logits = getattr(self, "_pending_ids_logits", None)
+        if ids_logits is not None and req.token_ids_logprob:
+            # Score API: log-softmax over the full row, then gather the
+            # caller's label ids (token_ids_logprobs analog).
+            row = ids_logits[i].astype(np.float64)
+            row = row - row.max()
+            lse = np.log(np.exp(row).sum())
+            req.output_token_ids_logprobs.append(
+                [float(row[t] - lse) for t in req.token_ids_logprob]
+            )
         lp = self._pending_logprobs
         if lp is None or not req.return_logprob:
             return

@@ -145,6 +145,20 @@ class ModelRunner:
             kv_write_impl=kv_write_pallas if use_pallas else kv_write_xla,
         )
 
+        # Mosaic DMA rows need a 128-lane-aligned KV row; models whose row is
+        # narrower (tiny test configs, exotic head dims) take the XLA path.
+        if use_pallas:
+            if hasattr(self.model, "kv_row_elems"):
+                k_e, v_e = self.model.kv_row_elems()
+            else:
+                k_e = v_e = model_config.num_kv_heads * model_config.head_dim
+            if k_e % 128 != 0 or v_e % 128 != 0:
+                logger.warning(
+                    "KV row (%d/%d elems) not 128-aligned; using XLA kv-write path",
+                    k_e, v_e,
+                )
+                self.model.kv_write = kv_write_xla
+
         self.load_model()
         self.init_memory_pool()
         # LoRA adapters (lora/lora_manager.py); id 0 = no adapter.
@@ -382,6 +396,80 @@ class ModelRunner:
             return tokens, (chosen, top_vals, top_idx), out_logits, k_cache, v_cache, table
 
         return jax.jit(step_fn, donate_argnums=(1, 2, 3))
+
+    def _build_embed_fn(self, C: int, pooling: str):
+        """Embedding-mode extend step: run the trunk, pool hidden states, no
+        sampling. Reference analog: EmbeddingReqInput served with
+        is_embedding=True (pooler over last hidden states)."""
+        model = self.model
+        table_write_rows = self._table_write_rows
+
+        def embed_fn(
+            params, k_cache, v_cache, table,
+            input_ids, positions, cache_locs, req_indices,
+            seq_lens, prefix_lens, extend_lens, kv_indices_in,
+        ):
+            table = table_write_rows(table, req_indices, kv_indices_in)
+            step = StepArrays(
+                input_ids=input_ids,
+                positions=positions,
+                cache_locs=cache_locs,
+                seq_lens=seq_lens,
+                prefix_lens=prefix_lens,
+                extend_lens=extend_lens,
+                kv_indices=kv_indices_in,
+                lora_ids=None,
+            )
+            hidden, k_cache, v_cache = model.forward(
+                params, step, k_cache, v_cache, return_hidden=True
+            )  # [B, E, Dm]
+            if pooling == "mean":
+                E = hidden.shape[1]
+                mask = (
+                    jnp.arange(E, dtype=jnp.int32)[None, :] < extend_lens[:, None]
+                )
+                s = jnp.sum(
+                    hidden.astype(jnp.float32) * mask[:, :, None], axis=1
+                )
+                pooled = s / jnp.maximum(extend_lens, 1)[:, None]
+            else:  # "last"
+                last_idx = jnp.maximum(extend_lens - 1, 0)
+                pooled = jnp.take_along_axis(
+                    hidden, last_idx[:, None, None], axis=1
+                )[:, 0].astype(jnp.float32)
+            return pooled, k_cache, v_cache, table
+
+        return jax.jit(embed_fn, donate_argnums=(1, 2, 3))
+
+    def forward_embedding(self, fb: ForwardBatch):
+        """Extend forward returning pooled embeddings [B, Dm] (device array).
+
+        Pooling kind comes from hf_config.pooling_type / classifier_pooling
+        ("last" default — matches decoder-LM embedding models like
+        e5-mistral; "mean" for mean-pooled models)."""
+        self._flush_dirty_rows()
+        B, E = fb.input_ids.shape
+        C = fb.kv_bucket
+        rows = self.req_to_token_pool.req_to_token[
+            np.minimum(fb.req_indices, self.req_to_token_pool.size - 1), :C
+        ]
+        kv_indices = np.ascontiguousarray(rows)
+        if kv_indices.shape[1] < C:
+            kv_indices = np.pad(kv_indices, ((0, 0), (0, C - kv_indices.shape[1])))
+        hf = self.model_config.hf_config
+        pooling = hf.get("pooling_type", hf.get("classifier_pooling", "last"))
+        key = ("embed", B, E, C, pooling)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = self._build_embed_fn(C, pooling)
+            self._step_cache[key] = fn
+            logger.info("compiling embed fn B=%d E=%d C=%d pool=%s", B, E, C, pooling)
+        pooled, self.k_cache, self.v_cache, self.req_table = fn(
+            self.params, self.k_cache, self.v_cache, self.req_table,
+            fb.input_ids, fb.positions, fb.cache_locs, fb.req_indices,
+            fb.seq_lens, fb.prefix_lens, fb.extend_lens, kv_indices,
+        )
+        return pooled
 
     def _build_window_fn_two_source(self, K: int, C: int, sampler_kind: str):
         """K decode steps with two-source attention: the paged cache stays a

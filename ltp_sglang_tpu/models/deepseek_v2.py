@@ -338,7 +338,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return out.reshape(B, E_, Dm)
 
     def forward(self, params, step: StepArrays, k_cache, v_cache, all_logits=False,
-                lora=None):
+                lora=None, return_hidden=False):
         cfg = self.config
         hidden = params["embed"]["weight"][step.input_ids]
 
@@ -377,5 +377,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         hidden, k_cache, v_cache = carry
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        if return_hidden:
+            return hidden, k_cache, v_cache
         logits = self._lm_head(params, hidden, step, all_logits)
         return logits, k_cache, v_cache

@@ -90,7 +90,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
 
     # ---------------------------------------------------------------- forward
     def forward(self, params, step: StepArrays, k_cache, v_cache,
-                all_logits=False, lora=None):
+                all_logits=False, lora=None, return_hidden=False):
         cfg = self.config
         B, E = step.input_ids.shape
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
@@ -164,6 +164,8 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         )
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps, gemma_style=True)
+        if return_hidden:
+            return hidden, k_cache, v_cache
         logits = self._lm_head(params, hidden, step, all_logits)
         if self.final_logit_softcap:
             cap = self.final_logit_softcap

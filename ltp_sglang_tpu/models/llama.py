@@ -419,6 +419,7 @@ class LlamaForCausalLM:
         v_cache: jnp.ndarray,  # [L, S, r, ln]
         all_logits: bool = False,
         lora: Optional[Dict[str, Any]] = None,
+        return_hidden: bool = False,
     ):
         """Returns (logits, k_cache, v_cache): last-token logits [B, V], or
         per-position logits [B, E, V] when all_logits (speculative verify)."""
@@ -519,6 +520,10 @@ class LlamaForCausalLM:
         )
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        if return_hidden:
+            # Embedding mode (reference: models with pooling heads served via
+            # is_embedding; pooling happens in the caller).
+            return hidden, k_cache, v_cache
         logits = self._lm_head(params, hidden, step, all_logits)
         return logits, k_cache, v_cache
 

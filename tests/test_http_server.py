@@ -219,3 +219,39 @@ def test_weight_and_memory_apis(client):
         assert resp.status == 200
 
     loop.run_until_complete(go())
+
+
+def test_encode_and_openai_embeddings(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/encode", json={"input_ids": [1, 2, 3, 4]})
+        assert resp.status == 200
+        body = await resp.json()
+        assert len(body["embedding"]) > 0
+        assert body["meta_info"]["prompt_tokens"] == 4
+
+        resp = await c.post("/v1/embeddings", json={"input": [[1, 2, 3], [4, 5]]})
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["object"] == "list"
+        assert len(body["data"]) == 2
+        assert body["data"][1]["index"] == 1
+        assert body["usage"]["prompt_tokens"] == 5
+
+    loop.run_until_complete(go())
+
+
+def test_openai_score_and_rerank(client):
+    c, loop = client
+
+    async def go():
+        # No tokenizer in this dir; score needs text -> expect a clean 4xx/5xx
+        # JSON error rather than a hang.
+        resp = await c.post("/v1/score", json={"query": "a", "items": ["b"]})
+        assert resp.status == 400  # label_token_ids required
+
+        resp = await c.post("/v1/rerank", json={"query": "", "documents": []})
+        assert resp.status == 400
+
+    loop.run_until_complete(go())
