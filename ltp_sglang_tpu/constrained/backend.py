@@ -63,6 +63,10 @@ class GrammarBackend:
                 pattern = value
             elif kind == "json_schema":
                 pattern = schema_to_regex(value)
+            elif kind == "ebnf":
+                from ltp_sglang_tpu.constrained.ebnf import ebnf_to_regex
+
+                pattern = ebnf_to_regex(value)
             else:
                 raise ValueError(f"unsupported grammar kind: {kind}")
             dfa = compile_regex(pattern)

@@ -1,0 +1,178 @@
+"""Experiment: int4 dequant kernel variants, profiled on device.
+
+Variants:
+  A: group-loop (current production kernel)
+  B: broadcast-reshape scales, one matmul per half
+  C: B with int8-domain masking (if Mosaic supports)
+"""
+
+import functools
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ltp_sglang_tpu.ops.quant_matmul import int4_matmul_pallas
+
+G = 128
+R = 16
+M, K, N = 32, 2048, 16384
+
+
+def _kernel_b(x_lo_ref, x_hi_ref, w4_ref, s_lo_ref, s_hi_ref, zs_lo_ref,
+              zs_hi_ref, out_ref, acc_ref, *, geff):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w4_ref[:].astype(jnp.int32) & 0xFF
+    lo = (w & 0xF).astype(jnp.bfloat16)
+    hi = (w >> 4).astype(jnp.bfloat16)
+    Kb, Nb = w4_ref.shape
+    ng = Kb // geff
+
+    def rep(ref):
+        # [ng, Nb] -> [Kb, Nb] without jnp.repeat: broadcast + merge leading.
+        a = ref[:].astype(jnp.bfloat16)
+        return jnp.broadcast_to(a[:, None, :], (ng, geff, Nb)).reshape(Kb, Nb)
+
+    wl = lo * rep(s_lo_ref) - rep(zs_lo_ref)
+    wh = hi * rep(s_hi_ref) - rep(zs_hi_ref)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], wl, preferred_element_type=jnp.float32) + \
+        jnp.dot(x_hi_ref[:], wh, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _kernel_c(x_lo_ref, x_hi_ref, w4_ref, s_lo_ref, s_hi_ref, zs_lo_ref,
+              zs_hi_ref, out_ref, acc_ref, *, geff):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w8 = w4_ref[:]
+    lo = (w8 & jnp.int8(0xF)).astype(jnp.bfloat16)
+    hi = ((w8.astype(jnp.uint8)) >> 4).astype(jnp.bfloat16)
+    Kb, Nb = w4_ref.shape
+    ng = Kb // geff
+
+    def rep(ref):
+        a = ref[:].astype(jnp.bfloat16)
+        return jnp.broadcast_to(a[:, None, :], (ng, geff, Nb)).reshape(Kb, Nb)
+
+    wl = lo * rep(s_lo_ref) - rep(zs_lo_ref)
+    wh = hi * rep(s_hi_ref) - rep(zs_hi_ref)
+    acc_ref[:] += jnp.dot(x_lo_ref[:], wl, preferred_element_type=jnp.float32) + \
+        jnp.dot(x_hi_ref[:], wh, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def make_variant(kernel, Nb=512, Kb=None):
+    Kh = K // 2
+    Kb = Kb or Kh
+    gb = Kb // G
+    kh_blocks = Kh // Kb
+
+    @jax.jit
+    def run(x, w4, scales, zeros):
+        zs = zeros * scales
+        xb = x.astype(jnp.bfloat16)
+        grid = (1, N // Nb, Kh // Kb)
+        return pl.pallas_call(
+            functools.partial(kernel, geff=G),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, Kb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, Kb), lambda m, n, k: (m, k + kh_blocks), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kb, Nb), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, Nb), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, Nb), lambda m, n, k: (k + kh_blocks, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, Nb), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb, Nb), lambda m, n, k: (k + kh_blocks, n), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, Nb), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((M, Nb), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(xb, xb, w4, scales, scales, zs, zs)
+
+    return run
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (M, K), dtype=jnp.bfloat16)
+    w4 = jax.device_put(
+        np.random.randint(0, 256, size=(K // 2, N), dtype=np.uint8).view(np.int8)
+    )
+    scales = jax.device_put(np.random.rand(K // G, N).astype(np.float32) * 0.01)
+    zeros = jax.device_put(np.full((K // G, N), 8.0, np.float32))
+
+    variants = {"A_current": lambda v: int4_matmul_pallas(v, w4, scales, zeros, G)}
+    for name, kern in [("B_bcast", _kernel_b), ("C_int8dom", _kernel_c)]:
+        for Nb in (512, 2048):
+            try:
+                fn = make_variant(kern, Nb=Nb)
+                fn(x, w4, scales, zeros).block_until_ready()
+                variants[f"{name}_Nb{Nb}"] = (
+                    lambda v, fn=fn: fn(v, w4, scales, zeros)
+                )
+            except Exception as e:
+                print(f"{name}_Nb{Nb}: FAILED {str(e)[:120]}")
+
+    # Correctness vs A
+    ref = np.asarray(variants["A_current"](x), dtype=np.float32)
+    for name, fn in variants.items():
+        got = np.asarray(fn(x), dtype=np.float32)
+        err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+        print(f"{name}: rel_err={err:.2e}")
+
+    from xprof.convert import raw_to_tool_data as rtd
+    import gzip, json
+
+    print(f"\nper-call device times (us, /{R}):")
+    for name, fn in variants.items():
+        @jax.jit
+        def chain(v, fn=fn):
+            for _ in range(R):
+                o = fn(v)
+                v = jnp.max(o, axis=1, keepdims=True).astype(jnp.bfloat16) * 1e-6 + v
+            return v
+        chain(x).block_until_ready()
+        outdir = f"/tmp/int4var_{name}_{int(time.time())}"
+        with jax.profiler.trace(outdir):
+            chain(x).block_until_ready()
+        files = glob.glob(os.path.join(outdir, "**/*.xplane.pb"), recursive=True)
+        data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
+        try:
+            rows = json.loads(gzip.decompress(data).decode())
+        except Exception:
+            rows = json.loads(data.decode())
+        cols = [c["id"] for c in rows[0]["cols"]]
+        for r in rows[0]["rows"]:
+            d = dict(zip(cols, [c.get("v") for c in r["c"]]))
+            if d.get("host_or_device") == "Device" and "pallas" in str(d.get("operation")):
+                print(f"  {name:18s} {float(d['total_self_time'])/R:8.2f} us  bw={d.get('measured_memory_bw'):>8.1f}")
+
+
+if __name__ == "__main__":
+    main()

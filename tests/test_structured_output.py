@@ -128,3 +128,65 @@ def test_regex_constrained_sampled(engine):
         },
     )
     assert re.fullmatch(pattern, out["text"]), out["text"]
+
+
+# ------------------------- unit: EBNF -------------------------
+def test_ebnf_to_regex_basics():
+    from ltp_sglang_tpu.constrained.ebnf import ebnf_to_regex
+    from ltp_sglang_tpu.constrained.regex_engine import compile_regex
+
+    g = r'''
+root ::= greeting " " name "!"
+greeting ::= "hello" | "hi"
+name ::= [A-Z][a-z]+
+'''
+    rx = ebnf_to_regex(g)
+    dfa = compile_regex(rx)
+
+    def matches(s):
+        st = dfa.walk(0, s)
+        return st >= 0 and st in dfa.accepting
+
+    assert matches("hello Bob!")
+    assert matches("hi Alice!")
+    assert not matches("hey Bob!")
+    assert not matches("hello bob!")
+
+
+def test_ebnf_recursion_bounded():
+    from ltp_sglang_tpu.constrained.ebnf import ebnf_to_regex
+    from ltp_sglang_tpu.constrained.regex_engine import compile_regex
+
+    # Balanced parens around a digit, recursive with a base case.
+    g = r'''
+root ::= expr
+expr ::= "(" expr ")" | [0-9]
+'''
+    rx = ebnf_to_regex(g, max_depth=4)
+    dfa = compile_regex(rx)
+
+    def matches(s):
+        st = dfa.walk(0, s)
+        return st >= 0 and st in dfa.accepting
+
+    assert matches("5")
+    assert matches("((7))")
+    assert not matches("((")
+    assert not matches("(5")
+
+    # No base case -> must raise.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ebnf_to_regex("root ::= root\n")
+
+
+def test_ebnf_constrained_generation(engine):
+    g = r'''
+root ::= "yes" | "no" | "maybe " [0-9]+
+'''
+    out = engine.generate(
+        prompt="answer: ",
+        sampling_params={"max_new_tokens": 16, "temperature": 0.0, "ebnf": g},
+    )
+    assert re.fullmatch(r"yes|no|maybe [0-9]+", out["text"]), out["text"]
