@@ -122,6 +122,9 @@ class Req:
         # row and how many positions of this request it has processed.
         self.spec_draft_req_idx = None
         self.spec_draft_len = 0
+        # EAGLE: target hidden state of the second-to-last committed token
+        # (np [Dm] f32), carried between rounds.
+        self.spec_hidden = None
 
         # LoRA adapter (0 = none); resolved from lora_path at admission.
         self.lora_path = None

@@ -136,9 +136,15 @@ class Scheduler:
         # Speculative decoding worker (speculative/spec_worker.py).
         self.spec_worker = None
         if server_args.speculative_algorithm:
-            from ltp_sglang_tpu.speculative.spec_worker import SpecWorker
+            algo = server_args.speculative_algorithm.upper()
+            if algo.startswith("EAGLE"):
+                from ltp_sglang_tpu.speculative.eagle_worker import EagleWorker
 
-            self.spec_worker = SpecWorker(model_runner, server_args)
+                self.spec_worker = EagleWorker(model_runner, server_args)
+            else:
+                from ltp_sglang_tpu.speculative.spec_worker import SpecWorker
+
+                self.spec_worker = SpecWorker(model_runner, server_args)
         # Prometheus metrics (metrics/collector.py).
         if server_args.enable_metrics:
             from ltp_sglang_tpu.metrics.collector import SchedulerMetricsCollector
@@ -415,6 +421,8 @@ class Scheduler:
     # ----------------------------------------------------------------- device
     # ------------------------------------------------------ speculative round
     def _run_spec_round(self, batch: ScheduleBatch) -> BatchResult:
+        if getattr(self.spec_worker, "kind", "") == "eagle":
+            return self._run_spec_round_eagle(batch)
         from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
         from ltp_sglang_tpu.speculative.spec_worker import SpecRoundBatch
         from ltp_sglang_tpu.utils import bucketize
@@ -481,8 +489,79 @@ class Scheduler:
         batch.spec_round_data = (preds, accepted, t_slots, d_slots, K)
         return BatchResult(batch, preds, ForwardMode.DECODE, window_k=0)
 
+    def _run_spec_round_eagle(self, batch: ScheduleBatch) -> BatchResult:
+        """EAGLE round: like the standalone round but with K+1 draft slots
+        (chain + in-round KV refresh) and the carried target hidden."""
+        from ltp_sglang_tpu.speculative.eagle_worker import EagleRoundBatch
+        from ltp_sglang_tpu.utils import bucketize
+
+        sw = self.spec_worker
+        K = sw.k
+        d = sw.draft
+        n = len(batch.reqs)
+        pool = self.req_to_token_pool
+        Dm = self.model_config.hidden_size
+
+        for r in batch.reqs:
+            if r.spec_draft_req_idx is None:
+                # Prefill hook missed this request (e.g. full radix hit);
+                # assign a row with zero coverage — acceptance-only cost.
+                slots = d.req_to_token.alloc(1)
+                assert slots is not None, "eagle draft request pool exhausted"
+                r.spec_draft_req_idx = slots[0]
+                r.spec_draft_len = max(r.seqlen() - 1, 0)
+
+        t_flat = batch.alloc_token_slots(n * (K + 1))
+        assert t_flat is not None, "KV pool exhausted in spec round"
+        t_slots = np.asarray(t_flat, dtype=np.int32).reshape(n, K + 1)
+        d_flat = d.allocator.alloc(n * (K + 1))
+        assert d_flat is not None, "eagle draft KV pool exhausted"
+        d_slots = np.asarray(d_flat, dtype=np.int32).reshape(n, K + 1)
+        seq0 = np.array([r.seqlen() for r in batch.reqs], dtype=np.int32)
+        for i, r in enumerate(batch.reqs):
+            pool.req_to_token[r.req_pool_idx, seq0[i] - 1 : seq0[i] + K] = t_slots[i]
+            d.req_to_token.req_to_token[
+                r.spec_draft_req_idx, seq0[i] - 1 : seq0[i] + K
+            ] = d_slots[i]
+
+        B = bucketize(n, self.server_args.decode_bs_buckets)
+        C = bucketize(
+            min(int(seq0.max()) + K + 1, self.server_args.context_buckets[-1]),
+            self.server_args.context_buckets,
+        )
+
+        def pad2(a, fill=0):
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        h_prev = np.zeros((n, Dm), np.float32)
+        for i, r in enumerate(batch.reqs):
+            if r.spec_hidden is not None:
+                h_prev[i] = r.spec_hidden
+        rb = EagleRoundBatch(
+            batch_size=n,
+            input_ids=pad2(np.array([r.output_ids[-1] for r in batch.reqs], np.int32)),
+            h_prev=pad2(h_prev),
+            seq0=pad2(seq0),
+            target_slots=pad2(t_slots),
+            draft_slots=pad2(d_slots),
+            target_req=np.full((B,), self.runner.dump_req_row, np.int32),
+            draft_req=np.full((B,), d.dump_row, np.int32),
+            kv_bucket=C,
+        )
+        rb.target_req[:n] = [r.req_pool_idx for r in batch.reqs]
+        rb.draft_req[:n] = [r.spec_draft_req_idx for r in batch.reqs]
+
+        self.runner._flush_dirty_rows()
+        preds, accepted, h_next = sw.run_round(rb)
+        batch.spec_round_data = (preds, accepted, t_slots, d_slots, K, h_next)
+        return BatchResult(batch, preds, ForwardMode.DECODE, window_k=0)
+
     def _process_spec_result(self, batch: ScheduleBatch):
-        preds, accepted, t_slots, d_slots, K = batch.spec_round_data
+        data = batch.spec_round_data
+        h_next = data[5] if len(data) > 5 else None
+        preds, accepted, t_slots, d_slots, K = data[:5]
         sw = self.spec_worker
         alloc = self.token_to_kv_pool_allocator
         for i, req in enumerate(batch.reqs):
@@ -499,10 +578,13 @@ class Scheduler:
                 if self.detokenizer is not None:
                     self.detokenizer.step(req)
                 req.check_finished()
-            # Free unused slots: target keeps m, draft keeps min(m, K).
+            # Free unused slots: target keeps m, draft keeps min(m, K)
+            # (standalone: K chain slots; eagle: K+1 incl. refresh slot).
             alloc.free(t_slots[i, m:])
-            dm = min(m, K)
+            dm = min(m, d_slots.shape[1])
             sw.draft.allocator.free(d_slots[i, dm:])
+            if h_next is not None and not req.finished():
+                req.spec_hidden = h_next[i]
             req.spec_draft_len += dm
             if req.finished():
                 self._free_draft_state(req)
@@ -518,11 +600,14 @@ class Scheduler:
         self._maybe_log_decode_stats(batch)
 
     def _free_draft_state(self, req: Req):
+        req.spec_hidden = None
         if self.spec_worker is None or req.spec_draft_req_idx is None:
             return
         d = self.spec_worker.draft
         row = d.req_to_token.req_to_token[req.spec_draft_req_idx, : req.spec_draft_len]
-        d.allocator.free(row)
+        # Eagle rows can contain zero holes (position 0, uncovered radix
+        # prefixes); slot 0 is the shared garbage row, never allocated.
+        d.allocator.free(row[row > 0])
         d.req_to_token.free(req.spec_draft_req_idx)
         req.spec_draft_req_idx = None
         req.spec_draft_len = 0
@@ -554,9 +639,23 @@ class Scheduler:
             )
         want_lp = any(r.return_logprob for r in batch.reqs)
         want_ids_lp = any(r.token_ids_logprob for r in batch.reqs)
-        next_tokens, lp, logits = self.runner.forward(
-            fb, return_logits=want_ids_lp, want_logprobs=want_lp
+        want_hid = (
+            batch.forward_mode != ForwardMode.DECODE
+            and self.spec_worker is not None
+            and getattr(self.spec_worker, "kind", "") == "eagle"
         )
+        if want_hid:
+            next_tokens, lp, logits, hidden = self.runner.forward(
+                fb, return_logits=want_ids_lp, want_logprobs=want_lp,
+                want_hidden=True,
+            )
+            # Cover the prompt span in the eagle draft cache while the
+            # hiddens are still on device.
+            self.spec_worker.on_prefill(batch, fb, hidden)
+        else:
+            next_tokens, lp, logits = self.runner.forward(
+                fb, return_logits=want_ids_lp, want_logprobs=want_lp
+            )
         res = BatchResult(batch, next_tokens, batch.forward_mode, logprobs=lp)
         res.logits = logits if want_ids_lp else None
         return res

@@ -310,7 +310,7 @@ class ModelRunner:
     def _build_step_fn(self, mode_is_decode: bool, C: int, has_logit_bias: bool,
                        return_logits: bool, sampler_kind: str,
                        has_penalties: bool = False, want_logprobs: bool = False,
-                       has_vocab_mask: bool = False):
+                       has_vocab_mask: bool = False, want_hidden: bool = False):
         model = self.model
         table_write_rows = self._table_write_rows
         table_merge_window = self._table_merge_window
@@ -365,9 +365,18 @@ class ModelRunner:
                 kv_indices=kv_indices,
                 lora_ids=lora_ids,
             )
-            logits, k_cache, v_cache = model.forward(
-                params, step, k_cache, v_cache, lora=lora
-            )
+            if want_hidden:
+                # EAGLE prefill: expose post-norm hiddens so the draft head
+                # can cover prompt positions (speculative/eagle_worker.py).
+                hidden_out, k_cache, v_cache = model.forward(
+                    params, step, k_cache, v_cache, lora=lora, return_hidden=True
+                )
+                logits = model._lm_head(params, hidden_out, step, False)
+            else:
+                hidden_out = jnp.zeros((0,), jnp.float32)
+                logits, k_cache, v_cache = model.forward(
+                    params, step, k_cache, v_cache, lora=lora
+                )
             if has_penalties:
                 from ltp_sglang_tpu.ops.sampling import apply_penalties
 
@@ -393,7 +402,8 @@ class ModelRunner:
                 chosen = jnp.zeros((0,), jnp.float32)
                 top_vals = jnp.zeros((0, 0), jnp.float32)
                 top_idx = jnp.zeros((0, 0), jnp.int32)
-            return tokens, (chosen, top_vals, top_idx), out_logits, k_cache, v_cache, table
+            return (tokens, (chosen, top_vals, top_idx), out_logits, hidden_out,
+                    k_cache, v_cache, table)
 
         return jax.jit(step_fn, donate_argnums=(1, 2, 3))
 
@@ -619,16 +629,16 @@ class ModelRunner:
 
     def _get_step_fn(self, fb: ForwardBatch, has_logit_bias: bool, return_logits: bool,
                      sampler_kind: str, has_penalties: bool, want_logprobs: bool,
-                     has_vocab_mask: bool):
+                     has_vocab_mask: bool, want_hidden: bool = False):
         B, E = fb.input_ids.shape
         key = (fb.mode == ForwardMode.DECODE, B, E, fb.kv_bucket, has_logit_bias,
                return_logits, sampler_kind, has_penalties, want_logprobs,
-               has_vocab_mask)
+               has_vocab_mask, want_hidden)
         fn = self._step_cache.get(key)
         if fn is None:
             fn = self._build_step_fn(
                 key[0], fb.kv_bucket, has_logit_bias, return_logits, sampler_kind,
-                has_penalties, want_logprobs, has_vocab_mask,
+                has_penalties, want_logprobs, has_vocab_mask, want_hidden,
             )
             self._step_cache[key] = fn
             logger.info(
@@ -660,9 +670,9 @@ class ModelRunner:
         self._dirty_rows.clear()
 
     def forward(self, fb: ForwardBatch, return_logits: bool = False,
-                want_logprobs: bool = False):
+                want_logprobs: bool = False, want_hidden: bool = False):
         """Run one step. Returns (next_token_ids [B], logprobs tuple or None,
-        logits or None) — all device arrays."""
+        logits or None[, hidden [B, E, Dm] when want_hidden]) — device arrays."""
         self._flush_dirty_rows()
         si = fb.sampling_info
         B, E = fb.input_ids.shape
@@ -694,10 +704,10 @@ class ModelRunner:
 
         fn = self._get_step_fn(
             fb, has_logit_bias, return_logits, si.sampler_kind, has_penalties,
-            want_logprobs, has_vocab_mask,
+            want_logprobs, has_vocab_mask, want_hidden,
         )
         self._step_counter += 1
-        tokens, lp, logits, self.k_cache, self.v_cache, self.req_table = fn(
+        tokens, lp, logits, hidden, self.k_cache, self.v_cache, self.req_table = fn(
             self.params,
             self.k_cache,
             self.v_cache,
@@ -725,9 +735,11 @@ class ModelRunner:
             fb.lora_ids if fb.lora_ids is not None else np.zeros((B,), np.int32),
             self._lora_weights(),
         )
-        return tokens, (lp if want_logprobs else None), (
-            logits if return_logits else None
-        )
+        out = (tokens, (lp if want_logprobs else None),
+               (logits if return_logits else None))
+        if want_hidden:
+            return out + (hidden,)
+        return out
 
     def forward_window(self, wb: DecodeWindowBatch):
         """Run a K-step decode window; returns tokens [B, K] (device array)."""
