@@ -79,10 +79,12 @@ def main():
     from ltp_sglang_tpu.config.server_args import ServerArgs
     from ltp_sglang_tpu.entrypoints.engine import Engine
 
+    page_size = int(os.environ.get("BENCH_PAGE_SIZE", "1"))
     args = ServerArgs(
         model_path=d,
         load_format="dummy",
         dtype="bfloat16",
+        page_size=page_size,
         max_total_tokens=max(bs * (prompt_len + gen_len) * 2, 8192),
         max_running_requests=max(bs, 8),
         schedule_policy="fcfs",

@@ -404,6 +404,96 @@ class LlamaForCausalLM:
             )
         return logits, win_k, win_v
 
+    def forward_window_token_paged(
+        self,
+        params: Dict[str, Any],
+        tok: jnp.ndarray,  # [B] current input token
+        pos: jnp.ndarray,  # [B] its absolute position
+        k_cache: jnp.ndarray,  # [L, S, r, ln] native layout (carried)
+        v_cache: jnp.ndarray,
+        pages: jnp.ndarray,  # [B, Cp] page ids (position-ordered)
+        seq_lens: jnp.ndarray,  # [B] kv length incl. this token
+        slot_t: jnp.ndarray,  # [B] this token's cache slot
+        page_size: int,
+    ):
+        """One decode step over the live paged cache: per layer, a DMA row
+        write (kv_write) then the Pallas paged decode-attention kernel reads
+        pages straight from HBM. No pre-gather, no page copies — each KV byte
+        moves exactly once per layer-step (ops/attention/pallas_decode.py)."""
+        from ltp_sglang_tpu.ops.attention.pallas_decode import paged_decode_attention
+
+        cfg = self.config
+        B = tok.shape[0]
+        Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+
+        hidden = params["embed"]["weight"][tok]  # [B, Dm]
+        rot = self.cos_sin_cache.shape[-1]
+        cs = self.cos_sin_cache[pos]
+        cos, sin = jnp.split(cs, 2, axis=-1)
+        cos = cos[:, None, :]
+        sin = sin[:, None, :]
+
+        def rope1(x):
+            x_rot = x[..., :rot]
+            x_pass = x[..., rot:]
+            x1, x2 = jnp.split(x_rot, 2, axis=-1)
+            o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+            if x_pass.shape[-1]:
+                o = jnp.concatenate([o, x_pass], axis=-1)
+            return o.astype(x.dtype)
+
+        def layer_body(carry, xs):
+            h, kc, vc = carry
+            lp, li = xs
+
+            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            q = apply_linear(lp["q_proj"], normed, self.quant_group_size)
+            k = apply_linear(lp["k_proj"], normed, self.quant_group_size)
+            v = apply_linear(lp["v_proj"], normed, self.quant_group_size)
+            q = q.reshape(B, Hq, D)
+            k = k.reshape(B, Hkv, D)
+            v = v.reshape(B, Hkv, D)
+            if self.has_qk_norm:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
+            q = rope1(q)
+            k = rope1(k)
+
+            kc, vc = self.kv_write(
+                kc, vc, li, slot_t,
+                k.astype(kc.dtype), v.astype(vc.dtype),
+                jnp.asarray(B, jnp.int32),
+            )
+            attn = paged_decode_attention(
+                q, kc, vc, li, pages, seq_lens,
+                page_size=page_size, num_kv_heads=Hkv, sm_scale=self.sm_scale,
+            )  # [B, Hq, D]
+            attn = attn.reshape(B, Hq * D).astype(h.dtype)
+            h = h + apply_linear(lp["o_proj"], attn, self.quant_group_size)
+
+            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            h = h + self.mlp(lp, normed)
+            return (h, kc, vc), None
+
+        L = cfg.num_layers
+        (hidden, k_cache, v_cache), _ = jax.lax.scan(
+            layer_body,
+            (hidden, k_cache, v_cache),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        if self.tie_word_embeddings:
+            logits = jnp.einsum(
+                "bd,vd->bv", hidden, params["embed"]["weight"],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv", hidden, params["lm_head"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+        return logits, k_cache, v_cache
+
     # ---------------------------------------------------------------- forward
     def mlp(self, lp, normed):
         gs = self.quant_group_size

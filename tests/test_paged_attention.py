@@ -1,0 +1,82 @@
+"""Pallas paged decode attention: kernel parity + engine greedy parity with
+page_size > 1 through the paged window path (interpret mode off-TPU)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from tiny_configs import write_tiny_model_dir
+
+
+def test_kernel_matches_reference():
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.ops.attention.pallas_decode import paged_decode_attention
+    from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
+
+    L, S, Hkv, D, Hq, B, P = 2, 512, 4, 64, 16, 3, 16
+    r, ln = (Hkv * D) // 128, 128
+    rng = np.random.default_rng(0)
+    kc = jnp.asarray(rng.standard_normal((L, S, r, ln)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((L, S, r, ln)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    seq = np.array([37, 100, 64], np.int32)
+    Cp = 8
+    pages = (rng.permutation(S // P - 1)[: B * Cp].reshape(B, Cp) + 1).astype(np.int32)
+    out = paged_decode_attention(
+        q, kc, vc, 1, jnp.asarray(pages), jnp.asarray(seq),
+        page_size=P, num_kv_heads=Hkv, sm_scale=0.125,
+    )
+    C = Cp * P
+    kv_idx = (pages[:, :, None] * P + np.arange(P)[None, None, :]).reshape(B, C)
+    kg = kc[1, kv_idx].reshape(B, C, Hkv, D)
+    vg = vc[1, kv_idx].reshape(B, C, Hkv, D)
+    ref = ref_paged_attention(
+        q[:, None], kg, vg, jnp.asarray(kv_idx), jnp.asarray(seq),
+        jnp.asarray(seq - 1), 0.125,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_engine_paged_window_parity(monkeypatch):
+    """Greedy outputs through the paged window path must match the default
+    engine exactly (128-lane KV rows required => 2 kv heads x 64)."""
+    monkeypatch.setenv("LTP_FORCE_PAGED_ATTN", "1")
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "hidden_size": 128,
+        "intermediate_size": 256,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 64,
+        "vocab_size": 512,
+        "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": False,
+        "eos_token_id": 2,
+        "torch_dtype": "float32",
+    }
+    d = tempfile.mkdtemp(prefix="paged_llama_")
+    write_tiny_model_dir(d, cfg=cfg)
+    paged = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8, page_size=16,
+    ))
+    base = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8, 11, 13]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0}
+    out = paged.generate(input_ids=prompts, sampling_params=sp)
+    ref = base.generate(input_ids=prompts, sampling_params=sp)
+    for o, r in zip(out, ref):
+        assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
