@@ -88,6 +88,7 @@ def main():
         max_total_tokens=max(bs * (prompt_len + gen_len) * 2, 8192),
         max_running_requests=max(bs, 8),
         schedule_policy="fcfs",
+        decode_window_size=int(os.environ.get("BENCH_WINDOW", "8")),
     )
     eng = Engine(args)
 
