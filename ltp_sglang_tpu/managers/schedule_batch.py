@@ -191,6 +191,10 @@ class Req:
         if len(self.output_ids) >= sp.max_new_tokens:
             self.finished_reason = FINISH_LENGTH(len(self.output_ids))
             return
+        # min_new_tokens: suppress EOS/stop matches until reached
+        # (ref sampling/penaltylib/min_new_tokens.py semantics).
+        if len(self.output_ids) < sp.min_new_tokens:
+            return
         if self.output_ids:
             last = self.output_ids[-1]
             if not sp.ignore_eos:

@@ -209,8 +209,20 @@ class Scheduler:
             if req.finished():
                 continue
             req.finished_reason = FINISH_ABORT(message)
+            # The failed batch's KV contents are suspect and chunked requests
+            # have uncomputed positions, so never insert into the radix tree
+            # here. Free exactly the allocated non-prefix slots (rows are
+            # zeroed on release, and slot 0 is never allocated, so row != 0
+            # identifies real allocations) and release the request slot.
             try:
-                self.tree_cache.cache_finished_req(req)
+                if req.req_pool_idx is not None:
+                    lo = len(req.prefix_indices)
+                    row = self.req_to_token_pool.req_to_token[req.req_pool_idx, lo:]
+                    self.token_to_kv_pool_allocator.free(row[row != 0])
+                    self.req_to_token_pool.free(req.req_pool_idx)
+                    if req.last_node is not None:
+                        self.tree_cache.dec_lock_ref(req.last_node)
+                    req.req_pool_idx = None
             except Exception:
                 pass
             self._emit_output(req)

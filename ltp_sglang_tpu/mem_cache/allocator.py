@@ -91,6 +91,14 @@ class TokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
         self.free_pages = state
 
 
+class _PagedBackup:
+    __slots__ = ("free_pages", "partial_freed")
+
+    def __init__(self, free_pages, partial_freed):
+        self.free_pages = free_pages
+        self.partial_freed = partial_freed
+
+
 class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
     """Page-aligned allocator (mem_cache/allocator.py:404).
 
@@ -112,6 +120,15 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
         self.free_pages = np.arange(1, self.num_pages + 1, dtype=np.int32)
         self.is_not_in_free_group = True
         self.free_group = []
+        # Cumulative per-page freed-slot offsets: a page whose slots are
+        # released across several free() calls (unaligned finished-request
+        # tails, retract ranges, truncated decode windows) is returned to the
+        # pool once every slot has been freed. Offsets (not counts) so that a
+        # freed tail re-issued by a later alloc_extend partial-page
+        # continuation is un-marked instead of double-counted. The reference
+        # instead frees any touched page (allocator.py:404); offset tracking is
+        # safer against double-free of the still-live remainder.
+        self._partial_freed: dict = {}
 
     def available_size(self) -> int:
         return len(self.free_pages) * self.page_size
@@ -149,6 +166,13 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
             take = min(self.page_size - offset, extend_len)
             out[:take] = page * self.page_size + np.arange(offset, offset + take)
             filled = take
+            # Re-issued slots may have been freed earlier (truncated decode
+            # window tails); un-mark them so a later free doesn't double-count.
+            offs = self._partial_freed.get(page)
+            if offs is not None:
+                offs.difference_update(range(offset, offset + take))
+                if not offs:
+                    del self._partial_freed[page]
         remaining = extend_len - filled
         if remaining > 0:
             num_pages = -(-remaining // self.page_size)
@@ -172,15 +196,20 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
             return
         indices = np.asarray(indices, dtype=np.int32)
         if self.is_not_in_free_group:
-            # Only fully-freed pages return to the pool: the caller frees a
-            # token range; a page is freed when its first slot is in the set
-            # and the whole page is covered OR page-aligned semantics from the
-            # radix cache guarantee page granularity. We conservatively free
-            # pages all of whose slots appear in `indices`.
-            pages, counts = np.unique(indices // self.page_size, return_counts=True)
-            full = pages[counts == self.page_size]
-            if len(full):
-                self.free_pages = np.concatenate([self.free_pages, full.astype(np.int32)])
+            # Accumulate freed-slot offsets per page; release a page once all
+            # of its slots have been freed (possibly across multiple calls).
+            full = []
+            for slot in indices.tolist():
+                page, offset = divmod(slot, self.page_size)
+                offs = self._partial_freed.setdefault(page, set())
+                offs.add(offset)
+                if len(offs) == self.page_size:
+                    full.append(page)
+                    del self._partial_freed[page]
+            if full:
+                self.free_pages = np.concatenate(
+                    [self.free_pages, np.asarray(full, dtype=np.int32)]
+                )
         else:
             self.free_group.append(indices)
 
@@ -194,7 +223,11 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
             self.free(np.concatenate(self.free_group))
 
     def backup_state(self):
-        return self.free_pages.copy()
+        return _PagedBackup(
+            self.free_pages.copy(),
+            {p: s.copy() for p, s in self._partial_freed.items()},
+        )
 
     def restore_state(self, state):
-        self.free_pages = state
+        self.free_pages = state.free_pages
+        self._partial_freed = state.partial_freed

@@ -32,10 +32,16 @@ class ReqToTokenPool:
         return out
 
     def free(self, free_index):
+        # Rows are zeroed on release so that recovery paths (abort_all) can
+        # identify genuinely-allocated KV slots by row != 0 without seeing
+        # stale entries from a previous occupant of the slot.
         if isinstance(free_index, (int, np.integer)):
             self.free_slots.append(int(free_index))
+            self.req_to_token[int(free_index)] = 0
         else:
             self.free_slots.extend(int(i) for i in free_index)
+            for i in free_index:
+                self.req_to_token[int(i)] = 0
 
     def write(self, req_idx: int, loc: slice, values: np.ndarray):
         self.req_to_token[req_idx, loc] = values

@@ -75,7 +75,10 @@ def _decode_kernel(
     def start_chunk(c, slot):
         # Issue DMAs for all pages of chunk c into ring slot `slot`.
         def issue(p, _):
-            page = pages_ref[b, c * Pc + p]
+            # Clamp: the last chunk may index past the pages row when Cp is
+            # not a multiple of Pc; the pl.when guard skips the copy, but the
+            # SMEM read itself must stay in bounds.
+            page = pages_ref[b, jnp.minimum(c * Pc + p, Cp - 1)]
 
             @pl.when(c * Pc + p < n_pages_used)
             def _():
@@ -97,7 +100,7 @@ def _decode_kernel(
         # Waits recreate the exact start descriptors (same src/dst): required
         # for interpret mode, and semantically identical on hardware.
         def wse(p, _):
-            page = pages_ref[b, c * Pc + p]
+            page = pages_ref[b, jnp.minimum(c * Pc + p, Cp - 1)]
 
             @pl.when(c * Pc + p < n_pages_used)
             def _():
