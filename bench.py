@@ -5,8 +5,14 @@ Llama-3.2-1B-shaped model with dummy weights — the analog of the reference's
 `bench_one_batch` decode tok/s (python/sglang/bench_one_batch.py). On TPU,
 vs_baseline compares against the HBM-bandwidth roofline for bf16 decode
 (params read once per step), so 1.0 == speed of light for this batch size.
+
+The same run also measures the AWQ-INT4 fused-kernel path (north-star:
+INT4 >= 1.5x BF16) and reports int4_tok_per_s / int4_vs_bf16 as extra keys
+on the same JSON line. Set BENCH_QUANT=awq to make INT4 the headline metric
+instead; BENCH_SKIP_INT4=1 skips the INT4 pass.
 """
 
+import gc
 import json
 import os
 import sys
@@ -50,28 +56,14 @@ def count_param_bytes(params):
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
-def main():
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
-    # BENCH_QUANT=awq runs the same model with dummy INT4 weights through the
-    # fused Pallas dequant+matmul path (north-star config).
-    quant = os.environ.get("BENCH_QUANT")
-
-    cfg = dict(LLAMA_1B_CFG)
+def run_one(cfg, quant, bs, prompt_len, gen_len, page_size, window):
+    """Build an Engine for `cfg` (optionally quantized) and measure
+    steady-state decode tok/s; returns (tok_per_s, param_bytes)."""
+    cfg = dict(cfg)
     if quant:
         cfg["quantization_config"] = {
             "quant_method": quant, "bits": 4, "group_size": 128,
         }
-    bs, prompt_len, gen_len = (32, 64, 96) if on_tpu else (8, 16, 24)
-    if not on_tpu:
-        cfg.update(
-            hidden_size=256, intermediate_size=512, num_hidden_layers=4,
-            num_attention_heads=8, num_key_value_heads=4, head_dim=32,
-            vocab_size=2048,
-        )
-
     d = tempfile.mkdtemp(prefix="bench_model_")
     with open(os.path.join(d, "config.json"), "w") as f:
         json.dump(cfg, f)
@@ -79,7 +71,6 @@ def main():
     from ltp_sglang_tpu.config.server_args import ServerArgs
     from ltp_sglang_tpu.entrypoints.engine import Engine
 
-    page_size = int(os.environ.get("BENCH_PAGE_SIZE", "1"))
     args = ServerArgs(
         model_path=d,
         load_format="dummy",
@@ -88,7 +79,7 @@ def main():
         max_total_tokens=max(bs * (prompt_len + gen_len) * 2, 8192),
         max_running_requests=max(bs, 8),
         schedule_policy="fcfs",
-        decode_window_size=int(os.environ.get("BENCH_WINDOW", "8")),
+        decode_window_size=window,
     )
     eng = Engine(args)
 
@@ -110,17 +101,61 @@ def main():
     elapsed = time.time() - t0
     total_tokens = sum(len(o["output_ids"]) for o in outs)
     tok_per_s = total_tokens / elapsed
-
     param_bytes = count_param_bytes(eng.model_runner.params)
+    eng.shutdown() if hasattr(eng, "shutdown") else None
+    del eng
+    gc.collect()
+    return tok_per_s, param_bytes
+
+
+def main():
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    quant_headline = os.environ.get("BENCH_QUANT")
+
+    cfg = dict(LLAMA_1B_CFG)
+    bs, prompt_len, gen_len = (32, 64, 96) if on_tpu else (8, 16, 24)
+    if not on_tpu:
+        cfg.update(
+            hidden_size=256, intermediate_size=512, num_hidden_layers=4,
+            num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+            vocab_size=2048,
+        )
+
+    page_size = int(os.environ.get("BENCH_PAGE_SIZE", "16" if on_tpu else "1"))
+    window = int(os.environ.get("BENCH_WINDOW", "16" if on_tpu else "8"))
+
+    bf16_tok_s, param_bytes = run_one(
+        cfg, None, bs, prompt_len, gen_len, page_size, window
+    )
+    int4_tok_s = None
+    if on_tpu and os.environ.get("BENCH_SKIP_INT4") != "1":
+        try:
+            int4_tok_s, _ = run_one(
+                cfg, quant_headline or "awq", bs, prompt_len, gen_len,
+                page_size, window,
+            )
+        except Exception as e:  # keep the headline line intact
+            print(f"int4 bench failed: {e}", file=sys.stderr)
+
     ideal_step = param_bytes / HBM_BW.get(backend, 100e9)
     ideal_tok_per_s = bs / ideal_step
-    wtag = f"{quant}4" if quant else "bf16"
+    if quant_headline and int4_tok_s is not None:
+        headline, wtag = int4_tok_s, f"{quant_headline}4"
+    else:
+        headline, wtag = bf16_tok_s, "bf16"
     result = {
         "metric": f"decode_tok_per_s_llama1b_{wtag}_bs{bs}_{backend}",
-        "value": round(tok_per_s, 2),
+        "value": round(headline, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tok_per_s / ideal_tok_per_s, 4),
+        "vs_baseline": round(headline / ideal_tok_per_s, 4),
     }
+    if int4_tok_s is not None:
+        result["bf16_tok_per_s"] = round(bf16_tok_s, 2)
+        result["int4_tok_per_s"] = round(int4_tok_s, 2)
+        result["int4_vs_bf16"] = round(int4_tok_s / bf16_tok_s, 4)
     print(json.dumps(result))
 
 

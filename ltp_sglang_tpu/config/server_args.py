@@ -55,6 +55,9 @@ class ServerArgs:
     # the TPU analog of the reference's zero-overhead overlap scheduler.
     # 1 = sync every token (needed for grammar-constrained requests).
     decode_window_size: int = 8
+    # Chain decode windows on device (window N+1's input token read from
+    # window N's output without a host sync); see Scheduler.event_loop_step.
+    disable_window_pipeline: bool = False
     disable_radix_cache: bool = False
     radix_cache_backend: str = "python"  # python | cpp (ctypes C++ tree)
     # Hierarchical KV cache: device tier + host-RAM write-back tier.

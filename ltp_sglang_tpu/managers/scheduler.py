@@ -51,6 +51,12 @@ class BatchResult:
         self.mode = mode
         self.window_k = window_k
         self.logprobs = logprobs  # (chosen [B], top_vals [B,k], top_idx [B,k])
+        # Window-decode snapshot for pipelined chaining: immutable views taken
+        # at dispatch time so post-processing never depends on later batch
+        # mutation (filter_batch) while a continuation window is in flight.
+        self.wb = None  # DecodeWindowBatch (padded device/host arrays)
+        self.reqs = None  # list[Req] lane order at dispatch
+        self.slots = None  # np [n, K] allocated KV slots
 
 
 class Scheduler:
@@ -127,6 +133,8 @@ class Scheduler:
         self.last_decode_log_time = time.time()
 
         self._rid_to_req: Dict[str, Req] = {}
+        # In-flight pipelined decode window (see event_loop_step).
+        self._inflight = None
         # Optional incremental detokenizer (set by the engine when a
         # tokenizer is available); needed for stop-string detection.
         self.detokenizer = None
@@ -230,24 +238,134 @@ class Scheduler:
         self.waiting_queue.clear()
         self.running_batch = None
         self.chunked_req = None
+        self._inflight = None
 
     def has_unfinished_requests(self) -> bool:
         return (
             bool(self.waiting_queue)
             or (self.running_batch is not None and not self.running_batch.is_empty())
             or self.chunked_req is not None
+            or self._inflight is not None
         )
 
     # ------------------------------------------------------------ main loop
     def event_loop_step(self) -> bool:
         """One scheduler iteration (event_loop_normal:753). Returns whether
-        any work was done."""
+        any work was done.
+
+        Decode windows are PIPELINED: when window N is in flight, window N+1
+        is dispatched with N's on-device last token as input (no host sync)
+        BEFORE N's tokens are pulled to the host, so detokenization/stop
+        checking overlaps device compute. This is the TPU translation of the
+        reference's zero-overhead scheduler (tp_worker_overlap_thread.py:
+        negative future-token ids resolved on device, SURVEY §3.3), one level
+        up: whole K-token windows chain on device."""
+        if self._inflight is not None:
+            prev = self._inflight
+            self._inflight = self._dispatch_window_continuation(prev)
+            self._process_window_result(prev)
+            return True
         batch = self.get_next_batch_to_run()
         if batch is None:
             return False
         result = self.run_batch(batch)
+        if (
+            result.mode == ForwardMode.DECODE
+            and result.window_k > 1
+            and result.wb is not None
+            and not self.server_args.disable_window_pipeline
+        ):
+            self._inflight = result
+            return True
         self.process_batch_result(result)
         return True
+
+    def _dispatch_window_continuation(self, prev: BatchResult):
+        """Dispatch window N+1 from window N's snapshot while N is still in
+        flight. Returns the new in-flight BatchResult, or None when the chain
+        must break (pending prefill work, a finished request, nearing length
+        budget/context limit, or KV exhaustion) — the caller then falls back
+        to the normal scheduling path after processing N."""
+        if self.waiting_queue or self.chunked_req is not None:
+            return None
+        wb, K, reqs = prev.wb, prev.window_k, prev.reqs
+        n = len(reqs)
+        for r in reqs:
+            # A request that finished in an earlier window makes its lane dead
+            # weight; one that will exhaust max_new_tokens during the
+            # in-flight or continuation window makes the continuation partly
+            # garbage. Both break the chain (the normal path rebuilds lanes).
+            if r.finished():
+                return None
+            if len(r.output_ids) + 2 * K > r.sampling_params.max_new_tokens:
+                return None
+        seq_end = int(wb.seq0[:n].max()) + 2 * K
+        if seq_end - 1 > self.model_config.context_len:
+            return None
+        if seq_end > self.server_args.context_buckets[-1]:
+            return None
+        from ltp_sglang_tpu.utils import bucketize
+
+        C = bucketize(seq_end, self.server_args.context_buckets)
+        alloc = self.token_to_kv_pool_allocator
+        pool = self.req_to_token_pool
+        if alloc.page_size == 1:
+            flat = alloc.alloc(n * K)
+            if flat is None:
+                return None
+            slots = np.asarray(flat, dtype=np.int32).reshape(n, K)
+        else:
+            slots = np.empty((n, K), dtype=np.int32)
+            got = []
+            for i, r in enumerate(reqs):
+                s0 = int(wb.seq0[i]) + K  # seqlen at continuation start
+                s = alloc.alloc_extend(s0 - 1, K, int(prev.slots[i, K - 1]))
+                if s is None:
+                    for g in got:
+                        alloc.free(g)
+                    return None
+                slots[i] = s
+                got.append(s)
+        for i, r in enumerate(reqs):
+            s0 = int(wb.seq0[i]) + K
+            pool.req_to_token[r.req_pool_idx, s0 - 1 : s0 - 1 + K] = slots[i]
+
+        from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
+
+        B = wb.slots.shape[0]
+        pslots = np.zeros((B, K), dtype=np.int32)
+        pslots[:n] = slots
+        new_wb = DecodeWindowBatch(
+            batch_size=n,
+            input_ids=prev.next_tokens[:, -1],  # device array: no host sync
+            seq0=wb.seq0 + K,
+            slots=pslots,
+            req_indices=wb.req_indices,
+            kv_bucket=C,
+            sampling_info=wb.sampling_info,
+            lora_ids=wb.lora_ids,
+        )
+        self.forward_ct += 1
+        tokens = self.runner.forward_window(new_wb)
+        res = BatchResult(prev.batch, tokens, ForwardMode.DECODE, K)
+        res.wb = new_wb
+        res.reqs = reqs
+        res.slots = slots
+        return res
+
+    def _process_window_result(self, result: BatchResult):
+        tokens = np.asarray(result.next_tokens)[: len(result.reqs)]
+        self._process_decode_window_tokens(
+            result.reqs, result.slots, result.window_k, tokens
+        )
+        batch = self.running_batch
+        if batch is not None:
+            batch.filter_batch()
+            if batch.is_empty():
+                self.running_batch = None
+                batch = None
+        if batch is not None:
+            self._maybe_log_decode_stats(batch)
 
     def get_next_batch_to_run(self) -> Optional[ScheduleBatch]:
         # Try prefill first (prefill-priority policy, like the reference
@@ -632,7 +750,11 @@ class Scheduler:
         if batch.forward_mode == ForwardMode.DECODE and window_k > 1:
             wb = batch.get_window_batch(self.server_args, self.runner.dump_req_row)
             tokens = self.runner.forward_window(wb)
-            return BatchResult(batch, tokens, batch.forward_mode, window_k)
+            res = BatchResult(batch, tokens, batch.forward_mode, window_k)
+            res.wb = wb
+            res.reqs = list(batch.reqs)
+            res.slots = batch.window_slots
+            return res
         fb = batch.get_forward_batch(self.server_args, self.runner.dump_req_row)
         if batch.forward_mode != ForwardMode.DECODE and all(
             r.is_embedding for r in batch.reqs
@@ -814,11 +936,20 @@ class Scheduler:
         self._maybe_log_decode_stats(batch)
 
     def _process_decode_window_result(self, batch: ScheduleBatch, tokens: np.ndarray):
+        self._process_decode_window_tokens(
+            batch.reqs, batch.window_slots, batch.window_K, tokens
+        )
+        batch.filter_batch()
+        if batch.is_empty():
+            self.running_batch = None
+        self._maybe_log_decode_stats(batch)
+
+    def _process_decode_window_tokens(self, reqs, window_slots, K: int,
+                                      tokens: np.ndarray):
         """tokens: [n, K]. Tokens sampled after a stop condition are discarded
         and their pre-allocated KV slots returned to the pool."""
-        K = batch.window_K
         alloc = self.token_to_kv_pool_allocator
-        for i, req in enumerate(batch.reqs):
+        for i, req in enumerate(reqs):
             appended = 0
             for t in range(K):
                 if req.finished():
@@ -834,18 +965,15 @@ class Scheduler:
                 req.check_finished()
             if appended < K:
                 # Slots for steps [appended, K) hold garbage KV; free them.
-                alloc.free(batch.window_slots[i, appended:])
+                alloc.free(window_slots[i, appended:])
             if req.finished():
-                self.tree_cache.cache_finished_req(req)
-                req.finish_time = time.time()
-                self._emit_output(req)
-                self._rid_to_req.pop(req.rid, None)
+                if req.rid in self._rid_to_req:
+                    self.tree_cache.cache_finished_req(req)
+                    req.finish_time = time.time()
+                    self._emit_output(req)
+                    self._rid_to_req.pop(req.rid, None)
             else:
                 self._emit_output(req)
-        batch.filter_batch()
-        if batch.is_empty():
-            self.running_batch = None
-        self._maybe_log_decode_stats(batch)
 
     def _cache_unfinished(self, req: Req):
         """cache_unfinished_req + device-row resync when the radix relink
@@ -885,8 +1013,10 @@ class Scheduler:
     # ------------------------------------------------------------------- misc
     def flush_cache(self) -> bool:
         if (
-            self.running_batch is not None and not self.running_batch.is_empty()
-        ) or self.waiting_queue:
+            (self.running_batch is not None and not self.running_batch.is_empty())
+            or self.waiting_queue
+            or self._inflight is not None
+        ):
             return False
         self.tree_cache.reset()
         self.runner.flush_cache()

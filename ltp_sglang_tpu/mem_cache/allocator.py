@@ -92,11 +92,11 @@ class TokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
 
 
 class _PagedBackup:
-    __slots__ = ("free_pages", "partial_freed")
+    __slots__ = ("free_pages", "issued")
 
-    def __init__(self, free_pages, partial_freed):
+    def __init__(self, free_pages, issued):
         self.free_pages = free_pages
-        self.partial_freed = partial_freed
+        self.issued = issued
 
 
 class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
@@ -106,6 +106,15 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
     token at sequence position p lives in page p // page_size of its own page
     list. alloc_extend gives each request enough new pages to extend from
     prefix_len to seq_len, reusing the partial last page.
+
+    A page owned by requests/tree may have only SOME of its slots issued (an
+    unaligned tail, a truncated decode window). The allocator tracks the set
+    of currently-issued offsets per page and returns the page to the pool
+    when that set empties — the offsets never issued don't block release, and
+    frees spread over several calls (finished-request tails, retract ranges)
+    are accounted exactly. The reference instead frees any touched page
+    (allocator.py:404); issued-set tracking is safe against double-free of a
+    still-live remainder.
     """
 
     def __init__(self, size: int, page_size: int):
@@ -120,18 +129,15 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
         self.free_pages = np.arange(1, self.num_pages + 1, dtype=np.int32)
         self.is_not_in_free_group = True
         self.free_group = []
-        # Cumulative per-page freed-slot offsets: a page whose slots are
-        # released across several free() calls (unaligned finished-request
-        # tails, retract ranges, truncated decode windows) is returned to the
-        # pool once every slot has been freed. Offsets (not counts) so that a
-        # freed tail re-issued by a later alloc_extend partial-page
-        # continuation is un-marked instead of double-counted. The reference
-        # instead frees any touched page (allocator.py:404); offset tracking is
-        # safer against double-free of the still-live remainder.
-        self._partial_freed: dict = {}
+        self._issued: dict = {}  # page -> set of live offsets
 
     def available_size(self) -> int:
         return len(self.free_pages) * self.page_size
+
+    def _mark_issued(self, slots: np.ndarray):
+        for slot in slots.tolist():
+            page, offset = divmod(int(slot), self.page_size)
+            self._issued.setdefault(page, set()).add(offset)
 
     def alloc(self, need_size: int) -> Optional[np.ndarray]:
         """Allocate whole fresh pages covering need_size tokens (used for
@@ -143,8 +149,9 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
         self.free_pages = self.free_pages[num_pages:]
         slots = (
             pages[:, None] * self.page_size + np.arange(self.page_size, dtype=np.int32)
-        ).reshape(-1)
-        return slots[:need_size]
+        ).reshape(-1)[:need_size]
+        self._mark_issued(slots)
+        return slots
 
     def alloc_extend(
         self,
@@ -166,13 +173,6 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
             take = min(self.page_size - offset, extend_len)
             out[:take] = page * self.page_size + np.arange(offset, offset + take)
             filled = take
-            # Re-issued slots may have been freed earlier (truncated decode
-            # window tails); un-mark them so a later free doesn't double-count.
-            offs = self._partial_freed.get(page)
-            if offs is not None:
-                offs.difference_update(range(offset, offset + take))
-                if not offs:
-                    del self._partial_freed[page]
         remaining = extend_len - filled
         if remaining > 0:
             num_pages = -(-remaining // self.page_size)
@@ -185,6 +185,7 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
                 + np.arange(self.page_size, dtype=np.int32)
             ).reshape(-1)
             out[filled:] = slots[:remaining]
+        self._mark_issued(out)
         return out
 
     def alloc_decode(self, seq_len: int, last_slot: int) -> Optional[np.ndarray]:
@@ -196,16 +197,16 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
             return
         indices = np.asarray(indices, dtype=np.int32)
         if self.is_not_in_free_group:
-            # Accumulate freed-slot offsets per page; release a page once all
-            # of its slots have been freed (possibly across multiple calls).
             full = []
             for slot in indices.tolist():
-                page, offset = divmod(slot, self.page_size)
-                offs = self._partial_freed.setdefault(page, set())
-                offs.add(offset)
-                if len(offs) == self.page_size:
+                page, offset = divmod(int(slot), self.page_size)
+                offs = self._issued.get(page)
+                if offs is None:
+                    continue  # page already released (tolerated double-free)
+                offs.discard(offset)
+                if not offs:
                     full.append(page)
-                    del self._partial_freed[page]
+                    del self._issued[page]
             if full:
                 self.free_pages = np.concatenate(
                     [self.free_pages, np.asarray(full, dtype=np.int32)]
@@ -225,9 +226,9 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
     def backup_state(self):
         return _PagedBackup(
             self.free_pages.copy(),
-            {p: s.copy() for p, s in self._partial_freed.items()},
+            {p: s.copy() for p, s in self._issued.items()},
         )
 
     def restore_state(self, state):
         self.free_pages = state.free_pages
-        self._partial_freed = state.partial_freed
+        self._issued = state.issued

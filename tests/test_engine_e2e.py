@@ -182,3 +182,54 @@ def test_return_logprob(engine):
     for (lp, tok, _), (tvals, tids) in zip(lps, tops):
         assert tok == tids[0]
         assert abs(lp - tvals[0]) < 1e-5
+
+
+def test_window_pipeline_parity(dummy_dir):
+    """Pipelined (device-chained) decode windows must produce exactly the
+    greedy outputs of the unpipelined scheduler, including mid-window stops
+    and varying max_new_tokens per request."""
+    prompts = [[1, 2, 3], [4, 5, 6, 7], [8, 9], [10, 11, 12, 13, 14]]
+    sp = [
+        {"max_new_tokens": n, "temperature": 0.0, "ignore_eos": True}
+        for n in (23, 9, 17, 32)
+    ]
+    eng_a = make_engine(dummy_dir, decode_window_size=4)
+    out_a = eng_a.generate(input_ids=prompts, sampling_params=sp)
+    eng_b = make_engine(
+        dummy_dir, decode_window_size=4, disable_window_pipeline=True
+    )
+    out_b = eng_b.generate(input_ids=prompts, sampling_params=sp)
+    for a, b in zip(out_a, out_b):
+        assert a["output_ids"] == b["output_ids"]
+
+
+def test_window_pipeline_no_kv_leak(dummy_dir):
+    """After pipelined runs complete, every KV slot must be back in the
+    allocator (beyond what the radix tree retains)."""
+    eng = make_engine(dummy_dir, decode_window_size=4, disable_radix_cache=True)
+    alloc = eng.scheduler.token_to_kv_pool_allocator
+    total = alloc.available_size()
+    for _ in range(3):
+        eng.generate(
+            input_ids=[[1, 2, 3], [4, 5, 6]],
+            sampling_params={"max_new_tokens": 11, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+    assert alloc.available_size() == total
+
+
+def test_window_pipeline_paged_no_leak(dummy_dir):
+    """Same with the paged allocator (page_size > 1): partial-page frees
+    across windows must eventually release every page."""
+    eng = make_engine(
+        dummy_dir, decode_window_size=4, page_size=4, disable_radix_cache=True
+    )
+    alloc = eng.scheduler.token_to_kv_pool_allocator
+    total = alloc.available_size()
+    for _ in range(3):
+        eng.generate(
+            input_ids=[[1, 2, 3], [4, 5, 6, 7, 8]],
+            sampling_params={"max_new_tokens": 13, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+    assert alloc.available_size() == total
