@@ -60,7 +60,9 @@ def run_one(cfg, quant, bs, prompt_len, gen_len, page_size, window):
     """Build an Engine for `cfg` (optionally quantized) and measure
     steady-state decode tok/s; returns (tok_per_s, param_bytes)."""
     cfg = dict(cfg)
-    if quant:
+    if quant == "fp8":
+        cfg["quantization_config"] = {"quant_method": "fp8", "fmt": "e4m3"}
+    elif quant:
         cfg["quantization_config"] = {
             "quant_method": quant, "bits": 4, "group_size": 128,
         }
@@ -75,6 +77,7 @@ def run_one(cfg, quant, bs, prompt_len, gen_len, page_size, window):
         model_path=d,
         load_format="dummy",
         dtype="bfloat16",
+        kv_cache_dtype=os.environ.get("BENCH_KV", "auto"),
         page_size=page_size,
         max_total_tokens=max(bs * (prompt_len + gen_len) * 2, 8192),
         max_running_requests=max(bs, 8),
@@ -90,10 +93,11 @@ def run_one(cfg, quant, bs, prompt_len, gen_len, page_size, window):
     ]
     sp = {"max_new_tokens": gen_len, "temperature": 0.0, "ignore_eos": True}
 
-    # Warmup: compiles the exact extend + decode buckets the timed run uses
-    # (full batch size, same context bucket). Persistent XLA cache makes
-    # subsequent runs start fast.
-    eng.generate(input_ids=prompts, sampling_params=dict(sp, max_new_tokens=8))
+    # Warmup: a full-length run, so every bucket the timed run touches —
+    # extend, each window/continuation (B, K, C) variant, and the final
+    # unpipelined windows — is compiled before timing. Persistent XLA cache
+    # makes subsequent runs start fast.
+    eng.generate(input_ids=prompts, sampling_params=sp)
     eng.flush_cache()
 
     t0 = time.time()
@@ -143,7 +147,9 @@ def main():
     ideal_step = param_bytes / HBM_BW.get(backend, 100e9)
     ideal_tok_per_s = bs / ideal_step
     if quant_headline and int4_tok_s is not None:
-        headline, wtag = int4_tok_s, f"{quant_headline}4"
+        headline, wtag = int4_tok_s, (
+            quant_headline if quant_headline == "fp8" else f"{quant_headline}4"
+        )
     else:
         headline, wtag = bf16_tok_s, "bf16"
     result = {

@@ -41,9 +41,14 @@ def apply_linear(p: Dict[str, Any], x: jnp.ndarray, group_size: int = 128):
         else:
             out = quantized_matmul_ref(x, p, group_size)
     elif "w8" in p:
-        w = p["w8"].astype(jnp.bfloat16) * p["weight_scale"].astype(jnp.bfloat16)
+        # FP8 weights (per-tensor / per-channel / block-wise scales): stream
+        # fp8 from HBM, dequant fused into the matmul (quantization/fp8.py).
+        from ltp_sglang_tpu.layers.quantization.fp8 import dequant_fp8
+
+        cdt = jnp.bfloat16 if x.dtype != jnp.float32 else jnp.float32
+        w = dequant_fp8(p, out_dtype=cdt)
         out = jnp.einsum(
-            "...k,kn->...n", x, w, preferred_element_type=jnp.float32
+            "...k,kn->...n", x.astype(cdt), w, preferred_element_type=jnp.float32
         ).astype(x.dtype)
     else:
         raise ValueError(f"unknown linear param structure: {sorted(p)}")

@@ -27,9 +27,31 @@ def _load_safetensors_dir(model_path: str) -> Dict[str, Any]:
         raise FileNotFoundError(f"no .safetensors files under {model_path}")
     weights: Dict[str, Any] = {}
     for fn in files:
+        fallback = []
         with safe_open(fn, framework="flax") as f:
             for name in f.keys():
-                weights[name] = f.get_tensor(name)
+                try:
+                    weights[name] = f.get_tensor(name)
+                except Exception:
+                    # The flax bridge maps F8_* to numpy attrs that don't
+                    # exist; bit-view them through torch below.
+                    fallback.append(name)
+        if fallback:
+            import ml_dtypes
+            import torch
+
+            fp8_view = {
+                torch.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+                torch.float8_e5m2: ml_dtypes.float8_e5m2,
+            }
+            with safe_open(fn, framework="pt") as f:
+                for name in fallback:
+                    t = f.get_tensor(name)
+                    md = fp8_view.get(t.dtype)
+                    if md is None:
+                        weights[name] = t.to(torch.float32).numpy()
+                    else:
+                        weights[name] = t.view(torch.uint8).numpy().view(md)
     return weights
 
 

@@ -294,17 +294,24 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         q = jnp.concatenate([q_nope, q_rope], axis=-1)
 
         cache_locs_flat = step.cache_locs.reshape(-1)
+        k_st, v_st, q_att, vsc = self._kv_quantize(
+            lp, kc.dtype,
+            k.reshape(-1, H, self.qk_head_dim),
+            v.reshape(-1, H, self.v_head_dim),
+            q,
+        )
         kc, vc = self.kv_write(
-            kc, vc, li, cache_locs_flat,
-            k.reshape(-1, H, self.qk_head_dim).astype(kc.dtype),
-            v.reshape(-1, H, self.v_head_dim).astype(vc.dtype),
+            kc, vc, li, cache_locs_flat, k_st, v_st,
             jnp.asarray(B * E, jnp.int32),
         )
         Cw = step.kv_indices.shape[1]
         k_pages = kc[li, step.kv_indices].reshape(B, Cw, H, self.qk_head_dim)
         v_pages = vc[li, step.kv_indices].reshape(B, Cw, H, self.v_head_dim)
+        if vsc is not None:
+            k_pages = k_pages.astype(q.dtype)
+            v_pages = v_pages.astype(q.dtype)
         attn_out = self.attn_impl(
-            q,
+            q_att,
             k_pages,
             v_pages,
             step.kv_indices,
@@ -313,6 +320,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             self.sm_scale,
             sliding_window=0,
         )
+        if vsc is not None:
+            attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
         out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, H * self.v_head_dim))
         return h + out, kc, vc
 

@@ -113,17 +113,21 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
             q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
+            k_st, v_st, q_att, vsc = self._kv_quantize(
+                lp, kc.dtype, k.reshape(-1, Hkv, D), v.reshape(-1, Hkv, D), q
+            )
             kc, vc = self.kv_write(
-                kc, vc, li, cache_locs_flat,
-                k.reshape(-1, Hkv, D).astype(kc.dtype),
-                v.reshape(-1, Hkv, D).astype(vc.dtype),
+                kc, vc, li, cache_locs_flat, k_st, v_st,
                 jnp.asarray(B * E, jnp.int32),
             )
             Cw = step.kv_indices.shape[1]
             k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
             v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+            if vsc is not None:
+                k_pages = k_pages.astype(q.dtype)
+                v_pages = v_pages.astype(q.dtype)
             attn_out = self.attn_impl(
-                q,
+                q_att,
                 k_pages,
                 v_pages,
                 step.kv_indices,
@@ -133,6 +137,8 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
                 logit_cap=self.attn_logit_softcap,
                 sliding_window=window,
             )
+            if vsc is not None:
+                attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
             attn_out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, Hq * D))
             attn_out = rms_norm(
                 attn_out, lp["post_attention_layernorm"], self.rms_eps, gemma_style=True

@@ -36,6 +36,14 @@ from ltp_sglang_tpu.ops.kv_cache_ops import kv_write_pallas, kv_write_xla
 from ltp_sglang_tpu.utils.dtypes import to_jnp_dtype
 
 
+def kv_is_fp8(dtype) -> bool:
+    """True for fp8 KV-cache dtypes (scaled storage path)."""
+    return jnp.dtype(dtype) in (
+        jnp.dtype(jnp.float8_e4m3fn),
+        jnp.dtype(jnp.float8_e5m2),
+    )
+
+
 class StepArrays(NamedTuple):
     """Device-side step input (one bucket's padded arrays)."""
 
@@ -72,11 +80,18 @@ class LlamaForCausalLM:
         # int4 leaves instead of dense kernels (layers/quantization).
         self.quant = (
             config.quantization
-            if config.quantization in ("awq", "awq_marlin", "gptq", "gptq_marlin")
+            if config.quantization
+            in ("awq", "awq_marlin", "gptq", "gptq_marlin", "fp8",
+                "compressed-tensors", "w8a8_fp8")
             else None
         )
+        # FP8 (weight fp8 + scales; layers/quantization/fp8.py) vs INT4
+        # (packed nibbles) take different param leaves.
+        self.quant_is_fp8 = self.quant in ("fp8", "compressed-tensors", "w8a8_fp8")
         qc = config.quant_config or {}
         self.quant_group_size = int(qc.get("group_size", 128))
+        wbs = qc.get("weight_block_size")
+        self.fp8_block = int(wbs[0]) if wbs else 128
         self.quant_format = (
             "gptq_v2" if qc.get("checkpoint_format") == "gptq_v2" else "gptq"
         )
@@ -107,10 +122,17 @@ class LlamaForCausalLM:
             )
 
         def proj(K, N):
-            """Dense or (dummy) int4-quantized projection params."""
+            """Dense or (dummy) quantized projection params."""
             if not self.quant:
                 return {"kernel": w(K, N)}
             key_box[0], sub = jax.random.split(key_box[0])
+            if self.quant_is_fp8:
+                return {
+                    "w8": (
+                        jax.random.normal(sub, (K, N), dtype=jnp.float32) * 4.0
+                    ).astype(jnp.float8_e4m3fn),
+                    "weight_scale": jnp.full((1, N), 0.005, dtype=jnp.float32),
+                }
             G = self.quant_group_size
             return {
                 "w4": jax.random.randint(sub, (K // 2, N), -128, 128, dtype=jnp.int32)
@@ -126,6 +148,10 @@ class LlamaForCausalLM:
         layers = {
             "input_layernorm": jnp.ones((L, Dm), dtype=self.dtype),
             "post_attention_layernorm": jnp.ones((L, Dm), dtype=self.dtype),
+            # FP8/INT8 KV-cache scales (reference kv_cache.py:19-62); 1.0
+            # unless the checkpoint provides calibrated scales.
+            "k_scale": jnp.ones((L,), dtype=jnp.float32),
+            "v_scale": jnp.ones((L,), dtype=jnp.float32),
             "q_proj": stack_proj(Dm, Hq * D),
             "k_proj": stack_proj(Dm, Hkv * D),
             "v_proj": stack_proj(Dm, Hkv * D),
@@ -153,6 +179,8 @@ class LlamaForCausalLM:
         layer_specs = {
             "input_layernorm": P(None, None),
             "post_attention_layernorm": P(None, None),
+            "k_scale": P(None),
+            "v_scale": P(None),
             "q_proj": {"kernel": P(None, None, "tp")},
             "k_proj": {"kernel": P(None, None, "tp")},
             "v_proj": {"kernel": P(None, None, "tp")},
@@ -191,6 +219,37 @@ class LlamaForCausalLM:
 
         def stack_linear(sub):
             """Dense or quantized projection -> stacked param dict."""
+            if self.quant_is_fp8 and (
+                has(f"model.layers.0.{sub}.weight_scale")
+                or has(f"model.layers.0.{sub}.weight_scale_inv")
+            ):
+                from ltp_sglang_tpu.layers.quantization.fp8 import (
+                    fp8_scale_key,
+                    unpack_fp8_to_internal,
+                )
+
+                per_layer = []
+                for i in range(L):
+                    name = f"model.layers.{i}.{sub}"
+                    per_layer.append(
+                        unpack_fp8_to_internal(
+                            np.asarray(get(f"{name}.weight")),
+                            np.asarray(get(f"{name}.weight_scale"), dtype=np.float32)
+                            if has(f"{name}.weight_scale")
+                            else None,
+                            np.asarray(
+                                get(f"{name}.weight_scale_inv"), dtype=np.float32
+                            )
+                            if has(f"{name}.weight_scale_inv")
+                            else None,
+                            block=self.fp8_block,
+                        )
+                    )
+                skey, _ = fp8_scale_key(per_layer[0])
+                return {
+                    "w8": jnp.stack([d["w8"] for d in per_layer]),
+                    skey: jnp.stack([d[skey] for d in per_layer]),
+                }
             if self.quant and has(f"model.layers.0.{sub}.qweight"):
                 from ltp_sglang_tpu.layers.quantization.int4 import (
                     unpack_awq_to_internal,
@@ -249,9 +308,29 @@ class LlamaForCausalLM:
                 dtype=self.dtype,
             )
 
+        def kv_scale(which):
+            """Per-layer k/v cache scales; several checkpoint conventions
+            (maybe_remap_kv_scale_name, weight_utils.py:784)."""
+            vals = []
+            for i in range(L):
+                cands = [
+                    f"model.layers.{i}.self_attn.{which}_scale",
+                    f"model.layers.{i}.self_attn.attn.{which}_scale",
+                    f"model.layers.{i}.self_attn.kv_scale",
+                ]
+                v = 1.0
+                for c in cands:
+                    if has(c):
+                        v = float(np.asarray(get(c)).reshape(()))
+                        break
+                vals.append(v)
+            return jnp.asarray(vals, dtype=jnp.float32)
+
         layers = {
             "input_layernorm": stack_vec("input_layernorm"),
             "post_attention_layernorm": stack_vec("post_attention_layernorm"),
+            "k_scale": kv_scale("k"),
+            "v_scale": kv_scale("v"),
             "q_proj": stack_linear("self_attn.q_proj"),
             "k_proj": stack_linear("self_attn.k_proj"),
             "v_proj": stack_linear("self_attn.v_proj"),
@@ -279,6 +358,27 @@ class LlamaForCausalLM:
                 )
             }
         return params
+
+    # ------------------------------------------------------------- fp8 KV
+    def _kv_quantize(self, lp, cache_dtype, k, v, q):
+        """Scaled fp8 KV storage (reference memory_pool.py:369-407 scale-on-
+        write + kv_cache.py:19-62 checkpoint scales): stored k = k / k_scale.
+
+        Dequant never materializes: scores need (q · k*ks) = ks·(q · k_q),
+        so k_scale folds into q; the output needs probs·(v*vs) = vs·(probs·v_q),
+        so the caller multiplies the attention output by the returned v_scale.
+        Softmax sees true dequantized scores either way (ks applied pre-max).
+
+        Returns (k_store, v_store, q_scaled, v_scale_or_None)."""
+        if not kv_is_fp8(cache_dtype):
+            return k.astype(cache_dtype), v.astype(cache_dtype), q, None
+        one = jnp.float32(1.0)
+        ks = lp["k_scale"].astype(jnp.float32) if "k_scale" in lp else one
+        vs = lp["v_scale"].astype(jnp.float32) if "v_scale" in lp else one
+        k_q = (k.astype(jnp.float32) / ks).astype(cache_dtype)
+        v_q = (v.astype(jnp.float32) / vs).astype(cache_dtype)
+        q_s = (q.astype(jnp.float32) * ks).astype(q.dtype)
+        return k_q, v_q, q_s, vs
 
     # ------------------------------------------------- decode-window forward
     def forward_window_token(
@@ -346,16 +446,18 @@ class LlamaForCausalLM:
             q = rope1(q)
             k = rope1(k)
 
+            k_st, v_st, q_att, vsc = self._kv_quantize(lp, wk.dtype, k, v, q)
             wk = jax.lax.dynamic_update_slice(
-                wk, k.astype(wk.dtype).reshape(1, B, 1, Hkv, D), (li, 0, t, 0, 0)
+                wk, k_st.reshape(1, B, 1, Hkv, D), (li, 0, t, 0, 0)
             )
             wv = jax.lax.dynamic_update_slice(
-                wv, v.astype(wv.dtype).reshape(1, B, 1, Hkv, D), (li, 0, t, 0, 0)
+                wv, v_st.reshape(1, B, 1, Hkv, D), (li, 0, t, 0, 0)
             )
 
-            qg = q.reshape(B, Hkv, group, D)
+            qg = q_att.reshape(B, Hkv, group, D)
             s_pre = (
-                jnp.einsum("bhgd,bchd->bhgc", qg, kp, preferred_element_type=jnp.float32)
+                jnp.einsum("bhgd,bchd->bhgc", qg, kp.astype(q.dtype),
+                           preferred_element_type=jnp.float32)
                 * self.sm_scale
             )
             wk_l = jax.lax.dynamic_index_in_dim(wk, li, axis=0, keepdims=False)
@@ -372,12 +474,14 @@ class LlamaForCausalLM:
             e = jnp.exp(s_all - m)
             probs = (e / jnp.maximum(e.sum(-1, keepdims=True), 1e-30)).astype(q.dtype)
             out = jnp.einsum(
-                "bhgc,bchd->bhgd", probs[..., :C], vp,
+                "bhgc,bchd->bhgd", probs[..., :C], vp.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             ) + jnp.einsum(
                 "bhgk,bkhd->bhgd", probs[..., C:], wv_l.astype(q.dtype),
                 preferred_element_type=jnp.float32,
             )
+            if vsc is not None:
+                out = out * vsc
             attn = out.reshape(B, Hq * D).astype(h.dtype)
             h = h + apply_linear(lp["o_proj"], attn, self.quant_group_size)
 
@@ -459,15 +563,17 @@ class LlamaForCausalLM:
             q = rope1(q)
             k = rope1(k)
 
+            k_st, v_st, q_att, vsc = self._kv_quantize(lp, kc.dtype, k, v, q)
             kc, vc = self.kv_write(
-                kc, vc, li, slot_t,
-                k.astype(kc.dtype), v.astype(vc.dtype),
+                kc, vc, li, slot_t, k_st, v_st,
                 jnp.asarray(B, jnp.int32),
             )
             attn = paged_decode_attention(
-                q, kc, vc, li, pages, seq_lens,
+                q_att, kc, vc, li, pages, seq_lens,
                 page_size=page_size, num_kv_heads=Hkv, sm_scale=self.sm_scale,
             )  # [B, Hq, D]
+            if vsc is not None:
+                attn = attn.astype(jnp.float32) * vsc
             attn = attn.reshape(B, Hq * D).astype(h.dtype)
             h = h + apply_linear(lp["o_proj"], attn, self.quant_group_size)
 
@@ -564,21 +670,25 @@ class LlamaForCausalLM:
             q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
 
             # Write new KV into the paged cache (pads land in garbage slot 0),
-            # then attend over the gathered pages (SURVEY §7.5a).
+            # then attend over the gathered pages (SURVEY §7.5a). fp8 caches
+            # store scaled values; the scales fold into q / the output.
+            k_st, v_st, q_att, vsc = self._kv_quantize(
+                lp, kc.dtype, k.reshape(-1, Hkv, D), v.reshape(-1, Hkv, D), q
+            )
             kc, vc = self.kv_write(
-                kc,
-                vc,
-                li,
-                cache_locs_flat,
-                k.reshape(-1, Hkv, D).astype(kc.dtype),
-                v.reshape(-1, Hkv, D).astype(vc.dtype),
+                kc, vc, li, cache_locs_flat, k_st, v_st,
                 jnp.asarray(B * E, jnp.int32),
             )
             Cw = step.kv_indices.shape[1]
             k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
             v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+            if vsc is not None:
+                # fp8 -> compute dtype is exact (e4m3/e5m2 ⊂ bf16); XLA fuses
+                # the convert into the gather/matmul.
+                k_pages = k_pages.astype(q.dtype)
+                v_pages = v_pages.astype(q.dtype)
             attn_out = self.attn_impl(
-                q,
+                q_att,
                 k_pages,
                 v_pages,
                 step.kv_indices,
@@ -587,6 +697,8 @@ class LlamaForCausalLM:
                 self.sm_scale,
                 sliding_window=self.sliding_window,
             )
+            if vsc is not None:
+                attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
             h = h + lin("o_proj", attn_out.reshape(B, E, Hq * D))
 
             # MLP (subclasses override mlp() — MoE models route here)
