@@ -24,8 +24,15 @@ import jax.numpy as jnp
 from ltp_sglang_tpu.layers.quantization.int4 import quantized_matmul_ref
 
 
-def apply_linear(p: Dict[str, Any], x: jnp.ndarray, group_size: int = 128):
-    """x: [..., K] -> [..., N]."""
+def apply_linear(p: Dict[str, Any], x: jnp.ndarray, group_size: int = 128,
+                 li=None):
+    """x: [..., K] -> [..., N].
+
+    `li`: layer index for LAYER-STACKED quantized leaves ([L, ...]). Models
+    keep int4 leaves out of their lax.scan xs and index them inside the
+    Pallas kernel instead — XLA cannot fuse a slice into a custom-call
+    operand, so scanned quant weights would be copied in full every step.
+    """
     if "kernel" in p:
         out = jnp.einsum(
             "...k,kn->...n", x, p["kernel"], preferred_element_type=jnp.float32
@@ -36,9 +43,14 @@ def apply_linear(p: Dict[str, Any], x: jnp.ndarray, group_size: int = 128):
 
             out = int4_matmul_pallas(
                 x, p["w4"], p["scales"], p["zeros"], group_size,
-                perm=p.get("perm"),
+                perm=p.get("perm"), layer_idx=li,
             )
         else:
+            if p["w4"].ndim == 3:  # stacked: slice the layer for the ref path
+                p = {
+                    k: (v[li] if hasattr(v, "ndim") and v.ndim >= 2 else v)
+                    for k, v in p.items()
+                }
             out = quantized_matmul_ref(x, p, group_size)
     elif "w8" in p:
         # FP8 weights (per-tensor / per-channel / block-wise scales): stream

@@ -101,14 +101,23 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         )
         cache_locs_flat = step.cache_locs.reshape(-1)
 
+        layers, quant_stacked = self._split_quant_leaves(params["layers"])
+
         def layer_body(carry, xs):
             h, kc, vc = carry
             lp, li, window = xs
 
+            def lin(name, x):
+                if quant_stacked is not None and name in quant_stacked:
+                    return apply_linear(
+                        quant_stacked[name], x, self.quant_group_size, li=li
+                    )
+                return apply_linear(lp[name], x, self.quant_group_size)
+
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps, gemma_style=True)
-            q = apply_linear(lp["q_proj"], normed)
-            k = apply_linear(lp["k_proj"], normed)
-            v = apply_linear(lp["v_proj"], normed)
+            q = lin("q_proj", normed)
+            k = lin("k_proj", normed)
+            v = lin("v_proj", normed)
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
@@ -139,7 +148,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             )
             if vsc is not None:
                 attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
-            attn_out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, Hq * D))
+            attn_out = lin("o_proj", attn_out.reshape(B, E, Hq * D))
             attn_out = rms_norm(
                 attn_out, lp["post_attention_layernorm"], self.rms_eps, gemma_style=True
             )
@@ -148,11 +157,9 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             normed = rms_norm(
                 h, lp["pre_feedforward_layernorm"], self.rms_eps, gemma_style=True
             )
-            gate = apply_linear(lp["gate_proj"], normed)
-            up = apply_linear(lp["up_proj"], normed)
-            mlp = apply_linear(
-                lp["down_proj"], jax.nn.gelu(gate, approximate=True) * up
-            )
+            gate = lin("gate_proj", normed)
+            up = lin("up_proj", normed)
+            mlp = lin("down_proj", jax.nn.gelu(gate, approximate=True) * up)
             mlp = rms_norm(
                 mlp, lp["post_feedforward_layernorm"], self.rms_eps, gemma_style=True
             )
@@ -164,7 +171,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             layer_body,
             (hidden, k_cache, v_cache),
             (
-                params["layers"],
+                layers,
                 jnp.arange(L, dtype=jnp.int32),
                 jnp.asarray(self.layer_windows),
             ),

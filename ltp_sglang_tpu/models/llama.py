@@ -359,6 +359,21 @@ class LlamaForCausalLM:
             }
         return params
 
+    # -------------------------------------------------------- quant leaves
+    def _split_quant_leaves(self, layers):
+        """Split layer params into (scan_xs, stacked_quant_or_None).
+
+        INT4 leaves stay OUT of the lax.scan xs and are indexed inside the
+        Pallas kernel by layer id: a slice cannot fuse into a custom-call
+        operand, so scanning them copies every layer's packed weights each
+        step (traced at ~35% of a quantized decode step)."""
+        quant = {
+            k: v for k, v in layers.items() if isinstance(v, dict) and "w4" in v
+        }
+        if not quant:
+            return layers, None
+        return {k: v for k, v in layers.items() if k not in quant}, quant
+
     # ------------------------------------------------------------- fp8 KV
     def _kv_quantize(self, lp, cache_dtype, k, v, q):
         """Scaled fp8 KV storage (reference memory_pool.py:369-407 scale-on-
@@ -429,14 +444,23 @@ class LlamaForCausalLM:
         if self.sliding_window:
             mask_pre = mask_pre & (cpos > (pos - self.sliding_window)[:, None])
 
+        layers, quant_stacked = self._split_quant_leaves(params["layers"])
+
         def layer_body(carry, xs):
             h, wk, wv = carry
             lp, li, kp, vp = xs  # kp/vp: [B, C, Hkv, D]
 
+            def lin(name, x):
+                if quant_stacked is not None and name in quant_stacked:
+                    return apply_linear(
+                        quant_stacked[name], x, self.quant_group_size, li=li
+                    )
+                return apply_linear(lp[name], x, self.quant_group_size)
+
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = apply_linear(lp["q_proj"], normed, self.quant_group_size)
-            k = apply_linear(lp["k_proj"], normed, self.quant_group_size)
-            v = apply_linear(lp["v_proj"], normed, self.quant_group_size)
+            q = lin("q_proj", normed)
+            k = lin("k_proj", normed)
+            v = lin("v_proj", normed)
             q = q.reshape(B, Hq, D)
             k = k.reshape(B, Hkv, D)
             v = v.reshape(B, Hkv, D)
@@ -483,17 +507,22 @@ class LlamaForCausalLM:
             if vsc is not None:
                 out = out * vsc
             attn = out.reshape(B, Hq * D).astype(h.dtype)
-            h = h + apply_linear(lp["o_proj"], attn, self.quant_group_size)
+            h = h + lin("o_proj", attn)
 
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            h = h + self.mlp(lp, normed)
+            if quant_stacked is not None and "gate_proj" in quant_stacked:
+                gate = lin("gate_proj", normed)
+                up = lin("up_proj", normed)
+                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+            else:
+                h = h + self.mlp(lp, normed)
             return (h, wk, wv), None
 
         L = cfg.num_layers
         (hidden, win_k, win_v), _ = jax.lax.scan(
             layer_body,
             (hidden, win_k, win_v),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32), k_pages, v_pages),
+            (layers, jnp.arange(L, dtype=jnp.int32), k_pages, v_pages),
         )
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         if self.tie_word_embeddings:
@@ -546,14 +575,23 @@ class LlamaForCausalLM:
                 o = jnp.concatenate([o, x_pass], axis=-1)
             return o.astype(x.dtype)
 
+        layers, quant_stacked = self._split_quant_leaves(params["layers"])
+
         def layer_body(carry, xs):
             h, kc, vc = carry
             lp, li = xs
 
+            def lin(name, x):
+                if quant_stacked is not None and name in quant_stacked:
+                    return apply_linear(
+                        quant_stacked[name], x, self.quant_group_size, li=li
+                    )
+                return apply_linear(lp[name], x, self.quant_group_size)
+
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = apply_linear(lp["q_proj"], normed, self.quant_group_size)
-            k = apply_linear(lp["k_proj"], normed, self.quant_group_size)
-            v = apply_linear(lp["v_proj"], normed, self.quant_group_size)
+            q = lin("q_proj", normed)
+            k = lin("k_proj", normed)
+            v = lin("v_proj", normed)
             q = q.reshape(B, Hq, D)
             k = k.reshape(B, Hkv, D)
             v = v.reshape(B, Hkv, D)
@@ -575,17 +613,22 @@ class LlamaForCausalLM:
             if vsc is not None:
                 attn = attn.astype(jnp.float32) * vsc
             attn = attn.reshape(B, Hq * D).astype(h.dtype)
-            h = h + apply_linear(lp["o_proj"], attn, self.quant_group_size)
+            h = h + lin("o_proj", attn)
 
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            h = h + self.mlp(lp, normed)
+            if quant_stacked is not None and "gate_proj" in quant_stacked:
+                gate = lin("gate_proj", normed)
+                up = lin("up_proj", normed)
+                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+            else:
+                h = h + self.mlp(lp, normed)
             return (h, kc, vc), None
 
         L = cfg.num_layers
         (hidden, k_cache, v_cache), _ = jax.lax.scan(
             layer_body,
             (hidden, k_cache, v_cache),
-            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+            (layers, jnp.arange(L, dtype=jnp.int32)),
         )
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         if self.tie_word_embeddings:
@@ -633,6 +676,7 @@ class LlamaForCausalLM:
             lora_layers = {k: v for k, v in lora.items() if k != "scaling"}
         else:
             lora_layers = None
+        layers, quant_stacked = self._split_quant_leaves(params["layers"])
 
         def layer_body(carry, xs):
             h, kc, vc = carry
@@ -642,7 +686,12 @@ class LlamaForCausalLM:
                 lp, li = xs
 
             def lin(name, x):
-                y = apply_linear(lp[name], x, self.quant_group_size)
+                if quant_stacked is not None and name in quant_stacked:
+                    y = apply_linear(
+                        quant_stacked[name], x, self.quant_group_size, li=li
+                    )
+                else:
+                    y = apply_linear(lp[name], x, self.quant_group_size)
                 if lora_layers is not None and name in ll:
                     T = x.shape[0] * x.shape[1]
                     delta = lora_apply(
@@ -703,7 +752,10 @@ class LlamaForCausalLM:
 
             # MLP (subclasses override mlp() — MoE models route here)
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            if lora_layers is not None and "gate_proj" in lp:
+            has_gate = "gate_proj" in lp or (
+                quant_stacked is not None and "gate_proj" in quant_stacked
+            )
+            if has_gate and (lora_layers is not None or quant_stacked is not None):
                 gate = lin("gate_proj", normed)
                 up = lin("up_proj", normed)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
@@ -712,7 +764,7 @@ class LlamaForCausalLM:
             return (h, kc, vc), None
 
         L = cfg.num_layers
-        xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        xs = (layers, jnp.arange(L, dtype=jnp.int32))
         if lora_layers is not None:
             xs = xs + (lora_layers,)
         (hidden, k_cache, v_cache), _ = jax.lax.scan(

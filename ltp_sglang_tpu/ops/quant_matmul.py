@@ -6,8 +6,35 @@ TPU replacement for the reference's Marlin/CUTLASS fused WNA16 GEMMs
 unpacked and dequantized on the VPU in VMEM, and feed the MXU in bf16.
 
 Layout (layers/quantization/int4.py): w4 int8 [K/2, N] with nibble-split
-along K, so each grid step dequantizes two row half-blocks that accumulate
-into the SAME output block (two MXU calls per step, no lane interleaving).
+along K — the low nibble of packed row k is original row k, the high nibble
+is row K/2 + k, so both nibbles of a block accumulate into the same output
+columns.
+
+Design notes (each learned from a measured failure):
+- Weight blocks are [Kb, Nb] with Nb >= ~2-4 KB so each DMA burst is a long
+  contiguous run of an HBM row. An [Kb, Nb=512B] block reads 512-byte
+  bursts out of 2-16 KB rows — measured ~300 GB/s effective vs ~700 for the
+  bf16 XLA matmuls.
+- The int8 -> int32 widen + nibble split is done per N-SUBTILE inside the
+  kernel, not on the whole block: widening a [2048, 2048] block up front
+  allocates 16 MB of f32 stack and OOMs the 16 MB scoped-vmem budget.
+- The kernel takes the whole layer-stacked weight tensor [L, K/2, N] plus a
+  scalar-prefetched layer index, so models can keep quantized leaves OUT of
+  their lax.scan xs: XLA cannot fuse a slice into a custom-call operand, so
+  scanning over stacked weights materializes a full copy of every layer's
+  weights every step (~35% of a quantized decode step, trace: loop fusions
+  at the scan site moving all weight bytes at VMEM speed).
+- Kb is kept >= 8 * group_size so scale blocks are [gb >= 8, Nb] (f32
+  sublane tile rule); when K is too small, scales are pre-repeated to a
+  smaller effective group.
+- Dequant NEVER touches the [Kb, Nb] weights elementwise. Applying
+  (q - z) * s to the weight matrix costs Kb*Nb VPU ops and measured ~2x the
+  whole kernel's DMA floor; instead the affine factors move to the [M, Nb]
+  per-group PARTIAL PRODUCTS (M is the decode batch, 32-128):
+      out = sum_g s[g] * (x_g @ q_g)  -  (groupsum x) @ (z * s)
+  i.e. one small MXU dot per scale group plus one [M, gb] x [gb, Nb]
+  correction dot. Measured (M32 K2048 N16384): elementwise dequant 57 us,
+  this scheme 38 us, pure-DMA floor 29 us, HBM floor 25.6 us.
 """
 
 from __future__ import annotations
@@ -20,139 +47,161 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ltp_sglang_tpu.utils import cdiv
+# VMEM budget for one w4 block (double-buffered by the pipeline). Sized so
+# blocks + stack fit the 16 MB scoped-vmem limit even at prefill Mb=128
+# (out/acc [128, Nb] f32 revisited blocks).
+_W4_BLOCK_BYTES = 2 << 20
+# Stack budget for the per-subtile int32 widen (+ bf16 halves).
+_SUBTILE_I32_BYTES = 2 << 20
 
 
 def _effective_group(G: int, Kb: int) -> int:
     """Largest divisor of G with Kb // Geff >= 8 (scale-block sublane rule)."""
     geff = G
     while geff > 1 and Kb // geff < 8:
-        # G is a power of two times small factors in practice; halve.
         geff //= 2
     return max(geff, 1)
 
 
 def _int4_matmul_kernel(
+    li_ref,  # [1] int32 scalar prefetch: layer index
     x_lo_ref,  # [Mb, Kb] bf16 (rows k0 .. k0+Kb of x)
     x_hi_ref,  # [Mb, Kb] bf16 (rows K/2+k0 ..)
-    w4_ref,  # [Kb, Nb] int8 packed
-    s_lo_ref,  # [Kb/Geff, Nb] f32
+    w4_ref,  # [1, Kb, Nb] int8 packed
+    s_lo_ref,  # [1, gb, Nb] f32
     s_hi_ref,
-    zs_lo_ref,  # [Kb/Geff, Nb] f32 (zeros * scales, precomputed)
-    zs_hi_ref,
+    z_lo_ref,  # [1, gb, Nb] f32 (zero points)
+    z_hi_ref,
     out_ref,  # [Mb, Nb] f32 (revisited across k)
     acc_ref,  # scratch [Mb, Nb] f32
     *,
     group_size: int,
+    n_subtile: int,
 ):
-    """Group-factored dequant: y = Σ_g s[g]·(x_g @ q_g) − (x @ sel) @ zs.
-
-    The naive form ((q−z)·s then one big matmul) pays O(K·N) VPU work per
-    block to broadcast scales/zeros over every weight element (jnp.repeat
-    dominated the kernel: measured slower than the bf16 matmul it replaces).
-    Factoring the affine dequant moves scaling to the [Mb, Nb] output block
-    (O(M·N) per group) and folds the zero correction for ALL groups in the
-    block into one rank-ng matmul via per-group activation sums."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Mosaic can't cast uint8->bf16 directly; widen through int32.
-    w = w4_ref[:].astype(jnp.int32) & 0xFF
-    lo = (w & 0xF).astype(jnp.bfloat16)
-    hi = ((w >> 4) & 0xF).astype(jnp.bfloat16)
-
     Mb, Kb = x_lo_ref.shape
+    Nb = w4_ref.shape[2]
     geff = group_size
-    ng = Kb // geff
-    # Group-selector matrix [Kb, ng]: column g sums rows of group g.
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (Kb, ng), 0) // geff
-        == jax.lax.broadcasted_iota(jnp.int32, (Kb, ng), 1)
-    ).astype(jnp.bfloat16)
+    gb = Kb // geff
 
-    def half(x_ref, q, s_ref, zs_ref):
-        x = x_ref[:]
-        acc = jnp.zeros_like(acc_ref)
-        for g in range(ng):
-            mm = jnp.dot(
-                x[:, g * geff:(g + 1) * geff],
-                q[g * geff:(g + 1) * geff, :],
-                preferred_element_type=jnp.float32,
-            )
-            acc += mm * s_ref[g, :][None, :]
-        sx = jnp.dot(x, sel, preferred_element_type=jnp.float32)  # [Mb, ng]
-        acc -= jax.lax.dot_general(
-            sx, zs_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    x_lo = x_lo_ref[:]
+    x_hi = x_hi_ref[:]
+    # Per-group sums of x (f32), reused by every N-subtile's zero correction.
+    xs_lo = x_lo.astype(jnp.float32).reshape(Mb, gb, geff).sum(axis=2)
+    xs_hi = x_hi.astype(jnp.float32).reshape(Mb, gb, geff).sum(axis=2)
+    for ns in range(0, Nb, n_subtile):
+        Ns = min(n_subtile, Nb - ns)
+        # Widen per subtile: Mosaic can't cast uint8->bf16 directly; go
+        # through int32, bounded to the subtile so the stack stays small.
+        sub = w4_ref[0, :, ns:ns + Ns].astype(jnp.int32) & 0xFF
+        lo = (sub & 0xF).astype(jnp.bfloat16)
+        hi = ((sub >> 4) & 0xF).astype(jnp.bfloat16)
+
+        def half(x, xs, q, s_ref, z_ref):
+            s = s_ref[0, :, ns:ns + Ns]  # [gb, Ns] f32
+            part = jnp.zeros((Mb, Ns), jnp.float32)
+            for g in range(gb):
+                mm = jnp.dot(
+                    x[:, g * geff:(g + 1) * geff],
+                    q[g * geff:(g + 1) * geff, :],
+                    preferred_element_type=jnp.float32,
+                )
+                part += mm * s[g, :][None, :]
+            zs = s * z_ref[0, :, ns:ns + Ns]  # [gb, Ns] f32
+            return part - jnp.dot(xs, zs, preferred_element_type=jnp.float32)
+
+        acc_ref[:, ns:ns + Ns] += (
+            half(x_lo, xs_lo, lo, s_lo_ref, z_lo_ref)
+            + half(x_hi, xs_hi, hi, s_hi_ref, z_hi_ref)
         )
-        return acc
-
-    acc_ref[:] += half(x_lo_ref, lo, s_lo_ref, zs_lo_ref) + half(
-        x_hi_ref, hi, s_hi_ref, zs_hi_ref
-    )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         out_ref[:] = acc_ref[:]
 
 
+def _divisors_desc(n: int):
+    return sorted((d for d in range(1, n + 1) if n % d == 0), reverse=True)
+
+
+def _pick_blocks(Kh: int, N: int, G: int):
+    """Choose (Kb, Nb) s.t. Kb*Nb <= budget, Kb >= 8G when possible (scale
+    sublane rule), and Nb is a long contiguous run (>= 2 KB when N allows)."""
+    # Kb: prefer >= 8*G (so gb >= 8 without repeating scales), capped at Kh.
+    kb_target = min(Kh, max(8 * G, 8))
+    Kb = next((d for d in _divisors_desc(Kh) if d <= kb_target), 8)
+    # Nb: largest divisor of N (multiple of 128 if possible) fitting budget.
+    max_nb = max(_W4_BLOCK_BYTES // Kb, 128)
+    cands = [d for d in _divisors_desc(N) if d <= max_nb]
+    pref = [d for d in cands if d % 128 == 0]
+    Nb = (pref or cands)[0]
+    return Kb, Nb
+
+
 @functools.partial(jax.jit, static_argnames=("group_size",))
-def _int4_matmul_2d(x, w4, scales, zeros, group_size: int):
-    """x [M, K] -> [M, N] f32. Shapes must satisfy the block constraints
-    (guaranteed by the padding wrapper below)."""
+def _int4_matmul_stacked(x, w4, scales, zeros, li, group_size: int):
+    """x [M, K] -> [M, N] f32 against layer li of stacked [L, K/2, N]
+    weights. Shapes must satisfy the block constraints (guaranteed by the
+    padding wrapper below)."""
     M, K = x.shape
-    Kh, N = w4.shape
+    L, Kh, N = w4.shape
     G = group_size
 
-    def pick(total, candidates):
-        for c in candidates:
-            if c <= total and total % c == 0:
-                return c
-        raise ValueError(f"no block size for dim {total} from {candidates}")
-
-    Mb = pick(M, [256, 128, 64, 32, 16, 8, 4, 2, 1])
-    Nb = pick(N, [512, 256, 128])
-    # K blocks must hold whole scale groups, and the scale block needs >= 8
-    # sublanes: use an effective group size Geff (scales pre-repeated by the
-    # caller) so that Kb // Geff >= 8.
-    assert G <= Kh, "group_size must not exceed K/2"
-    Kb = pick(Kh, [c for c in (1024, 512, 256, 128, 64, 32, 16, 8) if c % G == 0])
+    Mb = next(c for c in (128, 64, 32, 16, 8, 4, 2, 1)
+              if c <= M and M % c == 0)
+    Kb, Nb = _pick_blocks(Kh, N, G)
     grid = (M // Mb, N // Nb, Kh // Kb)
     kh_blocks = Kh // Kb  # offset (in blocks) of the hi half's x rows
-    Geff = _effective_group(G, Kb)
+    Geff = _effective_group(min(G, Kb), Kb)
     if Geff != G:
         reps = G // Geff
-        scales = jnp.repeat(scales, reps, axis=0)
-        zeros = jnp.repeat(zeros, reps, axis=0)
+        scales = jnp.repeat(scales, reps, axis=1)
+        zeros = jnp.repeat(zeros, reps, axis=1)
     gb = Kb // Geff  # scale rows per block (>= 8)
     g_hi_off = kh_blocks
 
-    zs = zeros * scales  # [K/Geff, N] f32, tiny vs the weight stream
+    # Inner N-subtile sized so the int32 widen stays within the stack budget.
+    n_subtile = max(128, min(Nb, _SUBTILE_I32_BYTES // (4 * Kb) // 128 * 128))
+
     x = x.astype(jnp.bfloat16)
-    out = pl.pallas_call(
-        functools.partial(_int4_matmul_kernel, group_size=Geff),
+    li = jnp.asarray(li, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Mb, Kb), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (Mb, Kb), lambda m, n, k: (m, k + kh_blocks), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((Kb, Nb), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, Nb), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (gb, Nb), lambda m, n, k: (k + g_hi_off, n), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((gb, Nb), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (gb, Nb), lambda m, n, k: (k + g_hi_off, n), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((Mb, Kb), lambda m, n, k, li: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mb, Kb), lambda m, n, k, li: (m, k + kh_blocks),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Kb, Nb), lambda m, n, k, li: (li[0], k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, Nb), lambda m, n, k, li: (li[0], k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, Nb), lambda m, n, k, li: (li[0], k + g_hi_off, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, Nb), lambda m, n, k, li: (li[0], k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, Nb), lambda m, n, k, li: (li[0], k + g_hi_off, n),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Mb, Nb), lambda m, n, k: (m, n), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        out_specs=pl.BlockSpec((Mb, Nb), lambda m, n, k, li: (m, n),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((Mb, Nb), jnp.float32)],
+    )
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(
+            _int4_matmul_kernel,
+            group_size=Geff,
+            n_subtile=n_subtile,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -161,27 +210,41 @@ def _int4_matmul_2d(x, w4, scales, zeros, group_size: int):
             bytes_accessed=Kh * N + M * 2 * Kh * 2 + M * N * 4,
             transcendentals=0,
         ),
-    )(x, x, w4, scales, scales, zs, zs)
+        interpret=interpret,
+    )(li, x, x, w4, scales, scales, zeros, zeros)
     return out
 
 
-def int4_matmul_pallas(x, w4, scales, zeros, group_size: int, perm=None):
-    """x [..., K] @ dequant(w4) [K, N] with INT4 weights streamed packed.
+def int4_matmul_pallas(x, w4, scales, zeros, group_size: int, perm=None,
+                       layer_idx=None):
+    """x [..., K] @ dequant(w4)[K, N] with INT4 weights streamed packed.
 
+    Two calling shapes:
+      per-layer: w4 [K/2, N], scales/zeros [K/G, N]  (perm [K])
+      stacked:   w4 [L, K/2, N], ... [L, K/G, N], layer_idx scalar — for use
+                 inside a lax.scan over layers without copying weights
+                 (perm [L, K]).
     Pads M to the sublane tile; requires K/2 and N to divide into the block
     grid (true for all supported model dims).
     """
+    stacked = w4.ndim == 3
     if perm is not None:
-        x = jnp.take(x, perm, axis=-1)
+        p = perm[layer_idx] if (stacked and perm.ndim == 2) else perm
+        x = jnp.take(x, p, axis=-1)
     orig_dtype = x.dtype
     lead = x.shape[:-1]
     K = x.shape[-1]
-    Kh, N = w4.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
     Mp = max(16, 1 << (M - 1).bit_length())  # pow2 >= M, min 16 (bf16 tile)
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    out = _int4_matmul_2d(x2, w4, scales, zeros, group_size)
+    if not stacked:
+        w4 = w4[None]
+        scales = scales[None]
+        zeros = zeros[None]
+        layer_idx = 0
+    N = w4.shape[2]
+    out = _int4_matmul_stacked(x2, w4, scales, zeros, layer_idx, group_size)
     out = out[:M].reshape(*lead, N)
     return out.astype(orig_dtype)
