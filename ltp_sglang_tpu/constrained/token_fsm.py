@@ -45,6 +45,7 @@ class TokenFSM:
         self.vocab_size = vocab_size
         self.eos_ids = list(eos_ids)
         self._mask_cache: Dict[int, np.ndarray] = {}
+        self._stable_cache: Dict[int, Optional[np.ndarray]] = {}
 
     def allowed_mask(self, state: int) -> np.ndarray:
         """bool [V]: True = ALLOWED from this DFA state."""
@@ -70,6 +71,37 @@ class TokenFSM:
                 mask[e] = True
         self._mask_cache[state] = mask
         return mask
+
+    def stable_mask(self, state: int, max_states: int = 64):
+        """If every char-reachable DFA state from `state` has an IDENTICAL
+        allowed-token mask, return that mask — it then stays valid for any
+        number of decode steps, so the scheduler can run a whole K-step
+        device window under one constant vocab mask (the reference applies
+        per-step masks on device, sampling_batch_info.py:171-223; this is
+        the window-program analog). Returns None when masks diverge within
+        the closure or the closure exceeds `max_states` (fall back to
+        per-token masking, K=1)."""
+        if state in self._stable_cache:
+            return self._stable_cache[state]
+        seen = {state}
+        stack = [state]
+        trans = self.dfa.transitions
+        while stack:
+            s = stack.pop()
+            for _, _, dst in trans[s]:
+                if dst not in seen:
+                    if len(seen) >= max_states:
+                        self._stable_cache[state] = None
+                        return None
+                    seen.add(dst)
+                    stack.append(dst)
+        base = self.allowed_mask(state)
+        for s in seen:
+            if s != state and not np.array_equal(self.allowed_mask(s), base):
+                self._stable_cache[state] = None
+                return None
+        self._stable_cache[state] = base
+        return base
 
 
 class RegexGrammar:
@@ -107,6 +139,14 @@ class RegexGrammar:
         """mask_row: bool [V], True = FORBIDDEN (runner semantics)."""
         allowed = self.fsm.allowed_mask(self.state)
         np.logical_not(allowed, out=mask_row[: len(allowed)])
+
+    def window_stable_mask(self):
+        """Forbidden-mask [V] valid for arbitrarily many steps from the
+        current state, or None (see TokenFSM.stable_mask)."""
+        allowed = self.fsm.stable_mask(self.state)
+        if allowed is None:
+            return None
+        return ~allowed
 
     def is_terminated(self) -> bool:
         return self.finished

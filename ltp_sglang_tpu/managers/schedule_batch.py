@@ -409,6 +409,12 @@ class ScheduleBatch:
         req_idx[:n] = [r.req_pool_idx for r in self.reqs]
         lora_ids = np.zeros((B,), np.int32)
         lora_ids[:n] = [getattr(r, "lora_id", 0) for r in self.reqs]
+        si = self.sampling_info.padded(B)
+        if si.has_penalties:
+            si.build_penalty_tensors(self.reqs, B)
+        mask = getattr(self, "window_vocab_mask", None)  # [n, V] or None
+        if mask is not None and mask.shape[0] < B:
+            mask = np.pad(mask, ((0, B - mask.shape[0]), (0, 0)))
         return DecodeWindowBatch(
             batch_size=n,
             input_ids=input_ids,
@@ -416,8 +422,10 @@ class ScheduleBatch:
             slots=slots,
             req_indices=req_idx,
             kv_bucket=C,
-            sampling_info=self.sampling_info.padded(B),
+            sampling_info=si,
             lora_ids=lora_ids,
+            vocab_mask=mask,
+            want_logprobs=any(r.return_logprob for r in self.reqs),
         )
 
     def check_decode_mem(self, buf_multiplier: int = 1) -> bool:

@@ -335,6 +335,13 @@ class Scheduler:
         B = wb.slots.shape[0]
         pslots = np.zeros((B, K), dtype=np.int32)
         pslots[:n] = slots
+        si = wb.sampling_info
+        aux = getattr(prev, "aux", None)
+        if aux is not None and aux.get("counts") is not None:
+            # Chain penalty counts device-to-device: window N's in-loop
+            # updates become window N+1's initial counts without a host sync.
+            si.output_counts = aux["counts"]
+            si.seen_mask = aux["seen"]
         new_wb = DecodeWindowBatch(
             batch_size=n,
             input_ids=prev.next_tokens[:, -1],  # device array: no host sync
@@ -342,21 +349,27 @@ class Scheduler:
             slots=pslots,
             req_indices=wb.req_indices,
             kv_bucket=C,
-            sampling_info=wb.sampling_info,
+            sampling_info=si,
             lora_ids=wb.lora_ids,
+            # Grammar masks are closure-stable (token_fsm.stable_mask), so
+            # the same mask stays valid for the continuation window.
+            vocab_mask=wb.vocab_mask,
+            want_logprobs=wb.want_logprobs,
         )
         self.forward_ct += 1
-        tokens = self.runner.forward_window(new_wb)
+        tokens, new_aux = self.runner.forward_window(new_wb)
         res = BatchResult(prev.batch, tokens, ForwardMode.DECODE, K)
         res.wb = new_wb
         res.reqs = reqs
         res.slots = slots
+        res.aux = new_aux
         return res
 
     def _process_window_result(self, result: BatchResult):
         tokens = np.asarray(result.next_tokens)[: len(result.reqs)]
         self._process_decode_window_tokens(
-            result.reqs, result.slots, result.window_k, tokens
+            result.reqs, result.slots, result.window_k, tokens,
+            getattr(result, "aux", None),
         )
         batch = self.running_batch
         if batch is not None:
@@ -460,25 +473,32 @@ class Scheduler:
     # ------------------------------------------------------------ decode path
     def _choose_window(self, batch: ScheduleBatch) -> int:
         """Pick the decode-window length K for this batch: bounded by config,
-        remaining generation budget, context headroom, and constrained-decode
-        requests (grammar masks change per token => K=1)."""
+        remaining generation budget, and context headroom. Penalties and
+        chosen-token logprobs run IN the window program (count updates and
+        logprob capture are in-loop, model_runner._window_sample_step);
+        grammar requests window under a constant vocab mask whenever the DFA
+        closure from the current state has a stable mask
+        (token_fsm.TokenFSM.stable_mask) — else K=1."""
         w = self.server_args.decode_window_size
+        batch.window_vocab_mask = None
         if w <= 1:
             return 1
-        if any(getattr(r, "grammar", None) is not None for r in batch.reqs):
+        # Score-API label logprobs need the full logits row on host per step.
+        if any(r.token_ids_logprob for r in batch.reqs):
             return 1
-        if any(r.return_logprob or r.token_ids_logprob for r in batch.reqs):
-            return 1
-        # Penalties need per-token count updates (single-step path ships the
-        # count tensors each step).
-        sp = [r.sampling_params for r in batch.reqs]
-        if any(
-            s.frequency_penalty != 0.0
-            or s.presence_penalty != 0.0
-            or s.repetition_penalty != 1.0
-            for s in sp
-        ):
-            return 1
+        grams = [getattr(r, "grammar", None) for r in batch.reqs]
+        if any(g is not None for g in grams):
+            n = len(batch.reqs)
+            V = self.model_config.vocab_size
+            mask = np.zeros((n, V), dtype=bool)
+            for i, g in enumerate(grams):
+                if g is None:
+                    continue
+                stable = getattr(g, "window_stable_mask", lambda: None)()
+                if stable is None:
+                    return 1
+                mask[i, : len(stable)] = stable
+            batch.window_vocab_mask = mask
         # Only the context limit truncates the window (tokens sampled past a
         # stop are discarded and their slots freed, so max_new_tokens doesn't
         # need to): round DOWN to a power of two to keep the jit-key set small.
@@ -749,11 +769,12 @@ class Scheduler:
             return self._run_spec_round(batch)
         if batch.forward_mode == ForwardMode.DECODE and window_k > 1:
             wb = batch.get_window_batch(self.server_args, self.runner.dump_req_row)
-            tokens = self.runner.forward_window(wb)
+            tokens, aux = self.runner.forward_window(wb)
             res = BatchResult(batch, tokens, batch.forward_mode, window_k)
             res.wb = wb
             res.reqs = list(batch.reqs)
             res.slots = batch.window_slots
+            res.aux = aux
             return res
         fb = batch.get_forward_batch(self.server_args, self.runner.dump_req_row)
         if batch.forward_mode != ForwardMode.DECODE and all(
@@ -821,7 +842,9 @@ class Scheduler:
         elif result.window_k == 0:
             self._process_spec_result(batch)
         elif result.window_k > 1:
-            self._process_decode_window_result(batch, tokens)
+            self._process_decode_window_result(
+                batch, tokens, getattr(result, "aux", None)
+            )
         else:
             self._process_decode_result(batch, tokens)
         self._pending_logprobs = None
@@ -935,9 +958,10 @@ class Scheduler:
             self.running_batch = None
         self._maybe_log_decode_stats(batch)
 
-    def _process_decode_window_result(self, batch: ScheduleBatch, tokens: np.ndarray):
+    def _process_decode_window_result(self, batch: ScheduleBatch, tokens: np.ndarray,
+                                      aux=None):
         self._process_decode_window_tokens(
-            batch.reqs, batch.window_slots, batch.window_K, tokens
+            batch.reqs, batch.window_slots, batch.window_K, tokens, aux
         )
         batch.filter_batch()
         if batch.is_empty():
@@ -945,10 +969,14 @@ class Scheduler:
         self._maybe_log_decode_stats(batch)
 
     def _process_decode_window_tokens(self, reqs, window_slots, K: int,
-                                      tokens: np.ndarray):
+                                      tokens: np.ndarray, aux=None):
         """tokens: [n, K]. Tokens sampled after a stop condition are discarded
-        and their pre-allocated KV slots returned to the pool."""
+        and their pre-allocated KV slots returned to the pool. `aux` carries
+        in-window logprob capture (chosen [B, K], top-k [B, K, T])."""
         alloc = self.token_to_kv_pool_allocator
+        lp = topv = topi = None
+        if aux is not None and aux.get("logprobs") is not None:
+            lp, topv, topi = (np.asarray(a) for a in aux["logprobs"])
         for i, req in enumerate(reqs):
             appended = 0
             for t in range(K):
@@ -960,6 +988,17 @@ class Scheduler:
                 req.output_ids.append(int(tokens[i, t]))
                 appended += 1
                 self.num_generated_tokens += 1
+                if lp is not None and req.return_logprob:
+                    req.output_token_logprobs.append(
+                        (float(lp[i, t]), req.output_ids[-1])
+                    )
+                    nk = req.top_logprobs_num
+                    if nk > 0:
+                        nk = min(nk, topv.shape[2])
+                        req.output_top_logprobs.append(
+                            (topv[i, t, :nk].tolist(), topi[i, t, :nk].tolist())
+                        )
+                self._advance_grammar(req)
                 if self.detokenizer is not None:
                     self.detokenizer.step(req)
                 req.check_finished()

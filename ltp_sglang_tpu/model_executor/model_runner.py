@@ -73,6 +73,8 @@ class DecodeWindowBatch:
     kv_bucket: int  # C covering seq0 + K
     sampling_info: Any = None
     lora_ids: Any = None  # [B] int32
+    vocab_mask: Any = None  # [B, V] bool, True = forbidden (window-stable)
+    want_logprobs: bool = False
 
 
 def _sample(kind, logits, temperatures, top_ps, top_ks, min_ps, key):
@@ -83,6 +85,57 @@ def _sample(kind, logits, temperatures, top_ps, top_ks, min_ps, key):
     if kind == "free":
         return sample_tokens_free(logits, temperatures, top_ks, key)
     return sample_tokens_full_sort(logits, temperatures, top_ps, top_ks, min_ps, key)
+
+
+# Window sampling features (feats = (has_bias, has_mask, has_pen, want_lp)):
+# logit bias, constant grammar vocab masks, penalties with IN-LOOP count
+# updates, and per-step logprob capture — so constrained/penalty/logprob
+# requests keep K-step windows instead of collapsing to per-token host sync
+# (reference applies these per step on device, sampling_batch_info.py:171-223).
+
+def _window_state_init(feats, B, K):
+    _, _, has_pen, want_lp = feats
+    if want_lp:
+        lp = jnp.zeros((B, K), jnp.float32)
+        topv = jnp.zeros((B, K, _TOPK_LOGPROBS), jnp.float32)
+        topi = jnp.zeros((B, K, _TOPK_LOGPROBS), jnp.int32)
+    else:
+        lp = jnp.zeros((1, 1), jnp.float32)
+        topv = jnp.zeros((1, 1, 1), jnp.float32)
+        topi = jnp.zeros((1, 1, 1), jnp.int32)
+    return lp, topv, topi
+
+
+def _window_sample_step(sampler_kind, feats, logits, ext, st, t,
+                        temperatures, top_ps, top_ks, min_ps, key):
+    """Shared per-step sampling for the window programs. `ext` holds the
+    per-window input arrays, `st` the carried state; returns (tok, st)."""
+    from ltp_sglang_tpu.ops.sampling import apply_logit_processing, apply_penalties
+
+    has_bias, has_mask, has_pen, want_lp = feats
+    counts, seen, lp, topv, topi = st
+    if has_pen:
+        logits = apply_penalties(
+            logits, counts, seen, ext["freq"], ext["pres"], ext["rep"]
+        )
+    logits = apply_logit_processing(
+        logits,
+        ext["bias"] if has_bias else None,
+        ext["mask"] if has_mask else None,
+    )
+    tok = _sample(sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key)
+    if has_pen:
+        rows = jnp.arange(logits.shape[0])
+        counts = counts.at[rows, tok].add(1.0)
+        seen = seen.at[rows, tok].set(True)
+    if want_lp:
+        logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        chosen = jnp.take_along_axis(logprobs, tok[:, None], axis=-1)
+        lp = jax.lax.dynamic_update_slice(lp, chosen, (0, t))
+        tv, ti = jax.lax.top_k(logprobs, _TOPK_LOGPROBS)
+        topv = jax.lax.dynamic_update_slice(topv, tv[:, None, :], (0, t, 0))
+        topi = jax.lax.dynamic_update_slice(topi, ti[:, None, :], (0, t, 0))
+    return tok, (counts, seen, lp, topv, topi)
 
 
 def _enable_compilation_cache():
@@ -487,7 +540,7 @@ class ModelRunner:
         return pooled
 
     def _build_window_fn_paged(self, K: int, Cp: int, sampler_kind: str,
-                               page_size: int):
+                               page_size: int, feats=(False,) * 4):
         """K decode steps over the LIVE paged cache: per layer-step a DMA row
         write then the Pallas paged decode-attention kernel streams pages
         from HBM (ops/attention/pallas_decode.py). No pre-gather, no window
@@ -499,11 +552,14 @@ class ModelRunner:
             params, k_cache, v_cache, table,
             input_ids, seq0, slots, req_indices, pages,
             temperatures, top_ps, top_ks, min_ps, step_idx,
+            logit_bias, vocab_mask, counts0, seen0, freq_pen, pres_pen, rep_pen,
         ):
             B = input_ids.shape[0]
+            ext = {"bias": logit_bias, "mask": vocab_mask, "freq": freq_pen,
+                   "pres": pres_pen, "rep": rep_pen}
 
             def body(t, carry):
-                tok, kc, vc, out = carry
+                tok, kc, vc, out, st = carry
                 pos = jnp.maximum(seq0 - 1 + t, 0)
                 slot_t = jax.lax.dynamic_slice_in_dim(slots, t, 1, axis=1)[:, 0]
                 logits, kc, vc = model.forward_window_token_paged(
@@ -513,24 +569,27 @@ class ModelRunner:
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._rng_key, step_idx), t
                 )
-                tok = _sample(
-                    sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
+                tok, st = _window_sample_step(
+                    sampler_kind, feats, logits, ext, st, t,
+                    temperatures, top_ps, top_ks, min_ps, key,
                 )
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
-                return tok, kc, vc, out
+                return tok, kc, vc, out, st
 
             out0 = jnp.zeros((B, K), jnp.int32)
-            _, k_cache, v_cache, out = jax.lax.fori_loop(
-                0, K, body, (input_ids, k_cache, v_cache, out0)
+            st0 = (counts0, seen0) + _window_state_init(feats, B, K)
+            _, k_cache, v_cache, out, st = jax.lax.fori_loop(
+                0, K, body, (input_ids, k_cache, v_cache, out0, st0)
             )
             table = table_merge_window(
                 table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
             )
-            return out, k_cache, v_cache, table
+            return out, st, k_cache, v_cache, table
 
         return jax.jit(window_fn, donate_argnums=(1, 2, 3))
 
-    def _build_window_fn_two_source(self, K: int, C: int, sampler_kind: str):
+    def _build_window_fn_two_source(self, K: int, C: int, sampler_kind: str,
+                                    feats=(False,) * 4):
         """K decode steps with two-source attention: the paged cache stays a
         READ-ONLY input through the loop (its in-loop mutation cost ~2x the
         attention itself — see profile notes in forward_window_token); the
@@ -558,8 +617,11 @@ class ModelRunner:
             step_idx,
             lora_ids,
             lora,
+            logit_bias, vocab_mask, counts0, seen0, freq_pen, pres_pen, rep_pen,
         ):
             B = input_ids.shape[0]
+            ext = {"bias": logit_bias, "mask": vocab_mask, "freq": freq_pen,
+                   "pres": pres_pen, "rep": rep_pen}
             prefix_len = jnp.maximum(seq0 - 1, 0)
             kv_indices = table[req_indices, :C]
 
@@ -572,7 +634,7 @@ class ModelRunner:
             win_v = jnp.zeros((L, B, K, Hkv, D), v_cache.dtype)
 
             def body(t, carry):
-                tok, wk, wv, out = carry
+                tok, wk, wv, out, st = carry
                 pos = jnp.maximum(seq0 - 1 + t, 0)
                 logits, wk, wv = model.forward_window_token(
                     params, tok, pos, prefix_len,
@@ -581,15 +643,17 @@ class ModelRunner:
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._rng_key, step_idx), t
                 )
-                tok = _sample(
-                    sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
+                tok, st = _window_sample_step(
+                    sampler_kind, feats, logits, ext, st, t,
+                    temperatures, top_ps, top_ks, min_ps, key,
                 )
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
-                return tok, wk, wv, out
+                return tok, wk, wv, out, st
 
             out0 = jnp.zeros((B, K), jnp.int32)
-            _, win_k, win_v, out = jax.lax.fori_loop(
-                0, K, body, (input_ids, win_k, win_v, out0)
+            st0 = (counts0, seen0) + _window_state_init(feats, B, K)
+            _, win_k, win_v, out, st = jax.lax.fori_loop(
+                0, K, body, (input_ids, win_k, win_v, out0, st0)
             )
 
             # Flush the window buffers into the paged cache (one row-DMA
@@ -606,11 +670,12 @@ class ModelRunner:
             table = table_merge_window(
                 table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
             )
-            return out, k_cache, v_cache, table
+            return out, st, k_cache, v_cache, table
 
         return jax.jit(window_fn, donate_argnums=(1, 2, 3))
 
-    def _build_window_fn(self, K: int, C: int, sampler_kind: str):
+    def _build_window_fn(self, K: int, C: int, sampler_kind: str,
+                         feats=(False,) * 4):
         """K decode steps fully on device (token feedback via fori_loop)."""
         model = self.model
         table_merge_window = self._table_merge_window
@@ -631,8 +696,11 @@ class ModelRunner:
             step_idx,
             lora_ids,
             lora,
+            logit_bias, vocab_mask, counts0, seen0, freq_pen, pres_pen, rep_pen,
         ):
             B = input_ids.shape[0]
+            ext = {"bias": logit_bias, "mask": vocab_mask, "freq": freq_pen,
+                   "pres": pres_pen, "rep": rep_pen}
             base_rows = table[req_indices, :C]  # [B, C]
             cols = jnp.arange(C, dtype=jnp.int32)[None, :]
             start = jnp.maximum(seq0 - 1, 0)[:, None]  # column of slot[.,0]
@@ -642,7 +710,7 @@ class ModelRunner:
             kv_indices = jnp.where(in_window, win_vals, base_rows)
 
             def body(t, carry):
-                tok, kc, vc, out = carry
+                tok, kc, vc, out, st = carry
                 pos = jnp.maximum(seq0 - 1 + t, 0)
                 slot_t = jax.lax.dynamic_slice_in_dim(slots, t, 1, axis=1)  # [B,1]
                 step = StepArrays(
@@ -659,20 +727,22 @@ class ModelRunner:
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._rng_key, step_idx), t
                 )
-                tok = _sample(
-                    sampler_kind, logits, temperatures, top_ps, top_ks, min_ps, key
+                tok, st = _window_sample_step(
+                    sampler_kind, feats, logits, ext, st, t,
+                    temperatures, top_ps, top_ks, min_ps, key,
                 )
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
-                return tok, kc, vc, out
+                return tok, kc, vc, out, st
 
             out0 = jnp.zeros((B, K), jnp.int32)
-            _, k_cache, v_cache, out = jax.lax.fori_loop(
-                0, K, body, (input_ids, k_cache, v_cache, out0)
+            st0 = (counts0, seen0) + _window_state_init(feats, B, K)
+            _, k_cache, v_cache, out, st = jax.lax.fori_loop(
+                0, K, body, (input_ids, k_cache, v_cache, out0, st0)
             )
             table = table_merge_window(
                 table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
             )
-            return out, k_cache, v_cache, table
+            return out, st, k_cache, v_cache, table
 
         return jax.jit(window_fn, donate_argnums=(1, 2, 3))
 
@@ -833,24 +903,43 @@ class ModelRunner:
         if _os.environ.get("LTP_FORCE_PAGED_ATTN") == "1":
             use_two_source = use_two_source and not paged_ok
         use_paged = paged_ok and not use_two_source
+        has_bias = si.logit_bias is not None
+        has_mask = wb.vocab_mask is not None
+        has_pen = bool(si.has_penalties) and si.output_counts is not None
+        feats = (has_bias, has_mask, has_pen, bool(wb.want_logprobs))
         key = ("window", B, K, wb.kv_bucket, si.sampler_kind, use_two_source,
-               use_paged)
+               use_paged, feats)
         fn = self._step_cache.get(key)
         if fn is None:
             if use_paged:
                 fn = self._build_window_fn_paged(
-                    K, wb.kv_bucket // P, si.sampler_kind, P
+                    K, wb.kv_bucket // P, si.sampler_kind, P, feats
                 )
             elif use_two_source:
-                fn = self._build_window_fn_two_source(K, wb.kv_bucket, si.sampler_kind)
+                fn = self._build_window_fn_two_source(
+                    K, wb.kv_bucket, si.sampler_kind, feats
+                )
             else:
-                fn = self._build_window_fn(K, wb.kv_bucket, si.sampler_kind)
+                fn = self._build_window_fn(K, wb.kv_bucket, si.sampler_kind, feats)
             self._step_cache[key] = fn
             logger.info(
-                "compiling decode window fn B=%d K=%d C=%d sampler=%s paged=%s",
-                B, K, wb.kv_bucket, si.sampler_kind, use_paged,
+                "compiling decode window fn B=%d K=%d C=%d sampler=%s paged=%s feats=%s",
+                B, K, wb.kv_bucket, si.sampler_kind, use_paged, feats,
             )
         self._step_counter += 1
+        dummy = np.zeros((1, 1), np.float32)
+        dummy_b = np.zeros((1, 1), bool)
+        zeros_b = np.zeros((B,), np.float32)
+        ones_b = np.ones((B,), np.float32)
+        extras = (
+            si.logit_bias if has_bias else dummy,
+            wb.vocab_mask if has_mask else dummy_b,
+            si.output_counts if has_pen else dummy,
+            si.seen_mask if has_pen else dummy_b,
+            si.frequency_penalties if has_pen else zeros_b,
+            si.presence_penalties if has_pen else zeros_b,
+            si.repetition_penalties if has_pen else ones_b,
+        )
         if use_paged:
             # Page ids per position block, from the host table (window slots
             # were recorded by prepare_for_decode_window).
@@ -862,31 +951,40 @@ class ModelRunner:
             pages = np.ascontiguousarray(rows // P).astype(np.int32)
             if pages.shape[1] < Cp:
                 pages = np.pad(pages, ((0, 0), (0, Cp - pages.shape[1])))
-            tokens, self.k_cache, self.v_cache, self.req_table = fn(
+            tokens, st, self.k_cache, self.v_cache, self.req_table = fn(
                 self.params, self.k_cache, self.v_cache, self.req_table,
                 wb.input_ids, wb.seq0, wb.slots, wb.req_indices, pages,
                 si.temperatures, si.top_ps, si.top_ks, si.min_ps,
-                np.int32(self._step_counter),
+                np.int32(self._step_counter), *extras,
             )
-            return tokens
-        tokens, self.k_cache, self.v_cache, self.req_table = fn(
-            self.params,
-            self.k_cache,
-            self.v_cache,
-            self.req_table,
-            wb.input_ids,
-            wb.seq0,
-            wb.slots,
-            wb.req_indices,
-            si.temperatures,
-            si.top_ps,
-            si.top_ks,
-            si.min_ps,
-            np.int32(self._step_counter),
-            wb.lora_ids if wb.lora_ids is not None else np.zeros((wb.slots.shape[0],), np.int32),
-            self._lora_weights(),
-        )
-        return tokens
+        else:
+            tokens, st, self.k_cache, self.v_cache, self.req_table = fn(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                self.req_table,
+                wb.input_ids,
+                wb.seq0,
+                wb.slots,
+                wb.req_indices,
+                si.temperatures,
+                si.top_ps,
+                si.top_ks,
+                si.min_ps,
+                np.int32(self._step_counter),
+                wb.lora_ids if wb.lora_ids is not None else np.zeros((wb.slots.shape[0],), np.int32),
+                self._lora_weights(),
+                *extras,
+            )
+        aux = None
+        if any(feats):
+            counts, seen, lp, topv, topi = st
+            aux = {
+                "counts": counts if has_pen else None,
+                "seen": seen if has_pen else None,
+                "logprobs": (lp, topv, topi) if wb.want_logprobs else None,
+            }
+        return tokens, aux
 
     # -------------------------------------------------------------- utilities
     def flush_cache(self):
