@@ -58,6 +58,20 @@ class Engine:
         self.server_args = server_args
         self.model_config = ModelConfig.from_server_args(server_args)
 
+        # Multi-host: initialize the JAX distributed runtime before any
+        # device access (multi-controller SPMD — every host runs this same
+        # engine and sees the global device set; the reference instead
+        # launches one scheduler process per GPU and wires NCCL groups,
+        # engine.py:674-821 / parallel_state.py:1228).
+        if server_args.nnodes > 1:
+            import jax
+
+            jax.distributed.initialize(
+                coordinator_address=server_args.dist_init_addr,
+                num_processes=server_args.nnodes,
+                process_id=server_args.node_rank,
+            )
+
         mesh_ctx = None
         if server_args.tp_size * server_args.dp_size > 1:
             mesh_ctx = create_mesh(server_args.tp_size, server_args.dp_size)

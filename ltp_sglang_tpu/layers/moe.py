@@ -89,3 +89,93 @@ def moe_ffn(
     gathered = out_sorted[inv].reshape(T, k, Dm)
     out = jnp.sum(gathered * weights[:, :, None], axis=1)
     return out.astype(x.dtype)
+
+
+def moe_ffn_ep(
+    x: jnp.ndarray,  # [T, Dm]
+    weights: jnp.ndarray,  # [T, k]
+    indices: jnp.ndarray,  # [T, k]
+    gate_w: jnp.ndarray,  # [E, Dm, I] expert dim sharded over `axis`
+    up_w: jnp.ndarray,
+    down_w: jnp.ndarray,
+    mesh,
+    axis: str = "tp",
+) -> jnp.ndarray:
+    """Expert-parallel grouped FFN (reference EPMoE, layers/moe/ep_moe/
+    layer.py:63, redesigned for ICI).
+
+    Experts are sharded over the mesh axis; activations stay replicated and
+    each chip computes ONLY the (token, k) pairs routed to its local
+    experts, so compute splits ~T*k/ep per chip while the combine is a
+    single psum over the axis (ICI allreduce) instead of the reference's
+    DeepEP all-to-all pair. Non-owned pairs are dumped into the last local
+    expert group with zeroed inputs (silu(0)*0 @ W == 0 exactly), which
+    keeps `ragged_dot` group sizes covering every row without a scatter.
+    """
+    T, Dm = x.shape
+    k = indices.shape[1]
+
+    def inner(x_, w_, idx_, gw, uw, dw):
+        Eloc = gw.shape[0]
+        rank = jax.lax.axis_index(axis)
+        e0 = rank * Eloc
+        flat = idx_.reshape(-1) - e0  # local expert id (may be out of range)
+        owned = (flat >= 0) & (flat < Eloc)
+        skey = jnp.where(owned, flat, Eloc - 1)
+        order = jnp.argsort(skey)  # stable: owned rows stay grouped in order
+        token_idx = order // k
+        owned_s = owned[order]
+        x_sorted = jnp.where(owned_s[:, None], x_[token_idx], 0)
+        group_sizes = (
+            (skey[None, :] == jnp.arange(Eloc, dtype=skey.dtype)[:, None])
+            .sum(axis=1)
+            .astype(jnp.int32)
+        )
+        dtype = x_.dtype
+        gate = jax.lax.ragged_dot(
+            x_sorted, gw.astype(dtype), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        up = jax.lax.ragged_dot(
+            x_sorted, uw.astype(dtype), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        act = (jax.nn.silu(gate) * up).astype(dtype)
+        out_sorted = jax.lax.ragged_dot(
+            act, dw.astype(dtype), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        inv = jnp.argsort(order)
+        gathered = out_sorted[inv].reshape(T, k, Dm)
+        part = jnp.sum(gathered * w_[:, :, None], axis=1)
+        return jax.lax.psum(part.astype(x_.dtype), axis)
+
+    from jax.sharding import PartitionSpec as P
+
+    rep = P()
+    exp = P(axis)
+    return jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, exp, exp, exp),
+        out_specs=rep,
+        check_vma=False,
+    )(x, weights, indices, gate_w, up_w, down_w)
+
+
+def moe_ffn_auto(
+    x, weights, indices, gate_w, up_w, down_w, mesh_ctx=None, axis: str = "tp"
+):
+    """Pick EP (shard_map over the tp axis) on multi-device pure-TP meshes
+    whose expert count divides; otherwise the single-program grouped GEMM."""
+    if (
+        mesh_ctx is not None
+        and not mesh_ctx.is_single_device
+        and mesh_ctx.dp_size == 1
+        and mesh_ctx.tp_size > 1
+        and gate_w.shape[0] % mesh_ctx.tp_size == 0
+    ):
+        return moe_ffn_ep(
+            x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis
+        )
+    return moe_ffn(x, weights, indices, gate_w, up_w, down_w)

@@ -176,14 +176,38 @@ class ModelRunner:
         self.kv_dtype = to_jnp_dtype(kv_dtype_name)
 
         backend = jax.default_backend()
-        # Multi-device meshes run the XLA (GSPMD-friendly) update path for
-        # now; single-chip TPU uses the Pallas kernels.
-        use_pallas = backend == "tpu" and (
-            mesh_ctx is None or mesh_ctx.is_single_device
+        multi = mesh_ctx is not None and not mesh_ctx.is_single_device
+        tp = mesh_ctx.tp_size if mesh_ctx else 1
+        # Pallas kernels run single-chip AND multi-chip: on a pure-TP mesh
+        # they are wrapped in shard_map with head-sharded KV
+        # (ops/sharded_ops.py) so every chip runs the kernel on its local
+        # head shard. dp>1 multi-device meshes (batch dp-sharded, KV
+        # replicated per replica) keep the XLA/GSPMD fallback.
+        from ltp_sglang_tpu.ops.sharded_ops import (
+            make_sharded_kv_write,
+            make_sharded_paged_attention,
+            make_sharded_table_op,
+            tp_pallas_eligible,
         )
+
+        self._sharded_pallas = bool(
+            multi
+            and backend == "tpu"
+            and mesh_ctx.dp_size == 1
+            and tp_pallas_eligible(
+                model_config.num_attention_heads,
+                model_config.num_kv_heads,
+                model_config.head_dim,
+                tp,
+                jnp.dtype(self.kv_dtype).itemsize,
+            )
+        )
+        use_pallas = backend == "tpu" and (not multi or self._sharded_pallas)
         from ltp_sglang_tpu.ops.kv_cache_ops import (
             kv_write_pallas,
             kv_write_xla,
+            table_merge_window_pallas,
+            table_write_rows_pallas,
         )
 
         kv_write, table_rows, table_merge = get_kv_cache_ops(
@@ -192,11 +216,24 @@ class ModelRunner:
         self._table_write_rows = table_rows
         self._table_merge_window = table_merge
 
+        kv_write_impl = kv_write_pallas if use_pallas else kv_write_xla
+        if self._sharded_pallas:
+            kv_write_impl = make_sharded_kv_write(mesh_ctx, kv_write_pallas)
+            self._table_write_rows = make_sharded_table_op(
+                mesh_ctx, table_write_rows_pallas, 3
+            )
+            self._table_merge_window = make_sharded_table_op(
+                mesh_ctx, table_merge_window_pallas, 4
+            )
+
         model_cls = resolve_model_cls(model_config.architectures)
         self.model = model_cls(
             model_config,
-            kv_write_impl=kv_write_pallas if use_pallas else kv_write_xla,
+            kv_write_impl=kv_write_impl,
         )
+        self.model.mesh_ctx = mesh_ctx
+        if self._sharded_pallas:
+            self.model.paged_attn = make_sharded_paged_attention(mesh_ctx)
 
         # Mosaic DMA rows need a 128-lane-aligned KV row; models whose row is
         # narrower (tiny test configs, exotic head dims) take the XLA path.
@@ -207,15 +244,27 @@ class ModelRunner:
                 k_e = v_e = model_config.num_kv_heads * model_config.head_dim
             # Row DMA slices [r, 128] along the sublane dim: r must be a
             # multiple of the dtype's sublane packing (f32: 1, bf16: 2,
-            # int8/fp8: 4) on top of the 128-lane rule.
+            # int8/fp8: 4) on top of the 128-lane rule. MLA models
+            # (asymmetric kv_row_elems) never take the head-sharded path.
+            if self._sharded_pallas:
+                k_e, v_e = k_e // tp, v_e // tp
+                sym = k_e * tp == model_config.num_kv_heads * model_config.head_dim
+            else:
+                sym = True
             pack = max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)
             unit = 128 * pack
-            if k_e % unit != 0 or v_e % unit != 0:
+            if k_e % unit != 0 or v_e % unit != 0 or not sym:
                 logger.warning(
                     "KV row (%d/%d elems) not %d-aligned for %s; using XLA "
                     "kv-write path", k_e, v_e, unit, self.kv_dtype,
                 )
                 self.model.kv_write = kv_write_xla
+                if self._sharded_pallas:
+                    self._sharded_pallas = False
+                    self.model.paged_attn = None
+                    _, self._table_write_rows, self._table_merge_window = (
+                        get_kv_cache_ops("cpu")
+                    )
 
         self.load_model()
         self.init_memory_pool()
@@ -881,11 +930,13 @@ class ModelRunner:
                 # Test hook: the kernel self-interprets off-TPU.
                 or _os.environ.get("LTP_FORCE_PAGED_ATTN") == "1"
             )
-            and (self.mesh_ctx is None or self.mesh_ctx.is_single_device)
+            and (self.mesh_ctx is None or self.mesh_ctx.is_single_device
+                 or self._sharded_pallas)
             and getattr(self.model, "forward_window_token_paged", None) is not None
             and not has_lora
             and not getattr(self.model, "sliding_window", 0)
-            and (cfg.num_kv_heads * cfg.head_dim)
+            and (cfg.num_kv_heads * cfg.head_dim
+                 // (self.mesh_ctx.tp_size if self._sharded_pallas else 1))
             % (128 * max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)) == 0
             and wb.kv_bucket % P == 0
         )

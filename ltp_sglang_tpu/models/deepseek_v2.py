@@ -28,7 +28,7 @@ from jax.sharding import PartitionSpec as P
 
 from ltp_sglang_tpu.config.model_config import ModelConfig
 from ltp_sglang_tpu.layers.linear import apply_linear
-from ltp_sglang_tpu.layers.moe import moe_ffn, moe_topk
+from ltp_sglang_tpu.layers.moe import moe_ffn, moe_ffn_auto, moe_topk
 from ltp_sglang_tpu.layers.norm import rms_norm
 from ltp_sglang_tpu.layers.rotary import apply_rope, build_cos_sin_cache
 from ltp_sglang_tpu.models.llama import LlamaForCausalLM, StepArrays
@@ -154,15 +154,61 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return params
 
     def param_specs(self) -> Dict[str, Any]:
-        # Replicated for now on multi-chip (MLA TP sharding is follow-up work);
-        # expert dim sharded over tp.
-        def like(tree, expert_sharded=False):
-            return jax.tree.map(lambda _: P(), tree)
+        """Multi-chip sharding: MLA attention head dims over tp (q_b/kv_b
+        outputs column-sharded, o_proj row-sharded), routed experts sharded
+        on the EXPERT dim over tp (consumed by moe_ffn_ep's shard_map),
+        shared/dense FFN Megatron-style. Reference: EPMoE expert ranges
+        (layers/moe/ep_moe/layer.py:63) + MLA TP (models/deepseek_v2.py)."""
 
-        # Build specs lazily from a dummy init structure.
-        raise NotImplementedError(
-            "deepseek multi-chip sharding specs arrive with the EP shard_map work"
+        def attn_specs():
+            p = {
+                "input_layernorm": P(None, None),
+                "post_attention_layernorm": P(None, None),
+                "kv_a_proj": {"kernel": P(None, None, None)},
+                "kv_a_norm": P(None, None),
+                "kv_b_proj": {"kernel": P(None, None, "tp")},
+                "o_proj": {"kernel": P(None, "tp", None)},
+            }
+            if self.q_lora_rank:
+                p["q_a_proj"] = {"kernel": P(None, None, None)}
+                p["q_a_norm"] = P(None, None)
+                p["q_b_proj"] = {"kernel": P(None, None, "tp")}
+            else:
+                p["q_proj"] = {"kernel": P(None, None, "tp")}
+            return p
+
+        dense = attn_specs()
+        dense.update(
+            {
+                "gate_proj": {"kernel": P(None, None, "tp")},
+                "up_proj": {"kernel": P(None, None, "tp")},
+                "down_proj": {"kernel": P(None, "tp", None)},
+            }
         )
+        moe = attn_specs()
+        moe.update(
+            {
+                "router": {"kernel": P(None, None, None)},
+                "experts_gate": P(None, "tp", None, None),
+                "experts_up": P(None, "tp", None, None),
+                "experts_down": P(None, "tp", None, None),
+            }
+        )
+        if self.topk_method == "noaux_tc":
+            moe["e_score_bias"] = P(None, None)
+        if self.n_shared_experts:
+            moe["shared_gate_proj"] = {"kernel": P(None, None, "tp")}
+            moe["shared_up_proj"] = {"kernel": P(None, None, "tp")}
+            moe["shared_down_proj"] = {"kernel": P(None, "tp", None)}
+        specs = {
+            "embed": {"weight": P("tp", None)},
+            "layers_dense": dense,
+            "layers_moe": moe,
+            "norm": P(None),
+        }
+        if not self.tie_word_embeddings:
+            specs["lm_head"] = {"kernel": P(None, "tp")}
+        return specs
 
     # ------------------------------------------------------------ hf weights
     def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -340,7 +386,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             routed_scaling_factor=self.routed_scaling_factor,
             e_score_bias=bias,
         )
-        out = moe_ffn(x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"])
+        out = moe_ffn_auto(
+            x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
+            mesh_ctx=self.mesh_ctx,
+        )
         if self.n_shared_experts:
             g = apply_linear(lp["shared_gate_proj"], x)
             u = apply_linear(lp["shared_up_proj"], x)

@@ -75,6 +75,10 @@ class LlamaForCausalLM:
         self.rope_scaling = hf.get("rope_scaling")
         self.tie_word_embeddings = hf.get("tie_word_embeddings", False)
         self.attn_impl = attn_impl or ref_paged_attention
+        # Multi-chip: the runner injects a shard_map-wrapped paged-attention
+        # kernel (ops/sharded_ops.py); None = call the plain kernel.
+        self.paged_attn = None
+        self.mesh_ctx = None
         self.sm_scale = config.head_dim**-0.5
         # Weight-only quantization (awq/gptq): projections carry packed
         # int4 leaves instead of dense kernels (layers/quantization).
@@ -555,6 +559,7 @@ class LlamaForCausalLM:
         moves exactly once per layer-step (ops/attention/pallas_decode.py)."""
         from ltp_sglang_tpu.ops.attention.pallas_decode import paged_decode_attention
 
+        paged_attn = self.paged_attn or paged_decode_attention
         cfg = self.config
         B = tok.shape[0]
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
@@ -606,7 +611,7 @@ class LlamaForCausalLM:
                 kc, vc, li, slot_t, k_st, v_st,
                 jnp.asarray(B, jnp.int32),
             )
-            attn = paged_decode_attention(
+            attn = paged_attn(
                 q_att, kc, vc, li, pages, seq_lens,
                 page_size=page_size, num_kv_heads=Hkv, sm_scale=self.sm_scale,
             )  # [B, Hq, D]

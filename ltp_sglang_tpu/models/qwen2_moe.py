@@ -15,7 +15,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ltp_sglang_tpu.layers.linear import apply_linear
-from ltp_sglang_tpu.layers.moe import moe_ffn, moe_topk
+from ltp_sglang_tpu.layers.moe import moe_ffn_auto, moe_topk
 from ltp_sglang_tpu.models.qwen2 import Qwen2ForCausalLM
 
 
@@ -134,8 +134,9 @@ class Qwen2MoeForCausalLM(Qwen2ForCausalLM):
             "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
         )
         w, idx = moe_topk(logits, self.top_k, self.norm_topk_prob)
-        out = moe_ffn(
-            x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"]
+        out = moe_ffn_auto(
+            x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
+            mesh_ctx=self.mesh_ctx,
         )
         g = apply_linear(lp["shared_gate_proj"], x)
         u = apply_linear(lp["shared_up_proj"], x)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ltp_sglang_tpu.layers.moe import moe_ffn, moe_topk
+from ltp_sglang_tpu.layers.moe import moe_ffn_auto, moe_topk
 from ltp_sglang_tpu.models.qwen3 import Qwen3ForCausalLM
 
 
@@ -122,7 +122,8 @@ class Qwen3MoeForCausalLM(Qwen3ForCausalLM):
             "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
         )
         w, idx = moe_topk(logits, self.top_k, self.norm_topk_prob)
-        out = moe_ffn(
-            x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"]
+        out = moe_ffn_auto(
+            x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
+            mesh_ctx=self.mesh_ctx,
         )
         return out.reshape(*lead, Dm)

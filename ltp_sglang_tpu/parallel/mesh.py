@@ -53,11 +53,34 @@ def create_mesh(
 
 
 def shard_pytree(params, specs, mesh_ctx: Optional[MeshContext]):
-    """Place a param pytree with NamedShardings (or leave as-is if no mesh)."""
+    """Place a param pytree with NamedShardings (or leave as-is if no mesh).
+
+    Leaves whose shape does not divide the announced spec fall back to
+    replication, and a specs tree whose structure does not match the params
+    (e.g. a quantized checkpoint with extra packed leaves) degrades to
+    replicating everything with a warning instead of hard-failing.
+    """
     if mesh_ctx is None or mesh_ctx.is_single_device:
         return params
-    return jax.tree.map(
-        lambda x, spec: jax.device_put(x, mesh_ctx.sharding(spec)),
-        params,
-        specs,
-    )
+
+    def place(x, spec: PartitionSpec):
+        try:
+            for dim, names in enumerate(spec):
+                if names is None:
+                    continue
+                axes = names if isinstance(names, tuple) else (names,)
+                n = int(np.prod([mesh_ctx.mesh.shape[a] for a in axes]))
+                if dim >= x.ndim or x.shape[dim] % n != 0:
+                    spec = PartitionSpec()
+                    break
+            return jax.device_put(x, mesh_ctx.sharding(spec))
+        except Exception:
+            return jax.device_put(x, mesh_ctx.replicated())
+
+    try:
+        return jax.tree.map(place, params, specs)
+    except ValueError:
+        logger.warning(
+            "param spec tree does not match params; replicating all leaves"
+        )
+        return jax.tree.map(lambda x: jax.device_put(x, mesh_ctx.replicated()), params)
