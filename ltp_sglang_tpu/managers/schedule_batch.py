@@ -429,7 +429,13 @@ class ScheduleBatch:
         )
 
     def check_decode_mem(self, buf_multiplier: int = 1) -> bool:
-        need = len(self.reqs) * buf_multiplier * self.token_to_kv_pool_allocator.page_size
+        # K tokens appended at an arbitrary in-page offset touch at most
+        # ceil((K + P - 1) / P) pages per request. (The old bound of
+        # K * P slots per request overestimated by up to P x and triggered
+        # spurious retractions exactly when windows + paging were both on.)
+        P = self.token_to_kv_pool_allocator.page_size
+        pages = (buf_multiplier + 2 * (P - 1)) // P
+        need = len(self.reqs) * pages * P
         if self.token_to_kv_pool_allocator.available_size() >= need:
             return True
         self.tree_cache.evict(need)
