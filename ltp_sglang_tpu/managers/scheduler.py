@@ -37,6 +37,7 @@ from ltp_sglang_tpu.mem_cache.chunk_cache import ChunkCache
 from ltp_sglang_tpu.mem_cache.radix_cache import RadixCache
 from ltp_sglang_tpu.model_executor.forward_batch import ForwardMode
 from ltp_sglang_tpu.model_executor.model_runner import ModelRunner
+from ltp_sglang_tpu.sampling.sampling_batch_info import SamplingBatchInfo
 
 logger = logging.getLogger(__name__)
 
@@ -277,6 +278,19 @@ class Scheduler:
         ):
             self._inflight = result
             return True
+        if (
+            result.mode in (ForwardMode.EXTEND, ForwardMode.MIXED)
+            and not self.server_args.disable_window_pipeline
+        ):
+            # Chain the first decode window onto the extend using the
+            # extend's ON-DEVICE sampled token, so extend bookkeeping (radix
+            # insert, detokenize, stream-out) overlaps the window's device
+            # compute instead of idling the chip.
+            chained = self._dispatch_window_after_extend(result)
+            if chained is not None:
+                self._inflight = chained
+                self.process_batch_result(result)
+                return True
         self.process_batch_result(result)
         return True
 
@@ -292,12 +306,16 @@ class Scheduler:
         n = len(reqs)
         for r in reqs:
             # A request that finished in an earlier window makes its lane dead
-            # weight; one that will exhaust max_new_tokens during the
-            # in-flight or continuation window makes the continuation partly
-            # garbage. Both break the chain (the normal path rebuilds lanes).
+            # weight; one that completes during the IN-FLIGHT window makes the
+            # continuation 100% garbage. Both break the chain. A continuation
+            # that merely OVERSHOOTS max_new_tokens is fine: processing
+            # truncates the surplus tokens and frees their slots
+            # (_process_decode_window_tokens), so the final window stays on
+            # the pipelined path instead of idling the device (the 56ms
+            # pre-final-window gap in the timeline trace).
             if r.finished():
                 return None
-            if len(r.output_ids) + 2 * K > r.sampling_params.max_new_tokens:
+            if len(r.output_ids) + K >= r.sampling_params.max_new_tokens:
                 return None
         seq_end = int(wb.seq0[:n].max()) + 2 * K
         if seq_end - 1 > self.model_config.context_len:
@@ -363,6 +381,132 @@ class Scheduler:
         res.reqs = reqs
         res.slots = slots
         res.aux = new_aux
+        return res
+
+    def _dispatch_window_after_extend(self, result: BatchResult):
+        """Dispatch the first decode window for a just-run extend batch
+        BEFORE the extend result is processed, feeding the extend's
+        device-resident next token straight into the window program (the same
+        no-host-sync chaining _dispatch_window_continuation does between
+        windows; timeline tracing showed a 60ms device-idle gap between the
+        extend program and the first window on the bench workload).
+
+        Lanes whose request turns out to finish during extend processing
+        (EOS/stop on the first token) compute garbage; processing skips
+        finished requests and frees their window slots, exactly like a
+        truncated continuation window. Returns None when chaining is
+        ineligible — the caller falls back to the normal path."""
+        if self.waiting_queue or self.chunked_req is not None:
+            return None
+        if self.spec_worker is not None:
+            return None
+        if self.server_args.decode_window_size <= 1:
+            return None
+        batch = result.batch
+        reqs = batch.reqs
+        if result.next_tokens is None or not reqs:
+            return None
+        if any(
+            r.is_chunked > 0
+            or r.is_embedding
+            or r.finished()
+            or getattr(r, "grammar", None) is not None
+            or r.token_ids_logprob
+            for r in reqs
+        ):
+            return None
+        if all(r.sampling_params.max_new_tokens <= 1 for r in reqs):
+            return None
+        # The extend token (still on device) must be reflected in the initial
+        # penalty counts; fall back to the host-built first window for those.
+        si = SamplingBatchInfo.from_reqs(reqs, self.model_config.vocab_size)
+        if si.has_penalties:
+            return None
+        w = self.server_args.decode_window_size
+        ctx_cap = min(
+            self.model_config.context_len - (r.seqlen() + 1) + 1 for r in reqs
+        )
+        K = max(1, min(w, ctx_cap, 128))
+        while K & (K - 1):
+            K &= K - 1
+        if K <= 1:
+            return None
+
+        n = len(reqs)
+        alloc = self.token_to_kv_pool_allocator
+        pool = self.req_to_token_pool
+        # seq0 = kv length at window start including the input (extend) token.
+        seq0 = np.array([r.seqlen() + 1 for r in reqs], dtype=np.int32)
+        seq_end = int(seq0.max()) + K
+        if seq_end - 1 > self.model_config.context_len:
+            return None
+        if seq_end > self.server_args.context_buckets[-1]:
+            return None
+        if alloc.page_size == 1:
+            flat = alloc.alloc(n * K)
+            if flat is None:
+                return None
+            slots = np.asarray(flat, dtype=np.int32).reshape(n, K)
+        else:
+            slots = np.empty((n, K), dtype=np.int32)
+            got = []
+            for i, r in enumerate(reqs):
+                s0 = int(seq0[i])
+                last_slot = int(pool.req_to_token[r.req_pool_idx, s0 - 2])
+                s = alloc.alloc_extend(s0 - 1, K, last_slot)
+                if s is None:
+                    for g in got:
+                        alloc.free(g)
+                    return None
+                slots[i] = s
+                got.append(s)
+        for i, r in enumerate(reqs):
+            pool.req_to_token[r.req_pool_idx, seq0[i] - 1 : seq0[i] - 1 + K] = slots[i]
+
+        from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
+        from ltp_sglang_tpu.utils import bucketize
+
+        B = bucketize(n, self.server_args.decode_bs_buckets)
+        C = bucketize(
+            min(seq_end, self.server_args.context_buckets[-1]),
+            self.server_args.context_buckets,
+        )
+        import jax.numpy as jnp
+
+        ids = result.next_tokens  # [B_extend] device array: no host sync
+        if ids.ndim > 1:
+            ids = ids[:, -1]
+        if ids.shape[0] < B:
+            ids = jnp.pad(ids, (0, B - ids.shape[0]))
+        elif ids.shape[0] > B:
+            ids = ids[:B]
+        seq0p = np.zeros((B,), np.int32)
+        seq0p[:n] = seq0
+        slotsp = np.zeros((B, K), np.int32)
+        slotsp[:n] = slots
+        req_idx = np.full((B,), self.runner.dump_req_row, np.int32)
+        req_idx[:n] = [r.req_pool_idx for r in reqs]
+        lora_ids = np.zeros((B,), np.int32)
+        lora_ids[:n] = [getattr(r, "lora_id", 0) for r in reqs]
+        wb = DecodeWindowBatch(
+            batch_size=n,
+            input_ids=ids,
+            seq0=seq0p,
+            slots=slotsp,
+            req_indices=req_idx,
+            kv_bucket=C,
+            sampling_info=si.padded(B),
+            lora_ids=lora_ids,
+            vocab_mask=None,
+            want_logprobs=any(r.return_logprob for r in reqs),
+        )
+        self.forward_ct += 1
+        tokens, aux = self.runner.forward_window(wb)
+        res = BatchResult(batch, tokens, ForwardMode.DECODE, K)
+        res.wb = wb
+        res.reqs = list(reqs)
+        res.slots = slots
+        res.aux = aux
         return res
 
     def _process_window_result(self, result: BatchResult):
