@@ -266,6 +266,54 @@ class ModelRunner:
                         get_kv_cache_ops("cpu")
                     )
 
+        # Ragged extend (prefill) attention kernel: replaces the XLA
+        # gather-materialize path when page_size > 1 and the storage layout
+        # supports the packed-GQA scheme (pallas_extend.extend_kernel_ok).
+        # MLA (asymmetric rows), sliding-window, and logit-cap models keep
+        # the XLA reference path.
+        import os as _os
+
+        from ltp_sglang_tpu.ops.attention.pallas_extend import (
+            extend_kernel_ok,
+            paged_extend_attention,
+        )
+        from ltp_sglang_tpu.ops.kv_cache_ops import kv_layout
+
+        P_sz = server_args.page_size
+        tp_l = tp if self._sharded_pallas else 1
+        pack = max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)
+        if (
+            P_sz > 1
+            and (backend == "tpu" or _os.environ.get("LTP_FORCE_PAGED_ATTN") == "1")
+            and (model_config.num_kv_heads // tp_l * model_config.head_dim)
+            % (128 * pack) == 0
+            and not hasattr(self.model, "kv_row_elems")
+            and not getattr(self.model, "sliding_window", 0)
+            and not getattr(self.model, "logit_cap", 0)
+            and (self.mesh_ctx is None or self.mesh_ctx.is_single_device
+                 or self._sharded_pallas)
+            and model_config.num_kv_heads % tp_l == 0
+            and extend_kernel_ok(
+                model_config.num_kv_heads // tp_l,
+                model_config.head_dim,
+                kv_layout(
+                    model_config.num_kv_heads // tp_l, model_config.head_dim
+                )[1],
+            )
+        ):
+            if self._sharded_pallas:
+                from ltp_sglang_tpu.ops.sharded_ops import (
+                    make_sharded_extend_attention,
+                )
+
+                self.model.extend_attn = make_sharded_extend_attention(
+                    mesh_ctx, P_sz
+                )
+            else:
+                self.model.extend_attn = functools.partial(
+                    paged_extend_attention, page_size=P_sz
+                )
+
         self.load_model()
         self.init_memory_pool()
         # LoRA adapters (lora/lora_manager.py); id 0 = no adapter.
@@ -364,7 +412,15 @@ class ModelRunner:
         from ltp_sglang_tpu.ops.kv_cache_ops import _row_dims
 
         L = cfg.num_layers
-        S = self.max_total_num_tokens + 1
+        # With paging, the allocator's last page covers slots
+        # [max_total, max_total + P): round the cache up to whole pages so
+        # the Pallas kernels' page-granular DMAs (which always move P rows)
+        # never read past the array for tail-page slots. Page 0 holds the
+        # garbage slot; page_size == 1 keeps the original +1 row.
+        if page_size > 1:
+            S = (self.max_total_num_tokens // page_size + 1) * page_size
+        else:
+            S = self.max_total_num_tokens + 1
         Hkv, D = cfg.num_kv_heads, cfg.head_dim
         # Models with asymmetric K/V rows (MLA) override kv_row_elems.
         if hasattr(self.model, "kv_row_elems"):
@@ -389,7 +445,11 @@ class ModelRunner:
             table_sharding = self.mesh_ctx.replicated()
         self.k_cache = jnp.zeros((L, S, rk, lnk), dtype=self.kv_dtype, device=kv_sharding)
         self.v_cache = jnp.zeros((L, S, rv, lnv), dtype=self.kv_dtype, device=kv_sharding)
-        self.table_width = round_up(cfg.context_len, 128)
+        # Whole-row table DMAs (table_write_rows_pallas) fault when the row
+        # spans a partial int32 tile: (9,128) / (10,128) int32 copies crash
+        # the TPU worker while (8,128) / (16,128) run (measured on v5e).
+        # Round the width to a multiple of 8 sublanes x 128 lanes = 1024.
+        self.table_width = round_up(cfg.context_len, 1024)
         self.req_table = jnp.zeros(
             (max_reqs + 1, self.table_width), dtype=jnp.int32, device=table_sharding
         )
@@ -462,6 +522,14 @@ class ModelRunner:
                 table = table_write_rows(table, req_indices, kv_indices_in)
                 kv_indices = kv_indices_in
 
+            pages = None
+            if not mode_is_decode and model.extend_attn is not None:
+                # Position-ordered page ids for the Pallas ragged extend
+                # kernel (position p lives at in-page offset p % page_size,
+                # the paged allocator's contract): padding rows hold the
+                # garbage slot 0 -> page 0, masked by seq_lens in-kernel.
+                P_sz = self.server_args.page_size
+                pages = kv_indices[:, ::P_sz] // P_sz
             step = StepArrays(
                 input_ids=input_ids,
                 positions=positions,
@@ -471,6 +539,7 @@ class ModelRunner:
                 extend_lens=extend_lens,
                 kv_indices=kv_indices,
                 lora_ids=lora_ids,
+                pages=pages,
             )
             if want_hidden:
                 # EAGLE prefill: expose post-norm hiddens so the draft head

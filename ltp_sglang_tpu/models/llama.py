@@ -55,6 +55,8 @@ class StepArrays(NamedTuple):
     extend_lens: jnp.ndarray  # [B] int32
     kv_indices: jnp.ndarray  # [B, C] int32
     lora_ids: jnp.ndarray = None  # [B] int32 adapter ids (0 = none); optional
+    pages: jnp.ndarray = None  # [B, Cp] int32 page ids; set when the Pallas
+    #                            ragged extend kernel is engaged (page_size>1)
 
 
 class LlamaForCausalLM:
@@ -78,6 +80,7 @@ class LlamaForCausalLM:
         # Multi-chip: the runner injects a shard_map-wrapped paged-attention
         # kernel (ops/sharded_ops.py); None = call the plain kernel.
         self.paged_attn = None
+        self.extend_attn = None  # set by ModelRunner when the layout allows
         self.mesh_ctx = None
         self.sm_scale = config.head_dim**-0.5
         # Weight-only quantization (awq/gptq): projections carry packed
@@ -733,24 +736,34 @@ class LlamaForCausalLM:
                 kc, vc, li, cache_locs_flat, k_st, v_st,
                 jnp.asarray(B * E, jnp.int32),
             )
-            Cw = step.kv_indices.shape[1]
-            k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
-            v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
-            if vsc is not None:
-                # fp8 -> compute dtype is exact (e4m3/e5m2 ⊂ bf16); XLA fuses
-                # the convert into the gather/matmul.
-                k_pages = k_pages.astype(q.dtype)
-                v_pages = v_pages.astype(q.dtype)
-            attn_out = self.attn_impl(
-                q_att,
-                k_pages,
-                v_pages,
-                step.kv_indices,
-                step.seq_lens,
-                step.prefix_lens,
-                self.sm_scale,
-                sliding_window=self.sliding_window,
-            )
+            if self.extend_attn is not None and step.pages is not None:
+                # Pallas ragged extend kernel: streams pages HBM->VMEM once
+                # (ops/attention/pallas_extend.py) instead of the triple
+                # byte-move gather below.
+                attn_out = self.extend_attn(
+                    q_att, kc, vc, li, step.pages, step.seq_lens,
+                    step.prefix_lens, num_kv_heads=Hkv,
+                    sm_scale=self.sm_scale,
+                )
+            else:
+                Cw = step.kv_indices.shape[1]
+                k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+                v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+                if vsc is not None:
+                    # fp8 -> compute dtype is exact (e4m3/e5m2 ⊂ bf16); XLA
+                    # fuses the convert into the gather/matmul.
+                    k_pages = k_pages.astype(q.dtype)
+                    v_pages = v_pages.astype(q.dtype)
+                attn_out = self.attn_impl(
+                    q_att,
+                    k_pages,
+                    v_pages,
+                    step.kv_indices,
+                    step.seq_lens,
+                    step.prefix_lens,
+                    self.sm_scale,
+                    sliding_window=self.sliding_window,
+                )
             if vsc is not None:
                 attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
             h = h + lin("o_proj", attn_out.reshape(B, E, Hq * D))

@@ -165,10 +165,15 @@ def _table_rows_kernel(nc_ref, req_ref, rows_ref, tbl_in, tbl_out, scratch, sem)
 
 
 def table_write_rows_pallas(table, req_indices, rows):
-    """table: [R+1, W] int32 (W % 128 == 0, donated); rows: [B, C]
-    (C % 128 == 0, C <= W). Pad req rows -> dump row R."""
+    """table: [R+1, W] int32 (W % 1024 == 0, donated); rows: [B, C]
+    (C % 128 == 0, C <= W). Pad req rows -> dump row R.
+
+    W must be a whole number of int32 tiles (8 sublanes x 128 lanes): the
+    whole-row HBM<->VMEM DMAs fault on partial-tile shapes like (9,128)
+    (measured: W=1152/1280 crash the TPU worker, W=1024/2048 run)."""
     Rp1, W = table.shape
     B, C = rows.shape
+    assert W % (8 * LANE) == 0, f"table width {W} must be a multiple of 1024"
     t3 = table.reshape(Rp1, W // LANE, LANE)
     hbm = pltpu.MemorySpace.HBM
     out = pl.pallas_call(

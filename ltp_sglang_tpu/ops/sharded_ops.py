@@ -106,6 +106,38 @@ def make_sharded_paged_attention(mesh_ctx, base_impl=None):
     return paged_attn
 
 
+def make_sharded_extend_attention(mesh_ctx, page_size: int, base_impl=None):
+    """Head-sharded ragged extend attention with the paged_extend_attention
+    signature; q/out [B, E, Hq, D] shard on the head dim, page table and
+    length vectors replicate. `num_kv_heads` passed by the model is GLOBAL."""
+    from ltp_sglang_tpu.ops.attention.pallas_extend import paged_extend_attention
+
+    base = base_impl or paged_extend_attention
+    mesh = mesh_ctx.mesh
+    tp = mesh_ctx.tp_size
+    q_spec = P(None, None, "tp", None)  # [B, E, Hq, D] on heads
+
+    def extend_attn(q, k_cache, v_cache, layer_idx, pages, seq_lens,
+                    q_pos_start, *, num_kv_heads: int, sm_scale: float):
+        local_kv = num_kv_heads // tp
+
+        def inner(q_, kc, vc, li, pg, sl, qp):
+            return base(q_, kc, vc, li, pg, sl, qp, page_size=page_size,
+                        num_kv_heads=local_kv, sm_scale=sm_scale)
+
+        f = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(q_spec, _KV_SPEC, _KV_SPEC, _REP, _REP, _REP, _REP),
+            out_specs=q_spec,
+            check_vma=False,
+        )
+        return f(q, k_cache, v_cache, jnp.asarray(layer_idx, jnp.int32),
+                 pages, seq_lens, q_pos_start)
+
+    return extend_attn
+
+
 def make_sharded_table_op(mesh_ctx, base_impl, n_args: int):
     """Replicated-everything wrapper for the req_to_token table kernels
     (table_write_rows / table_merge_window): every chip applies the same
