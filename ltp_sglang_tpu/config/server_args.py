@@ -68,6 +68,8 @@ class ServerArgs:
     retract_decode_steps: int = 20
     num_reserved_decode_tokens: int = 512
     watchdog_timeout: float = 300.0
+    watchdog_action: str = "exit"  # "exit" (reference SIGQUIT analog) | "log"
+    crash_dump_folder: Optional[str] = None
 
     # Parallelism (mesh axes sizes)
     tp_size: int = 1

@@ -111,6 +111,88 @@ class Engine:
 
         self.sessions = SessionController()
 
+        # Watchdog (reference: Scheduler.watchdog_thread, scheduler.py:
+        # 2089-2141): if requests are in flight but no scheduler step
+        # completes within watchdog_timeout (hung device call, deadlock),
+        # dump state and act per watchdog_action ("exit" kills the process
+        # like the reference SIGQUIT; "log" records and keeps limping).
+        self.watchdog_fired = False
+        self._watchdog_stop = threading.Event()
+        if server_args.watchdog_timeout and server_args.watchdog_timeout > 0:
+            self._watchdog = threading.Thread(
+                target=self._watchdog_loop, daemon=True
+            )
+            self._watchdog.start()
+
+    def _watchdog_loop(self):
+        import os as _os
+
+        t = self.server_args.watchdog_timeout
+        while not self._watchdog_stop.wait(min(t / 2, 2.0)):
+            sched = self.scheduler
+            try:
+                busy = sched.has_unfinished_requests()
+            except Exception:
+                continue
+            if not busy:
+                continue
+            if time.time() - sched.last_progress_time <= t:
+                continue
+            path = self._write_crash_dump("watchdog_timeout")
+            logger.error(
+                "Watchdog: no scheduler progress for %.0fs with %d queued / "
+                "%d running requests; crash dump at %s",
+                time.time() - sched.last_progress_time,
+                len(sched.waiting_queue),
+                0 if sched.running_batch is None else sched.running_batch.batch_size(),
+                path,
+            )
+            self.watchdog_fired = True
+            if self.server_args.watchdog_action == "exit":
+                _os._exit(93)
+            # "log": don't spam — restart the stall clock.
+            sched.last_progress_time = time.time()
+
+    def _write_crash_dump(self, reason: str) -> str:
+        """Serialize scheduler state for postmortem (reference analog:
+        TokenizerManager.dump_requests_before_crash)."""
+        import json as _json
+        import os as _os
+
+        sched = self.scheduler
+        folder = self.server_args.crash_dump_folder or "/tmp"
+        path = _os.path.join(
+            folder, f"ltp_crash_dump_{int(time.time())}.json"
+        )
+        try:
+            running = [] if sched.running_batch is None else sched.running_batch.reqs
+            dump = {
+                "reason": reason,
+                "time": time.time(),
+                "forward_ct": sched.forward_ct,
+                "inflight_window": sched._inflight is not None,
+                "waiting": [
+                    {"rid": r.rid, "input_len": len(r.origin_input_ids)}
+                    for r in list(sched.waiting_queue)[:64]
+                ],
+                "running": [
+                    {
+                        "rid": r.rid,
+                        "seqlen": r.seqlen(),
+                        "output_len": len(r.output_ids),
+                        "max_new_tokens": r.sampling_params.max_new_tokens,
+                    }
+                    for r in running[:64]
+                ],
+                "kv_available": sched.token_to_kv_pool_allocator.available_size(),
+            }
+            _os.makedirs(folder, exist_ok=True)
+            with open(path, "w") as f:
+                _json.dump(dump, f, indent=1)
+        except Exception:
+            logger.exception("crash dump failed")
+        return path
+
     # ------------------------------------------------------------- generation
     def generate(
         self,
@@ -451,4 +533,4 @@ class Engine:
         }
 
     def shutdown(self):
-        pass
+        self._watchdog_stop.set()

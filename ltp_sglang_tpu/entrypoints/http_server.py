@@ -622,6 +622,8 @@ class HttpServer:
                 f"<|{m.get('role','user')}|>\n{m.get('content','')}\n" for m in messages
             ) + "<|assistant|>\n"
         sp = _openai_to_sampling_params(body)
+        if body.get("stream"):
+            return await self._openai_chat_stream(request, body, prompt, sp)
         out = await self._generate_one({"text": prompt, "sampling_params": sp})
         if out is None:
             return web.json_response({"error": "timeout"}, status=504)
@@ -672,6 +674,114 @@ class HttpServer:
                 },
             }
         )
+
+    async def _openai_chat_stream(self, request, body, prompt, sp):
+        """SSE chat completion chunks with streamed reasoning / tool-call
+        deltas (reference: entrypoints/openai/serving_chat.py SSE path)."""
+        chat_id = f"chatcmpl-{uuid.uuid4().hex}"
+        created = int(time.time())
+        model_name = self.engine.server_args.served_model_name
+
+        def chunk(delta, finish=None):
+            return (
+                "data: "
+                + json.dumps({
+                    "id": chat_id,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model_name,
+                    "choices": [
+                        {"index": 0, "delta": delta, "finish_reason": finish}
+                    ],
+                })
+                + "\n\n"
+            ).encode()
+
+        reasoning_parser = None
+        if self.engine.server_args.reasoning_parser or body.get("separate_reasoning"):
+            from ltp_sglang_tpu.reasoning_parser import ReasoningParser
+
+            reasoning_parser = ReasoningParser()
+        tool_parser = None
+        if body.get("tools"):
+            from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+            tool_parser = FunctionCallParser(
+                self.engine.server_args.tool_call_parser
+            )
+
+        req = self._make_req(
+            {"text": prompt, "sampling_params": sp, "stream": True}
+        )
+        out_q = self.loop_thread.submit(req)
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        await resp.write(chunk({"role": "assistant", "content": ""}))
+        loop = asyncio.get_event_loop()
+        sent = 0
+        finish = "stop"
+        tool_idx = 0
+        usage = None
+        while True:
+            try:
+                out = await loop.run_in_executor(None, out_q.get, True, 1.0)
+            except queue.Empty:
+                continue
+            text = out["decoded_text"]
+            delta, sent = text[sent:], len(text)
+            if out["finished"]:
+                finish = _openai_finish_reason(out["finish_reason"])
+                usage = {
+                    "prompt_tokens": out["prompt_tokens"],
+                    "completion_tokens": len(out["output_ids"]),
+                    "total_tokens": out["prompt_tokens"] + len(out["output_ids"]),
+                }
+            if reasoning_parser is not None:
+                r_delta, delta = reasoning_parser.parse_stream_chunk(delta)
+                if r_delta:
+                    await resp.write(chunk({"reasoning_content": r_delta}))
+            if tool_parser is not None and delta:
+                delta, calls = tool_parser.parse_stream_chunk(delta)
+                for c in calls:
+                    await resp.write(chunk({
+                        "tool_calls": [{
+                            "index": tool_idx,
+                            "id": f"call_{uuid.uuid4().hex[:12]}",
+                            "type": "function",
+                            "function": {"name": c.name,
+                                         "arguments": c.parameters},
+                        }]
+                    }))
+                    tool_idx += 1
+                    finish = "tool_calls"
+            if delta:
+                await resp.write(chunk({"content": delta}))
+            if out["finished"]:
+                if tool_parser is not None:
+                    tail = tool_parser.flush()
+                    if tail:
+                        await resp.write(chunk({"content": tail}))
+                break
+        await resp.write(chunk({}, finish))
+        if usage is not None and (body.get("stream_options") or {}).get(
+            "include_usage"
+        ):
+            await resp.write(
+                ("data: " + json.dumps({
+                    "id": chat_id,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model_name,
+                    "choices": [],
+                    "usage": usage,
+                }) + "\n\n").encode()
+            )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
 
 def _openai_to_sampling_params(body: Dict[str, Any]) -> Dict[str, Any]:

@@ -131,6 +131,9 @@ class Scheduler:
         self.num_prefill_tokens = 0
         self.num_retracted_reqs = 0
         self.forward_ct = 0
+        # Heartbeat for the engine watchdog: bumped whenever a scheduler
+        # step completes (a hung device call stops bumping it).
+        self.last_progress_time = time.time()
         self.last_decode_log_time = time.time()
 
         self._rid_to_req: Dict[str, Req] = {}
@@ -261,10 +264,12 @@ class Scheduler:
         reference's zero-overhead scheduler (tp_worker_overlap_thread.py:
         negative future-token ids resolved on device, SURVEY §3.3), one level
         up: whole K-token windows chain on device."""
+        self.last_progress_time = time.time()
         if self._inflight is not None:
             prev = self._inflight
             self._inflight = self._dispatch_window_continuation(prev)
             self._process_window_result(prev)
+            self.last_progress_time = time.time()
             return True
         batch = self.get_next_batch_to_run()
         if batch is None:
@@ -290,8 +295,10 @@ class Scheduler:
             if chained is not None:
                 self._inflight = chained
                 self.process_batch_result(result)
+                self.last_progress_time = time.time()
                 return True
         self.process_batch_result(result)
+        self.last_progress_time = time.time()
         return True
 
     def _dispatch_window_continuation(self, prev: BatchResult):
