@@ -113,8 +113,10 @@ class ServerArgs:
 
     # PD disaggregation
     disaggregation_mode: str = "null"  # null | prefill | decode
-    disaggregation_bootstrap_port: int = 8998
-    disaggregation_transfer_backend: str = "fake"
+    # 0 = pick an ephemeral port (exposed as engine.pd_prefill.port).
+    disaggregation_bootstrap_port: int = 0
+    disaggregation_transfer_backend: str = "socket"  # socket | fake
+    pd_transfer_timeout: float = 60.0
 
     def __post_init__(self):
         if self.tokenizer_path is None:

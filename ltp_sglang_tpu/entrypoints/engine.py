@@ -111,6 +111,20 @@ class Engine:
 
         self.sessions = SessionController()
 
+        # PD disaggregation controllers (disaggregation/prefill.py, decode.py).
+        self.pd_prefill = None
+        self.pd_decode = None
+        if server_args.disaggregation_mode == "prefill":
+            from ltp_sglang_tpu.disaggregation.prefill import PDPrefillController
+
+            self.pd_prefill = PDPrefillController(
+                self, bootstrap_port=server_args.disaggregation_bootstrap_port
+            )
+        elif server_args.disaggregation_mode == "decode":
+            from ltp_sglang_tpu.disaggregation.decode import PDDecodeController
+
+            self.pd_decode = PDDecodeController(self)
+
         # Watchdog (reference: Scheduler.watchdog_thread, scheduler.py:
         # 2089-2141): if requests are in flight but no scheduler step
         # completes within watchdog_timeout (hung device call, deadlock),
@@ -250,6 +264,50 @@ class Engine:
                 )
         outs = [self._make_output(r) for r in reqs]
         return outs[0] if gri.is_single else outs
+
+    # --------------------------------------------------------- PD disaggregation
+    def generate_pd_prefill(
+        self,
+        bootstrap_room: int,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Dict] = None,
+    ) -> Dict[str, Any]:
+        """Prefill-side PD entry: compute the prompt + first token through
+        the normal path, then stream the prompt KV to the decode engine
+        registered under `bootstrap_room` (async; overlaps later prefills)."""
+        if self.pd_prefill is None:
+            raise RuntimeError("engine not in disaggregation_mode='prefill'")
+        sp = dict(sampling_params or {})
+        sp["max_new_tokens"] = 1
+        out = self.generate(prompt=prompt, input_ids=input_ids, sampling_params=sp)
+        ids = list(input_ids) if input_ids is not None else self.tokenizer.encode(prompt)
+        self.pd_prefill.dispatch(bootstrap_room, ids, out["output_ids"][0])
+        return out
+
+    def generate_pd_decode(
+        self,
+        bootstrap_room: int,
+        bootstrap_host: str,
+        bootstrap_port: int,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Dict] = None,
+        timeout: float = 120.0,
+    ) -> Dict[str, Any]:
+        """Decode-side PD entry (library mode): preallocate KV, wait for the
+        transfer, continue generation. The returned output INCLUDES the
+        prefill-produced first token."""
+        if self.pd_decode is None:
+            raise RuntimeError("engine not in disaggregation_mode='decode'")
+        gri = GenerateReqInput(
+            text=prompt, input_ids=input_ids, sampling_params=sampling_params
+        )
+        gri.normalize_batch_and_arguments()
+        req = self._make_req(gri)
+        self.pd_decode.submit(req, bootstrap_room, bootstrap_host, bootstrap_port)
+        self.pd_decode.wait(req, timeout=timeout)
+        return self._make_output(req)
 
     def encode(
         self,
@@ -534,3 +592,5 @@ class Engine:
 
     def shutdown(self):
         self._watchdog_stop.set()
+        if self.pd_prefill is not None:
+            self.pd_prefill.shutdown()

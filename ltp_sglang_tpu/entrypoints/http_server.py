@@ -183,7 +183,10 @@ class HttpServer:
             num_generated_tokens=sched.num_generated_tokens,
             num_retracted_reqs=sched.num_retracted_reqs,
             waiting_queue_len=len(sched.waiting_queue),
+            disaggregation_mode=self.engine.server_args.disaggregation_mode,
         )
+        if self.engine.pd_prefill is not None:
+            info["pd_bootstrap_port"] = self.engine.pd_prefill.port
         return web.json_response(info)
 
     async def get_model_info(self, request):
@@ -260,6 +263,16 @@ class HttpServer:
             body = await request.json()
         except Exception:
             return web.json_response({"error": "invalid JSON body"}, status=400)
+        if body.get("bootstrap_room") is not None:
+            mode = self.engine.server_args.disaggregation_mode
+            if mode == "prefill":
+                return await self._pd_prefill_generate(body)
+            if mode == "decode":
+                return await self._pd_decode_generate(request, body)
+            return web.json_response(
+                {"error": "bootstrap_room sent to a non-disaggregated server"},
+                status=400,
+            )
         stream = body.get("stream", False)
         try:
             if not stream:
@@ -289,6 +302,73 @@ class HttpServer:
             return resp
         except ValueError as e:
             return web.json_response({"error": str(e)}, status=400)
+
+    # ------------------------------------------------------ PD disaggregation
+    async def _pd_prefill_generate(self, body):
+        """Prefill-role /generate (reference: prefill.py event loop): compute
+        prompt + first token, async-ship KV to the decode server registered
+        under bootstrap_room, respond with the first token."""
+        room = int(body["bootstrap_room"])
+        sp = dict(body.get("sampling_params") or {})
+        sp["max_new_tokens"] = 1
+        req = self._make_req({**body, "sampling_params": sp, "stream": False})
+        out_q = self.loop_thread.submit(req)
+        loop = asyncio.get_event_loop()
+        while True:
+            try:
+                out = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                if out["finished"]:
+                    break
+            except queue.Empty:
+                continue
+        if out["output_ids"]:
+            # dispatch() gathers KV under the loop lock: keep it off the
+            # event loop thread.
+            await loop.run_in_executor(
+                None, self.engine.pd_prefill.dispatch,
+                room, list(req.origin_input_ids), out["output_ids"][0],
+            )
+        return web.json_response(self._format_native(out))
+
+    async def _pd_decode_generate(self, request, body):
+        """Decode-role /generate: preallocate + receive the prefill KV, then
+        stream/return the continuation (first token included)."""
+        req = self._make_req(body)
+        out_q: queue.Queue = queue.Queue()
+        self.loop_thread.outboxes[req.rid] = out_q
+        self.engine.pd_decode.submit(
+            req,
+            int(body["bootstrap_room"]),
+            body.get("bootstrap_host", "127.0.0.1"),
+            int(body["bootstrap_port"]),
+        )
+        loop = asyncio.get_event_loop()
+        if not body.get("stream", False):
+            while True:
+                try:
+                    out = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                    if out["finished"]:
+                        return web.json_response(self._format_native(out))
+                except queue.Empty:
+                    continue
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        while True:
+            try:
+                out = await loop.run_in_executor(None, out_q.get, True, 1.0)
+            except queue.Empty:
+                continue
+            await resp.write(
+                f"data: {json.dumps(self._format_native(out))}\n\n".encode()
+            )
+            if out["finished"]:
+                break
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     def _format_native(self, out: Dict[str, Any]) -> Dict[str, Any]:
         from ltp_sglang_tpu.managers.detokenizer import trim_matched_stop

@@ -139,6 +139,10 @@ class Scheduler:
         self._rid_to_req: Dict[str, Req] = {}
         # In-flight pipelined decode window (see event_loop_step).
         self._inflight = None
+        # Called at the top of every event_loop_step under the engine loop
+        # lock (PD decode installs transferred KV between steps here;
+        # reference analog: process_decode_queue in the disagg event loop).
+        self.pre_step_hooks: List[Callable] = []
         # Optional incremental detokenizer (set by the engine when a
         # tokenizer is available); needed for stop-string detection.
         self.detokenizer = None
@@ -265,6 +269,8 @@ class Scheduler:
         negative future-token ids resolved on device, SURVEY §3.3), one level
         up: whole K-token windows chain on device."""
         self.last_progress_time = time.time()
+        for hook in self.pre_step_hooks:
+            hook()
         if self._inflight is not None:
             prev = self._inflight
             self._inflight = self._dispatch_window_continuation(prev)

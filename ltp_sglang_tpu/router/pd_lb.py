@@ -1,0 +1,155 @@
+"""PD-pairing load balancer.
+
+Counterpart of disaggregation/mini_lb.py (+ the PD mode of
+sgl-router/src/routers/pd_router.rs): for every /generate, pick a
+(prefill, decode) server pair, mint a bootstrap room id, send the request to
+BOTH — the prefill server computes the prompt and ships KV, the decode server
+receives it and streams the continuation. The client reads the decode
+server's response.
+
+`python -m ltp_sglang_tpu.router.launch_router --pd \
+    --prefill-urls http://p1:8000 --decode-urls http://d1:8001`
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import logging
+import random
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import urlparse
+
+import aiohttp
+from aiohttp import web
+
+logger = logging.getLogger(__name__)
+
+
+class PDPair:
+    def __init__(self, prefill_url: str, decode_url: str,
+                 bootstrap_port: Optional[int] = None):
+        self.prefill_url = prefill_url.rstrip("/")
+        self.decode_url = decode_url.rstrip("/")
+        self.bootstrap_host = urlparse(self.prefill_url).hostname
+        self.bootstrap_port = bootstrap_port  # discovered from the server
+
+
+class PDLoadBalancer:
+    def __init__(self, prefill_urls: List[str], decode_urls: List[str],
+                 bootstrap_ports: Optional[List[int]] = None):
+        if not prefill_urls or not decode_urls:
+            raise ValueError("need at least one prefill and one decode URL")
+        ports = bootstrap_ports or [None] * len(prefill_urls)
+        self.prefill = [PDPair(p, "", bp) for p, bp in zip(prefill_urls, ports)]
+        self.decode_urls = [d.rstrip("/") for d in decode_urls]
+        self._rr = itertools.count()
+        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        self.app.router.add_post("/generate", self.generate)
+        self.app.router.add_get("/health", self.health)
+        self.app.router.add_post("/flush_cache", self.flush_cache)
+        self.app.router.add_get("/get_model_info", self.get_model_info)
+        self.app.on_startup.append(self._startup)
+        self._session: Optional[aiohttp.ClientSession] = None
+
+    async def _startup(self, app):
+        self._session = aiohttp.ClientSession()
+        # Discover bootstrap ports from each prefill server.
+        for pair in self.prefill:
+            if pair.bootstrap_port is not None:
+                continue
+            try:
+                async with self._session.get(
+                    pair.prefill_url + "/get_server_info"
+                ) as r:
+                    info = await r.json()
+                    pair.bootstrap_port = info.get("pd_bootstrap_port")
+            except aiohttp.ClientError as e:
+                logger.warning("bootstrap discovery failed for %s: %s",
+                               pair.prefill_url, e)
+
+    def _pick(self) -> Tuple[PDPair, str]:
+        i = next(self._rr)
+        return (self.prefill[i % len(self.prefill)],
+                self.decode_urls[i % len(self.decode_urls)])
+
+    async def generate(self, request):
+        try:
+            body = await request.json()
+        except Exception:
+            return web.json_response({"error": "invalid JSON body"}, status=400)
+        pair, decode_url = self._pick()
+        if pair.bootstrap_port is None:
+            await self._startup(None)
+            if pair.bootstrap_port is None:
+                return web.json_response(
+                    {"error": "prefill bootstrap port unknown"}, status=503
+                )
+        room = random.getrandbits(62)
+        p_body = {**body, "bootstrap_room": room, "stream": False}
+        d_body = {
+            **body,
+            "bootstrap_room": room,
+            "bootstrap_host": pair.bootstrap_host,
+            "bootstrap_port": pair.bootstrap_port,
+        }
+
+        async def run_prefill():
+            async with self._session.post(
+                pair.prefill_url + "/generate", json=p_body
+            ) as r:
+                return r.status, await r.json()
+
+        prefill_task = asyncio.create_task(run_prefill())
+        try:
+            if body.get("stream", False):
+                resp = web.StreamResponse(
+                    headers={"Content-Type": "text/event-stream",
+                             "Cache-Control": "no-cache"}
+                )
+                await resp.prepare(request)
+                async with self._session.post(
+                    decode_url + "/generate", json=d_body,
+                    timeout=aiohttp.ClientTimeout(total=600),
+                ) as r:
+                    async for chunk in r.content.iter_any():
+                        await resp.write(chunk)
+                await resp.write_eof()
+                return resp
+            async with self._session.post(
+                decode_url + "/generate", json=d_body,
+                timeout=aiohttp.ClientTimeout(total=600),
+            ) as r:
+                return web.json_response(await r.json(), status=r.status)
+        finally:
+            try:
+                status, pout = await prefill_task
+                if status != 200:
+                    logger.warning("prefill leg failed: %s %s", status, pout)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("prefill leg error: %s", e)
+
+    async def health(self, request):
+        oks = []
+        for url in [p.prefill_url for p in self.prefill] + self.decode_urls:
+            try:
+                async with self._session.get(url + "/health") as r:
+                    oks.append(r.status == 200)
+            except aiohttp.ClientError:
+                oks.append(False)
+        return web.json_response({"healthy": all(oks), "workers": oks},
+                                 status=200 if all(oks) else 503)
+
+    async def flush_cache(self, request):
+        for url in [p.prefill_url for p in self.prefill] + self.decode_urls:
+            try:
+                await self._session.post(url + "/flush_cache")
+            except aiohttp.ClientError:
+                pass
+        return web.json_response({"success": True})
+
+    async def get_model_info(self, request):
+        async with self._session.get(
+            self.decode_urls[0] + "/get_model_info"
+        ) as r:
+            return web.json_response(await r.json())

@@ -159,10 +159,22 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=30080)
-    p.add_argument("--worker-urls", nargs="+", required=True)
+    p.add_argument("--worker-urls", nargs="+")
     p.add_argument("--policy", default="cache_aware", choices=sorted(POLICIES))
+    # PD-pairing mode (router/pd_lb.py; sgl-router pd_router.rs analog).
+    p.add_argument("--pd", action="store_true")
+    p.add_argument("--prefill-urls", nargs="+")
+    p.add_argument("--decode-urls", nargs="+")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
+    if args.pd:
+        from ltp_sglang_tpu.router.pd_lb import PDLoadBalancer
+
+        lb = PDLoadBalancer(args.prefill_urls or [], args.decode_urls or [])
+        web.run_app(lb.app, host=args.host, port=args.port, print=None)
+        return
+    if not args.worker_urls:
+        p.error("--worker-urls is required (or use --pd)")
     router = Router(args.worker_urls, args.policy)
     web.run_app(router.app, host=args.host, port=args.port, print=None)
 
