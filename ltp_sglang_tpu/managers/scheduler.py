@@ -154,9 +154,16 @@ class Scheduler:
         if server_args.speculative_algorithm:
             algo = server_args.speculative_algorithm.upper()
             if algo.startswith("EAGLE"):
-                from ltp_sglang_tpu.speculative.eagle_worker import EagleWorker
+                if server_args.speculative_eagle_topk > 1:
+                    from ltp_sglang_tpu.speculative.eagle_tree import (
+                        EagleTreeWorker,
+                    )
 
-                self.spec_worker = EagleWorker(model_runner, server_args)
+                    self.spec_worker = EagleTreeWorker(model_runner, server_args)
+                else:
+                    from ltp_sglang_tpu.speculative.eagle_worker import EagleWorker
+
+                    self.spec_worker = EagleWorker(model_runner, server_args)
             else:
                 from ltp_sglang_tpu.speculative.spec_worker import SpecWorker
 
@@ -714,20 +721,23 @@ class Scheduler:
         if self.server_args.page_size != 1:
             return False
         k = self.spec_worker.k
+        # Tree mode verifies V tokens per round (chain: K+1).
+        need = max(k + 1, getattr(self.spec_worker, "num_verify", 0))
         for r in batch.reqs:
             sp = r.sampling_params
             if not sp.is_greedy or r.grammar is not None or r.return_logprob:
                 return False
             if r.lora_id != 0:
                 return False
-            if r.seqlen() + k >= self.model_config.context_len:
+            if r.seqlen() + need >= self.model_config.context_len:
                 return False
-        # Need K+1 target slots per request this round.
-        return batch.check_decode_mem(k + 1)
+        return batch.check_decode_mem(need)
 
     # ----------------------------------------------------------------- device
     # ------------------------------------------------------ speculative round
     def _run_spec_round(self, batch: ScheduleBatch) -> BatchResult:
+        if getattr(self.spec_worker, "kind", "") == "eagle_tree":
+            return self._run_spec_round_eagle_tree(batch)
         if getattr(self.spec_worker, "kind", "") == "eagle":
             return self._run_spec_round_eagle(batch)
         from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
@@ -864,6 +874,92 @@ class Scheduler:
         preds, accepted, h_next = sw.run_round(rb)
         batch.spec_round_data = (preds, accepted, t_slots, d_slots, K, h_next)
         return BatchResult(batch, preds, ForwardMode.DECODE, window_k=0)
+
+    def _run_spec_round_eagle_tree(self, batch: ScheduleBatch) -> BatchResult:
+        """EAGLE top-k tree round (speculative/eagle_tree.py): V verify slots
+        per request; the accepted chain's slots are known only post-round, so
+        the host table rows are written AFTER the round (the device table is
+        merged in-program) and the verify slots are reordered path-first so
+        _process_spec_result's free-beyond-m contract holds unchanged."""
+        from ltp_sglang_tpu.speculative.eagle_tree import EagleTreeRoundBatch
+        from ltp_sglang_tpu.utils import bucketize
+
+        sw = self.spec_worker
+        K, V = sw.k, sw.num_verify
+        d = sw.draft
+        n = len(batch.reqs)
+        pool = self.req_to_token_pool
+        Dm = self.model_config.hidden_size
+
+        for r in batch.reqs:
+            if r.spec_draft_req_idx is None:
+                slots = d.req_to_token.alloc(1)
+                assert slots is not None, "eagle draft request pool exhausted"
+                r.spec_draft_req_idx = slots[0]
+                r.spec_draft_len = max(r.seqlen() - 1, 0)
+
+        t_flat = batch.alloc_token_slots(n * V)
+        assert t_flat is not None, "KV pool exhausted in spec round"
+        t_slots = np.asarray(t_flat, dtype=np.int32).reshape(n, V)
+        d_flat = d.allocator.alloc(n * (K + 1))
+        assert d_flat is not None, "eagle draft KV pool exhausted"
+        d_keep = np.asarray(d_flat, dtype=np.int32).reshape(n, K + 1)
+        seq0 = np.array([r.seqlen() for r in batch.reqs], dtype=np.int32)
+        for i, r in enumerate(batch.reqs):
+            d.req_to_token.req_to_token[
+                r.spec_draft_req_idx, seq0[i] - 1 : seq0[i] + K
+            ] = d_keep[i]
+
+        B = bucketize(n, self.server_args.decode_bs_buckets)
+        C = bucketize(
+            min(int(seq0.max()) + V, self.server_args.context_buckets[-1]),
+            self.server_args.context_buckets,
+        )
+
+        def pad2(a, fill=0):
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        h_prev = np.zeros((n, Dm), np.float32)
+        for i, r in enumerate(batch.reqs):
+            if r.spec_hidden is not None:
+                h_prev[i] = r.spec_hidden
+        rb = EagleTreeRoundBatch(
+            batch_size=n,
+            input_ids=pad2(np.array([r.output_ids[-1] for r in batch.reqs], np.int32)),
+            h_prev=pad2(h_prev),
+            seq0=pad2(np.maximum(seq0, 1)),
+            target_slots=pad2(t_slots),
+            draft_keep=pad2(d_keep),
+            target_req=np.full((B,), self.runner.dump_req_row, np.int32),
+            draft_req=np.full((B,), d.dump_row, np.int32),
+            kv_bucket=C,
+        )
+        rb.target_req[:n] = [r.req_pool_idx for r in batch.reqs]
+        rb.draft_req[:n] = [r.spec_draft_req_idx for r in batch.reqs]
+
+        self.runner._flush_dirty_rows()
+        preds_path, accepted, path, h_next = sw.run_round(rb)
+
+        # Reorder verify slots path-first so downstream "free t_slots[m:]"
+        # releases exactly the non-accepted tree nodes, and publish the
+        # accepted chain into the HOST table (the device table already has
+        # it via the in-program merge).
+        t_eff = np.empty_like(t_slots)
+        for i, r in enumerate(batch.reqs):
+            m = int(accepted[i]) + 1
+            kept = path[i, :m]
+            rest = np.setdiff1d(np.arange(V, dtype=np.int32), kept,
+                                assume_unique=False)
+            t_eff[i, :m] = t_slots[i, kept]
+            t_eff[i, m:] = t_slots[i, rest[: V - m]]
+            pool.req_to_token[
+                r.req_pool_idx, seq0[i] - 1 : seq0[i] - 1 + m
+            ] = t_eff[i, :m]
+
+        batch.spec_round_data = (preds_path, accepted, t_eff, d_keep, K, h_next)
+        return BatchResult(batch, preds_path, ForwardMode.DECODE, window_k=0)
 
     def _process_spec_result(self, batch: ScheduleBatch):
         data = batch.spec_round_data

@@ -57,6 +57,8 @@ class StepArrays(NamedTuple):
     lora_ids: jnp.ndarray = None  # [B] int32 adapter ids (0 = none); optional
     pages: jnp.ndarray = None  # [B, Cp] int32 page ids; set when the Pallas
     #                            ragged extend kernel is engaged (page_size>1)
+    spec_mask: jnp.ndarray = None  # [B, E, E] bool: EAGLE tree-verify
+    #                                visibility (ancestor-or-self), XLA path
 
 
 class LlamaForCausalLM:
@@ -736,7 +738,7 @@ class LlamaForCausalLM:
                 kc, vc, li, cache_locs_flat, k_st, v_st,
                 jnp.asarray(B * E, jnp.int32),
             )
-            if self.extend_attn is not None and step.pages is not None:
+            if self.extend_attn is not None and step.pages is not None and step.spec_mask is None:
                 # Pallas ragged extend kernel: streams pages HBM->VMEM once
                 # (ops/attention/pallas_extend.py) instead of the triple
                 # byte-move gather below.
@@ -763,6 +765,7 @@ class LlamaForCausalLM:
                     step.prefix_lens,
                     self.sm_scale,
                     sliding_window=self.sliding_window,
+                    tree_mask=step.spec_mask,
                 )
             if vsc is not None:
                 attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)

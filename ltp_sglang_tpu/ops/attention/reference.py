@@ -32,6 +32,7 @@ def ref_paged_attention(
     sm_scale: float,
     logit_cap: float = 0.0,
     sliding_window: int = 0,  # 0 = disabled
+    tree_mask: jnp.ndarray = None,  # [B, E, E] bool: spec-tree visibility
 ) -> jnp.ndarray:  # [B, E, Hq, Dv]
     # NOTE the caller gathers pages with a SINGLE fused indexing expression
     # `cache[layer, kv_indices]` — slicing the layer first (`cache[layer]`)
@@ -60,9 +61,23 @@ def ref_paged_attention(
     # kv j iff j <= p_i and j < seq_len.
     q_pos = q_pos_start[:, None] + jnp.arange(E, dtype=jnp.int32)[None, :]  # [B, E]
     kv_pos = jnp.arange(C, dtype=jnp.int32)[None, :]  # [1, C]
-    mask = (kv_pos[:, None, :] <= q_pos[:, :, None]) & (
-        kv_pos[:, None, :] < seq_lens[:, None, None]
-    )  # [B, E, C]
+    if tree_mask is not None:
+        # Speculative tree verify (reference: build_eagle_tree.py tree masks):
+        # the E new tokens occupy kv columns [q_pos_start, q_pos_start + E)
+        # IN TREE ORDER (their true positions, used for RoPE, differ); query
+        # i sees the whole committed prefix plus its own ancestors-or-self.
+        col_off = kv_pos - q_pos_start[:, None]  # [B, C] tree column or <0
+        in_tree = (col_off >= 0) & (col_off < E)
+        anc = jnp.take_along_axis(
+            tree_mask, jnp.clip(col_off, 0, E - 1)[:, None, :], axis=2
+        )  # [B, E, C]
+        mask = jnp.where(in_tree[:, None, :], anc, True) & (
+            kv_pos[:, None, :] < seq_lens[:, None, None]
+        )
+    else:
+        mask = (kv_pos[:, None, :] <= q_pos[:, :, None]) & (
+            kv_pos[:, None, :] < seq_lens[:, None, None]
+        )  # [B, E, C]
     apply_window = (
         not isinstance(sliding_window, int) or sliding_window > 0
     )  # traced per-layer windows (gemma2) always apply the term

@@ -17,7 +17,7 @@ def dirs():
     return d, e
 
 
-def make_engine(dirs, spec: bool):
+def make_engine(dirs, spec: bool, topk: int = 1, num_draft: int = 8):
     from ltp_sglang_tpu.config.server_args import ServerArgs
     from ltp_sglang_tpu.entrypoints.engine import Engine
 
@@ -31,24 +31,62 @@ def make_engine(dirs, spec: bool):
             speculative_algorithm="EAGLE",
             speculative_draft_model_path=e,
             speculative_num_steps=3,
+            speculative_eagle_topk=topk,
+            speculative_num_draft_tokens=num_draft,
         )
     return Engine(ServerArgs(**args))
 
 
-def test_eagle_greedy_equivalence(dirs):
+@pytest.fixture(scope="module")
+def ref_out(dirs):
     base = make_engine(dirs, spec=False)
-    spec = make_engine(dirs, spec=True)
     prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8]]
     sp = {"max_new_tokens": 24, "temperature": 0.0}
-    ref = base.generate(input_ids=prompts, sampling_params=sp)
+    return base.generate(input_ids=prompts, sampling_params=sp)
+
+
+def test_eagle_chain_greedy_equivalence(dirs, ref_out):
+    spec = make_engine(dirs, spec=True, topk=1)
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0}
     out = spec.generate(input_ids=prompts, sampling_params=sp)
-    for r, o in zip(ref, out):
+    for r, o in zip(ref_out, out):
         assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
     sw = spec.scheduler.spec_worker
     assert sw.kind == "eagle"
     assert sw.num_rounds > 0
     # A random head should still commit >= 1 token per round (the bonus).
     assert sw.avg_accept_length >= 1.0
+
+
+def test_eagle_tree_greedy_equivalence(dirs, ref_out):
+    """Top-k tree draft + tree verify (speculative/eagle_tree.py): exactness
+    must hold regardless of the head, and the worker must be the tree one."""
+    spec = make_engine(dirs, spec=True, topk=2, num_draft=6)
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0}
+    out = spec.generate(input_ids=prompts, sampling_params=sp)
+    for r, o in zip(ref_out, out):
+        assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
+    sw = spec.scheduler.spec_worker
+    assert sw.kind == "eagle_tree"
+    assert sw.num_rounds > 0
+    assert sw.avg_accept_length >= 1.0
+
+
+def test_eagle_tree_beats_or_matches_chain_acceptance(dirs):
+    """The tree explores T candidate branches; on any fixed (target, head)
+    pair its acceptance length must be >= the chain's at equal depth."""
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8],
+               [4, 4, 8, 2, 9], [10, 20, 30, 40, 50, 60, 70]]
+    sp = {"max_new_tokens": 32, "temperature": 0.0}
+    chain = make_engine(dirs, spec=True, topk=1)
+    chain.generate(input_ids=prompts, sampling_params=sp)
+    tree = make_engine(dirs, spec=True, topk=4, num_draft=8)
+    tree.generate(input_ids=prompts, sampling_params=sp)
+    a_chain = chain.scheduler.spec_worker.avg_accept_length
+    a_tree = tree.scheduler.spec_worker.avg_accept_length
+    assert a_tree >= a_chain - 1e-9, (a_tree, a_chain)
 
 
 def test_eagle_radix_reuse_and_second_turn(dirs):
