@@ -98,6 +98,9 @@ class ServerArgs:
     # Structured output
     grammar_backend: str = "native"
     tool_call_parser: str = "qwen25"  # llama3 | qwen25 | mistral | pythonic
+    # Named template from chat_template.py; None = tokenizer's own template,
+    # falling back to a registry match on the model path.
+    chat_template: Optional[str] = None
     reasoning_parser: Optional[str] = None  # e.g. "deepseek-r1"
 
     # Observability

@@ -692,16 +692,35 @@ class HttpServer:
             return web.json_response(
                 {"error": "chat requires a tokenizer with a chat template"}, status=400
             )
-        try:
-            prompt = tokenizer.apply_chat_template(
-                messages, tokenize=False, add_generation_prompt=True
-            )
-        except Exception:
-            # Fallback template.
-            prompt = "".join(
-                f"<|{m.get('role','user')}|>\n{m.get('content','')}\n" for m in messages
-            ) + "<|assistant|>\n"
         sp = _openai_to_sampling_params(body)
+        prompt = None
+        named = self.engine.server_args.chat_template
+        if not named:
+            try:
+                prompt = tokenizer.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=True
+                )
+            except Exception:
+                pass
+        if prompt is None:
+            # Named/matched template registry (chat_template.py; reference
+            # conversation.py get_conv_template/match).
+            from ltp_sglang_tpu.chat_template import (
+                get_chat_template,
+                match_chat_template,
+            )
+
+            tpl = (
+                get_chat_template(named)
+                if named
+                else match_chat_template(self.engine.server_args.model_path)
+            )
+            prompt = tpl.apply(messages)
+            if tpl.stop_strs:
+                stops = sp.get("stop") or []
+                if isinstance(stops, str):
+                    stops = [stops]
+                sp["stop"] = list(stops) + list(tpl.stop_strs)
         if body.get("stream"):
             return await self._openai_chat_stream(request, body, prompt, sp)
         out = await self._generate_one({"text": prompt, "sampling_params": sp})
