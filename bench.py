@@ -99,12 +99,27 @@ def run_one(cfg, quant, bs, prompt_len, gen_len, page_size, window):
     # makes subsequent runs start fast.
     eng.generate(input_ids=prompts, sampling_params=sp)
     eng.flush_cache()
+    sp1 = dict(sp, max_new_tokens=1)
+    eng.generate(input_ids=prompts, sampling_params=sp1)
+    eng.flush_cache()
 
-    t0 = time.time()
-    outs = eng.generate(input_ids=prompts, sampling_params=sp)
-    elapsed = time.time() - t0
-    total_tokens = sum(len(o["output_ids"]) for o in outs)
-    tok_per_s = total_tokens / elapsed
+    # Two-point measurement (the reference's bench_one_batch separates
+    # prefill latency from decode tok/s): t1 = prefill + 1 token,
+    # t_full = prefill + gen_len tokens; decode rate excludes prefill.
+    # Best-of-3: the network-attached chip shows +-10% run-to-run noise.
+    t1 = float("inf")
+    t_full = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        eng.generate(input_ids=prompts, sampling_params=sp1)
+        t1 = min(t1, time.time() - t0)
+        eng.flush_cache()
+        t0 = time.time()
+        outs = eng.generate(input_ids=prompts, sampling_params=sp)
+        t_full = min(t_full, time.time() - t0)
+        eng.flush_cache()
+    decode_tokens = sum(len(o["output_ids"]) - 1 for o in outs)
+    tok_per_s = decode_tokens / max(t_full - t1, 1e-9)
     param_bytes = count_param_bytes(eng.model_runner.params)
     eng.shutdown() if hasattr(eng, "shutdown") else None
     del eng

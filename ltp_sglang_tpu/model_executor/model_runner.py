@@ -348,6 +348,22 @@ class ModelRunner:
             load_format="dummy" if load_format == "dummy" else "auto",
             seed=self.server_args.random_seed,
         )
+        if (
+            getattr(self.model, "supports_quant_fusion", False)
+            and isinstance(self.params.get("layers"), dict)
+            and any(
+                isinstance(v, dict) and "w4" in v
+                for v in self.params["layers"].values()
+            )
+        ):
+            # Column-concat q/k/v and gate/up int4 projections: 7 fused-
+            # kernel calls per layer become 4 with strictly larger N
+            # (small-N calls run far below HBM bandwidth).
+            from ltp_sglang_tpu.layers.quantization.int4 import (
+                fuse_quant_projections,
+            )
+
+            fuse_quant_projections(self.params["layers"])
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
             self.params = shard_pytree(self.params, self.model.param_specs(), self.mesh_ctx)
         logger.info("Model loaded in %.1fs (format=%s)", time.time() - t0, load_format)

@@ -62,6 +62,10 @@ class StepArrays(NamedTuple):
 
 
 class LlamaForCausalLM:
+    # Int4 q/k/v + gate/up column fusion (int4.fuse_quant_projections) is
+    # valid for any model whose layer body goes through this class's lin()
+    # dispatch; models with custom forwards opt out.
+    supports_quant_fusion = True
     has_bias = False  # qwen2 subclass sets qkv bias
     has_qk_norm = False  # qwen3 subclass: per-head RMS norm on q/k before RoPE
 
@@ -143,11 +147,13 @@ class LlamaForCausalLM:
                     "weight_scale": jnp.full((1, N), 0.005, dtype=jnp.float32),
                 }
             G = self.quant_group_size
+            # Scales/zeros stored f32: the fused kernel DMAs them raw and a
+            # per-call astype would materialize the whole stacked array.
             return {
                 "w4": jax.random.randint(sub, (K // 2, N), -128, 128, dtype=jnp.int32)
                 .astype(jnp.int8),
-                "scales": jnp.full((K // G, N), 0.005, dtype=self.dtype),
-                "zeros": jnp.full((K // G, N), 8.0, dtype=self.dtype),
+                "scales": jnp.full((K // G, N), 0.005, dtype=jnp.float32),
+                "zeros": jnp.full((K // G, N), 8.0, dtype=jnp.float32),
             }
 
         def stack_proj(K, N):
@@ -287,11 +293,14 @@ class LlamaForCausalLM:
                         )
                 out = {
                     "w4": jnp.asarray(np.stack([d["w4"] for d in per_layer])),
+                    # f32 on purpose (see init_params proj()).
                     "scales": jnp.asarray(
-                        np.stack([d["scales"] for d in per_layer]), dtype=self.dtype
+                        np.stack([d["scales"] for d in per_layer]),
+                        dtype=jnp.float32,
                     ),
                     "zeros": jnp.asarray(
-                        np.stack([d["zeros"] for d in per_layer]), dtype=self.dtype
+                        np.stack([d["zeros"] for d in per_layer]),
+                        dtype=jnp.float32,
                     ),
                 }
                 if "perm" in per_layer[0]:
@@ -467,9 +476,13 @@ class LlamaForCausalLM:
                 return apply_linear(lp[name], x, self.quant_group_size)
 
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = lin("q_proj", normed)
-            k = lin("k_proj", normed)
-            v = lin("v_proj", normed)
+            if quant_stacked is not None and "qkv_proj" in quant_stacked:
+                y = lin("qkv_proj", normed)
+                q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
+            else:
+                q = lin("q_proj", normed)
+                k = lin("k_proj", normed)
+                v = lin("v_proj", normed)
             q = q.reshape(B, Hq, D)
             k = k.reshape(B, Hkv, D)
             v = v.reshape(B, Hkv, D)
@@ -519,7 +532,10 @@ class LlamaForCausalLM:
             h = h + lin("o_proj", attn)
 
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            if quant_stacked is not None and "gate_proj" in quant_stacked:
+            if quant_stacked is not None and "gate_up_proj" in quant_stacked:
+                gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
+                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+            elif quant_stacked is not None and "gate_proj" in quant_stacked:
                 gate = lin("gate_proj", normed)
                 up = lin("up_proj", normed)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
@@ -599,9 +615,13 @@ class LlamaForCausalLM:
                 return apply_linear(lp[name], x, self.quant_group_size)
 
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
-            q = lin("q_proj", normed)
-            k = lin("k_proj", normed)
-            v = lin("v_proj", normed)
+            if quant_stacked is not None and "qkv_proj" in quant_stacked:
+                y = lin("qkv_proj", normed)
+                q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
+            else:
+                q = lin("q_proj", normed)
+                k = lin("k_proj", normed)
+                v = lin("v_proj", normed)
             q = q.reshape(B, Hq, D)
             k = k.reshape(B, Hkv, D)
             v = v.reshape(B, Hkv, D)
@@ -626,7 +646,10 @@ class LlamaForCausalLM:
             h = h + lin("o_proj", attn)
 
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            if quant_stacked is not None and "gate_proj" in quant_stacked:
+            if quant_stacked is not None and "gate_up_proj" in quant_stacked:
+                gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
+                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+            elif quant_stacked is not None and "gate_proj" in quant_stacked:
                 gate = lin("gate_proj", normed)
                 up = lin("up_proj", normed)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
@@ -717,9 +740,25 @@ class LlamaForCausalLM:
             # Self-attention
             normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
             gs = self.quant_group_size
-            q = lin("q_proj", normed)
-            k = lin("k_proj", normed)
-            v = lin("v_proj", normed)
+            if quant_stacked is not None and "qkv_proj" in quant_stacked:
+                y = apply_linear(quant_stacked["qkv_proj"], normed, gs, li=li)
+                q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
+                if lora_layers is not None:
+                    T = normed.shape[0] * normed.shape[1]
+                    xt = normed.reshape(T, normed.shape[-1])
+                    segs = []
+                    for nm, seg in (("q_proj", q), ("k_proj", k), ("v_proj", v)):
+                        if nm in ll:
+                            seg = seg + lora_apply(
+                                xt, lora_ids_tok, ll[nm]["A"], ll[nm]["B"],
+                                lora_scaling,
+                            ).reshape(seg.shape)
+                        segs.append(seg)
+                    q, k, v = segs
+            else:
+                q = lin("q_proj", normed)
+                k = lin("k_proj", normed)
+                v = lin("v_proj", normed)
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
@@ -773,6 +812,24 @@ class LlamaForCausalLM:
 
             # MLP (subclasses override mlp() — MoE models route here)
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            if quant_stacked is not None and "gate_up_proj" in quant_stacked:
+                gu = apply_linear(quant_stacked["gate_up_proj"], normed, gs, li=li)
+                gate, up = jnp.split(gu, 2, axis=-1)
+                if lora_layers is not None:
+                    T = normed.shape[0] * normed.shape[1]
+                    xt = normed.reshape(T, normed.shape[-1])
+                    if "gate_proj" in ll:
+                        gate = gate + lora_apply(
+                            xt, lora_ids_tok, ll["gate_proj"]["A"],
+                            ll["gate_proj"]["B"], lora_scaling,
+                        ).reshape(gate.shape)
+                    if "up_proj" in ll:
+                        up = up + lora_apply(
+                            xt, lora_ids_tok, ll["up_proj"]["A"],
+                            ll["up_proj"]["B"], lora_scaling,
+                        ).reshape(up.shape)
+                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+                return (h, kc, vc), None
             has_gate = "gate_proj" in lp or (
                 quant_stacked is not None and "gate_proj" in quant_stacked
             )
