@@ -61,6 +61,17 @@ class ModelConfig:
     def __post_init__(self):
         hf = self.hf_config
         self.architectures = hf.get("architectures", []) or []
+        # VLM configs (llava family) nest the language model under
+        # text_config; merge its fields up so the LM geometry below reads
+        # uniformly (reference model_config.py get_hf_text_config).
+        if isinstance(hf.get("text_config"), dict):
+            self.is_multimodal = True
+            merged = dict(hf["text_config"])
+            for k, v in hf.items():
+                if k not in merged:
+                    merged[k] = v
+            hf = merged
+            self.hf_config = merged
         self.vocab_size = hf.get("vocab_size", 32000)
         self.hidden_size = hf.get("hidden_size", 0)
         self.num_layers = hf.get("num_hidden_layers", hf.get("num_layers", 0))

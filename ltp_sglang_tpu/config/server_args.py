@@ -59,6 +59,9 @@ class ServerArgs:
     # window N's output without a host sync); see Scheduler.event_loop_step.
     disable_window_pipeline: bool = False
     disable_radix_cache: bool = False
+    # Hybrid SWA memory pool (per-request KV rings for sliding-window
+    # layers); reference --disable-hybrid-swa-memory.
+    disable_swa_memory_pool: bool = False
     radix_cache_backend: str = "python"  # python | cpp (ctypes C++ tree)
     # Hierarchical KV cache: device tier + host-RAM write-back tier.
     enable_hierarchical_cache: bool = False

@@ -107,6 +107,18 @@ class Engine:
         self._stream_queues: Dict[str, queue.Queue] = {}
         self._loop_lock = threading.Lock()
 
+        # Multimodal processor (multimodal/processor.py): expands image
+        # placeholders into hash-derived pad ids + pixel features.
+        self.mm_processor = None
+        if hasattr(self.model_runner.model, "encode_images"):
+            from ltp_sglang_tpu.multimodal.processor import MultimodalProcessor
+
+            self.mm_processor = MultimodalProcessor(
+                self.model_runner.model,
+                server_args.model_path,
+                self.model_config.vocab_size,
+            )
+
         from ltp_sglang_tpu.managers.session_controller import SessionController
 
         self.sessions = SessionController()
@@ -114,6 +126,14 @@ class Engine:
         # PD disaggregation controllers (disaggregation/prefill.py, decode.py).
         self.pd_prefill = None
         self.pd_decode = None
+        if (
+            server_args.disaggregation_mode != "null"
+            and self.model_runner.swa_enabled
+        ):
+            raise ValueError(
+                "PD disaggregation does not transfer SWA ring KV; run with "
+                "--disable-swa-memory-pool"
+            )
         if server_args.disaggregation_mode == "prefill":
             from ltp_sglang_tpu.disaggregation.prefill import PDPrefillController
 
@@ -218,6 +238,7 @@ class Engine:
         stream: bool = False,
         session_params: Optional[Dict] = None,
         token_ids_logprob: Optional[List[int]] = None,
+        image_data: Optional[Any] = None,
     ):
         """Synchronous batch generation (Engine.generate, engine.py:137)."""
         gri = GenerateReqInput(
@@ -229,6 +250,7 @@ class Engine:
             stream=stream,
             session_params=session_params,
             token_ids_logprob=token_ids_logprob,
+            image_data=image_data,
         )
         gri.normalize_batch_and_arguments()
 
@@ -425,6 +447,14 @@ class Engine:
             if self.tokenizer is None:
                 raise ValueError("no tokenizer available; pass input_ids")
             ids = self.tokenizer.encode(one.text)
+        mm_items = None
+        if one.image_data is not None:
+            if self.mm_processor is None:
+                raise ValueError("model is not multimodal; image_data given")
+            images = one.image_data if isinstance(one.image_data, list) else [
+                one.image_data
+            ]
+            ids, mm_items = self.mm_processor.process(ids, images)
         if len(ids) >= self.model_config.context_len:
             raise ValueError(
                 f"input length {len(ids)} exceeds context length "
@@ -443,6 +473,7 @@ class Engine:
             top_logprobs_num=int(one.top_logprobs_num or 0),
             stream=one.stream,
         )
+        req.mm_items = mm_items
         req.lora_path = one.lora_path
         req.token_ids_logprob = one.token_ids_logprob
         if sp.regex:

@@ -220,6 +220,7 @@ class HttpServer:
             stream=body.get("stream", False),
             lora_path=body.get("lora_path"),
             token_ids_logprob=body.get("token_ids_logprob"),
+            image_data=body.get("image_data"),
         )
         gri.normalize_batch_and_arguments()
         if not gri.is_single:
@@ -687,6 +688,23 @@ class HttpServer:
         except Exception:
             return web.json_response({"error": "invalid JSON"}, status=400)
         messages = body.get("messages", [])
+        # VLM chat: lift image_url parts out of typed content (each becomes
+        # an "<image>" placeholder the tokenizer expands to the image token).
+        images = []
+        norm_msgs = []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                text = ""
+                for p in c:
+                    if isinstance(p, dict) and p.get("type") == "image_url":
+                        images.append(p["image_url"]["url"])
+                        text += "<image>"
+                    elif isinstance(p, dict):
+                        text += p.get("text", "")
+                m = {**m, "content": text}
+            norm_msgs.append(m)
+        messages = norm_msgs
         tokenizer = self.engine.tokenizer
         if tokenizer is None:
             return web.json_response(
@@ -721,9 +739,14 @@ class HttpServer:
                 if isinstance(stops, str):
                     stops = [stops]
                 sp["stop"] = list(stops) + list(tpl.stop_strs)
+        gen_body = {"text": prompt, "sampling_params": sp}
+        if images:
+            gen_body["image_data"] = images
         if body.get("stream"):
-            return await self._openai_chat_stream(request, body, prompt, sp)
-        out = await self._generate_one({"text": prompt, "sampling_params": sp})
+            return await self._openai_chat_stream(
+                request, body, prompt, sp, images=images
+            )
+        out = await self._generate_one(gen_body)
         if out is None:
             return web.json_response({"error": "timeout"}, status=504)
 
@@ -774,7 +797,7 @@ class HttpServer:
             }
         )
 
-    async def _openai_chat_stream(self, request, body, prompt, sp):
+    async def _openai_chat_stream(self, request, body, prompt, sp, images=None):
         """SSE chat completion chunks with streamed reasoning / tool-call
         deltas (reference: entrypoints/openai/serving_chat.py SSE path)."""
         chat_id = f"chatcmpl-{uuid.uuid4().hex}"
@@ -810,7 +833,8 @@ class HttpServer:
             )
 
         req = self._make_req(
-            {"text": prompt, "sampling_params": sp, "stream": True}
+            {"text": prompt, "sampling_params": sp, "stream": True,
+             **({"image_data": images} if images else {})}
         )
         out_q = self.loop_thread.submit(req)
         resp = web.StreamResponse(

@@ -25,6 +25,9 @@ class GenerateReqInput:
     top_logprobs_num: Union[int, List[int]] = 0
     stream: bool = False
     lora_path: Optional[Union[str, List[str]]] = None
+    # Multimodal inputs: one image (path / base64 / data URI / ndarray) or a
+    # list per request; list-of-lists for batches.
+    image_data: Optional[Any] = None
     # Logprobs at specific token ids each step (score API; token_ids_logprobs
     # in the reference io_struct). One shared list for the whole batch.
     token_ids_logprob: Optional[List[int]] = None
@@ -85,6 +88,7 @@ class GenerateReqInput:
             stream=self.stream,
             lora_path=pick(self.lora_path),
             token_ids_logprob=self.token_ids_logprob,
+            image_data=pick(self.image_data),
         )
         out.is_single = True
         out.batch_size = 1

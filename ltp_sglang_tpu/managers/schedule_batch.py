@@ -130,6 +130,10 @@ class Req:
         self.lora_path = None
         self.lora_id = 0
 
+        # Multimodal items (multimodal/processor.py MultimodalItem): the
+        # prompt's placeholder spans plus pixel features / projected embeds.
+        self.mm_items = None
+
         # Embedding mode (EmbeddingReqInput analog): no decode; the extend
         # forward pools hidden states into self.embedding and finishes.
         self.is_embedding = False

@@ -78,7 +78,14 @@ class Scheduler:
         self.req_to_token_pool = model_runner.req_to_token_pool
         self.token_to_kv_pool_allocator = model_runner.token_to_kv_pool_allocator
 
-        if server_args.disable_radix_cache:
+        if server_args.disable_radix_cache or model_runner.swa_enabled:
+            # SWA rings are per-request: a radix prefix hit would skip the
+            # recompute that fills the new request's ring, leaving windowed
+            # layers without KV (the reference's SWARadixCache instead
+            # tracks per-layer-kind validity; ChunkCache keeps correctness).
+            if model_runner.swa_enabled and not server_args.disable_radix_cache:
+                logger.info("SWA memory pool active: using ChunkCache "
+                            "(cross-request prefix reuse disabled)")
             self.tree_cache = ChunkCache(
                 self.req_to_token_pool,
                 self.token_to_kv_pool_allocator,
@@ -718,7 +725,7 @@ class Scheduler:
     def _spec_eligible(self, batch: ScheduleBatch) -> bool:
         if self.spec_worker is None:
             return False
-        if self.server_args.page_size != 1:
+        if self.server_args.page_size != 1 or self.runner.swa_enabled:
             return False
         k = self.spec_worker.k
         # Tree mode verifies V tokens per round (chain: K+1).
@@ -1015,6 +1022,35 @@ class Scheduler:
         req.spec_draft_req_idx = None
         req.spec_draft_len = 0
 
+    def _prepare_mm(self, batch: ScheduleBatch, fb):
+        """VLM extend prep: lazily encode this batch's images (runner vision
+        jit + hash cache), then build the [B, E] injection arrays for the
+        spans of each request's mm items that THIS chunk computes (chunked
+        prefill can split an image across chunks)."""
+        items = [it for r in batch.reqs for it in (r.mm_items or [])]
+        if not items:
+            return
+        self.runner.encode_mm_items(items)
+        B, E = fb.input_ids.shape
+        Dm = self.model_config.hidden_size
+        mm_embeds = np.zeros((B, E, Dm), np.float32)
+        mm_mask = np.zeros((B, E), bool)
+        any_hit = False
+        for i, r in enumerate(batch.reqs):
+            p0 = int(fb.prefix_lens[i])
+            ext = int(fb.extend_lens[i])
+            for it in r.mm_items or []:
+                a = max(p0, it.offset)
+                b = min(p0 + ext, it.offset + it.length)
+                if a >= b:
+                    continue
+                mm_embeds[i, a - p0 : b - p0] = it.embeds[a - it.offset : b - it.offset]
+                mm_mask[i, a - p0 : b - p0] = True
+                any_hit = True
+        if any_hit:
+            fb.mm_embeds = mm_embeds
+            fb.mm_mask = mm_mask
+
     def run_batch(self, batch: ScheduleBatch) -> BatchResult:
         self.forward_ct += 1
         window_k = getattr(batch, "window_K", 1)
@@ -1045,12 +1081,16 @@ class Scheduler:
             fb.vocab_mask = fb.sampling_info.build_vocab_mask(
                 batch.reqs, fb.input_ids.shape[0]
             )
+        if batch.forward_mode != ForwardMode.DECODE and any(
+            getattr(r, "mm_items", None) for r in batch.reqs
+        ):
+            self._prepare_mm(batch, fb)
         want_lp = any(r.return_logprob for r in batch.reqs)
         want_ids_lp = any(r.token_ids_logprob for r in batch.reqs)
         want_hid = (
             batch.forward_mode != ForwardMode.DECODE
             and self.spec_worker is not None
-            and getattr(self.spec_worker, "kind", "") == "eagle"
+            and getattr(self.spec_worker, "kind", "").startswith("eagle")
         )
         if want_hid:
             next_tokens, lp, logits, hidden = self.runner.forward(

@@ -63,6 +63,9 @@ class ForwardBatch:
     sampling_info: Optional[SamplingBatchInfo] = None
     vocab_mask: Optional[np.ndarray] = None  # [B, V] bool (grammar constraints)
     lora_ids: Optional[np.ndarray] = None  # [B] int32 adapter ids (0 = none)
+    # VLM embedding injection over placeholder positions (models/llava.py).
+    mm_embeds: Optional[np.ndarray] = None  # [B, E, Dm] float
+    mm_mask: Optional[np.ndarray] = None  # [B, E] bool
 
     @property
     def bucket_key(self):

@@ -328,6 +328,8 @@ class ModelRunner:
         self._step_cache: Dict[Tuple, Any] = {}
         self._rng_key = jax.random.PRNGKey(server_args.random_seed)
         self._step_counter = 0
+        # VLM: pad_value (image hash) -> projected embeddings (FIFO-bounded).
+        self._mm_embed_cache: Dict[int, np.ndarray] = {}
         self._dirty_rows: Dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ init
@@ -459,8 +461,64 @@ class ModelRunner:
                 else P(None, None, None, None)
             )
             table_sharding = self.mesh_ctx.replicated()
-        self.k_cache = jnp.zeros((L, S, rk, lnk), dtype=self.kv_dtype, device=kv_sharding)
-        self.v_cache = jnp.zeros((L, S, rv, lnv), dtype=self.kv_dtype, device=kv_sharding)
+        # Hybrid SWA memory pool (reference mem_cache/memory_pool.py:420
+        # SWAKVPool): sliding-window layers store KV in PER-REQUEST RING
+        # buffers of ~window size instead of full-length rows — slot =
+        # req_row * ring + pos % ring, computed in-program, so no allocator
+        # or page table is involved for those layers. The ring must hold
+        # window + chunk-extend positions, since a chunk's writes all land
+        # before its attention reads.
+        self.swa_enabled = False
+        self.k_swa = self.v_swa = None
+        lw = getattr(self.model, "layer_windows", None)
+        if (
+            lw is not None
+            and not self.server_args.disable_swa_memory_pool
+            and (np.asarray(lw) < cfg.context_len).any()
+        ):
+            lw = np.asarray(lw)
+            is_swa = lw < cfg.context_len
+            W = int(lw[is_swa].max())
+            # Largest per-chunk extend the ring must coexist with: chunked
+            # prefill bounds it (bucketized); -1 (disabled) means a whole
+            # prompt can arrive in one extend.
+            from ltp_sglang_tpu.utils import bucketize
+
+            chunk = self.server_args.chunked_prefill_size
+            buckets = self.server_args.prefill_token_buckets
+            ext_cap = (
+                bucketize(min(chunk, buckets[-1]), buckets)
+                if chunk and chunk > 0
+                else buckets[-1]
+            )
+            ring = min(W + ext_cap, cfg.context_len)
+            ring = round_up(ring, max(page_size, 1))
+            n_swa = int(is_swa.sum())
+            n_full = L - n_swa
+            sub = np.zeros((L,), np.int32)
+            sub[is_swa] = np.arange(n_swa)
+            sub[~is_swa] = np.arange(n_full)
+            self.swa_enabled = True
+            self.model.swa_pool = {
+                "is_swa": jnp.asarray(is_swa),
+                "sub_index": jnp.asarray(sub),
+                "ring": ring,
+            }
+            S_swa = (max_reqs + 1) * ring
+            self.k_swa = jnp.zeros((n_swa, S_swa, rk, lnk), dtype=self.kv_dtype,
+                                   device=kv_sharding)
+            self.v_swa = jnp.zeros((n_swa, S_swa, rv, lnv), dtype=self.kv_dtype,
+                                   device=kv_sharding)
+            L_alloc = n_full
+            logger.info(
+                "SWA pool: %d windowed layers -> %d-token rings x %d reqs "
+                "(full-length KV only for %d global layers)",
+                n_swa, ring, max_reqs + 1, n_full,
+            )
+        else:
+            L_alloc = L
+        self.k_cache = jnp.zeros((L_alloc, S, rk, lnk), dtype=self.kv_dtype, device=kv_sharding)
+        self.v_cache = jnp.zeros((L_alloc, S, rv, lnv), dtype=self.kv_dtype, device=kv_sharding)
         # Whole-row table DMAs (table_write_rows_pallas) fault when the row
         # spans a partial int32 tile: (9,128) / (10,128) int32 copies crash
         # the TPU worker while (8,128) / (16,128) run (measured on v5e).
@@ -493,7 +551,8 @@ class ModelRunner:
     def _build_step_fn(self, mode_is_decode: bool, C: int, has_logit_bias: bool,
                        return_logits: bool, sampler_kind: str,
                        has_penalties: bool = False, want_logprobs: bool = False,
-                       has_vocab_mask: bool = False, want_hidden: bool = False):
+                       has_vocab_mask: bool = False, want_hidden: bool = False,
+                       has_mm: bool = False, has_swa: bool = False):
         model = self.model
         table_write_rows = self._table_write_rows
         table_merge_window = self._table_merge_window
@@ -525,6 +584,10 @@ class ModelRunner:
             step_idx,
             lora_ids,  # [B] int32
             lora,  # LoRA weight pytree or None
+            mm_embeds,  # [B, E, Dm] or dummy [1, 1, 1] (VLM injection)
+            mm_mask,  # [B, E] bool or dummy [1, 1]
+            k_swa,  # [Ls, (R+1)*ring, r, ln] SWA ring pool, or dummy
+            v_swa,
         ):
             B, E = input_ids.shape
             if mode_is_decode:
@@ -556,19 +619,26 @@ class ModelRunner:
                 kv_indices=kv_indices,
                 lora_ids=lora_ids,
                 pages=pages,
+                mm_embeds=mm_embeds if has_mm else None,
+                mm_mask=mm_mask if has_mm else None,
+                req_rows=req_indices,
             )
+            swa_kw = {"swa_caches": (k_swa, v_swa)} if has_swa else {}
             if want_hidden:
                 # EAGLE prefill: expose post-norm hiddens so the draft head
                 # can cover prompt positions (speculative/eagle_worker.py).
                 hidden_out, k_cache, v_cache = model.forward(
-                    params, step, k_cache, v_cache, lora=lora, return_hidden=True
+                    params, step, k_cache, v_cache, lora=lora,
+                    return_hidden=True, **swa_kw,
                 )
                 logits = model._lm_head(params, hidden_out, step, False)
             else:
                 hidden_out = jnp.zeros((0,), jnp.float32)
                 logits, k_cache, v_cache = model.forward(
-                    params, step, k_cache, v_cache, lora=lora
+                    params, step, k_cache, v_cache, lora=lora, **swa_kw,
                 )
+            if has_swa:
+                (k_cache, k_swa), (v_cache, v_swa) = k_cache, v_cache
             if has_penalties:
                 from ltp_sglang_tpu.ops.sampling import apply_penalties
 
@@ -595,9 +665,10 @@ class ModelRunner:
                 top_vals = jnp.zeros((0, 0), jnp.float32)
                 top_idx = jnp.zeros((0, 0), jnp.int32)
             return (tokens, (chosen, top_vals, top_idx), out_logits, hidden_out,
-                    k_cache, v_cache, table)
+                    k_cache, v_cache, table, k_swa, v_swa)
 
-        return jax.jit(step_fn, donate_argnums=(1, 2, 3))
+        donate = (1, 2, 3) + ((28, 29) if has_swa else ())
+        return jax.jit(step_fn, donate_argnums=donate)
 
     def _build_embed_fn(self, C: int, pooling: str):
         """Embedding-mode extend step: run the trunk, pool hidden states, no
@@ -643,8 +714,40 @@ class ModelRunner:
 
         return jax.jit(embed_fn, donate_argnums=(1, 2, 3))
 
+    def encode_mm_items(self, items):
+        """Encode pending multimodal items' pixel_values into projected
+        embeddings (separate jitted vision step, bucketed by image count;
+        models/llava.py encode_images). A small hash-keyed cache makes
+        repeated images (multi-turn chat over one image) free."""
+        todo = [it for it in items if it.embeds is None]
+        for it in todo:
+            hit = self._mm_embed_cache.get(it.pad_value)
+            if hit is not None:
+                it.embeds = hit
+        todo = [it for it in todo if it.embeds is None]
+        if not todo:
+            return
+        n = len(todo)
+        nb = 1 << (n - 1).bit_length()  # pow2 bucket
+        feats = np.stack([it.feature for it in todo])
+        if nb != n:
+            feats = np.pad(feats, ((0, nb - n),) + ((0, 0),) * (feats.ndim - 1))
+        key = ("mm_encode", nb) + feats.shape[1:]
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self.model.encode_images)
+            self._step_cache[key] = fn
+            logger.info("compiling mm encode fn n=%d", nb)
+        embeds = np.asarray(fn(self.params, jnp.asarray(feats)))[:n]
+        for it, e in zip(todo, embeds):
+            it.embeds = e.astype(np.float32)
+            if len(self._mm_embed_cache) > 64:
+                self._mm_embed_cache.pop(next(iter(self._mm_embed_cache)))
+            self._mm_embed_cache[it.pad_value] = it.embeds
+
     def forward_embedding(self, fb: ForwardBatch):
         """Extend forward returning pooled embeddings [B, Dm] (device array).
+        Not wired for SWA-pool models (disable_swa_memory_pool to embed).
 
         Pooling kind comes from hf_config.pooling_type / classifier_pooling
         ("last" default — matches decoder-LM embedding models like
@@ -752,6 +855,7 @@ class ModelRunner:
             lora_ids,
             lora,
             logit_bias, vocab_mask, counts0, seen0, freq_pen, pres_pen, rep_pen,
+            k_swa, v_swa,  # pass-through (two-source never runs SWA pools)
         ):
             B = input_ids.shape[0]
             ext = {"bias": logit_bias, "mask": vocab_mask, "freq": freq_pen,
@@ -804,12 +908,12 @@ class ModelRunner:
             table = table_merge_window(
                 table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
             )
-            return out, st, k_cache, v_cache, table
+            return out, st, k_cache, v_cache, table, k_swa, v_swa
 
         return jax.jit(window_fn, donate_argnums=(1, 2, 3))
 
     def _build_window_fn(self, K: int, C: int, sampler_kind: str,
-                         feats=(False,) * 4):
+                         feats=(False,) * 4, has_swa: bool = False):
         """K decode steps fully on device (token feedback via fori_loop)."""
         model = self.model
         table_merge_window = self._table_merge_window
@@ -831,6 +935,7 @@ class ModelRunner:
             lora_ids,
             lora,
             logit_bias, vocab_mask, counts0, seen0, freq_pen, pres_pen, rep_pen,
+            k_swa, v_swa,  # SWA ring pools, or dummies
         ):
             B = input_ids.shape[0]
             ext = {"bias": logit_bias, "mask": vocab_mask, "freq": freq_pen,
@@ -844,7 +949,7 @@ class ModelRunner:
             kv_indices = jnp.where(in_window, win_vals, base_rows)
 
             def body(t, carry):
-                tok, kc, vc, out, st = carry
+                tok, kc, vc, ks, vs, out, st = carry
                 pos = jnp.maximum(seq0 - 1 + t, 0)
                 slot_t = jax.lax.dynamic_slice_in_dim(slots, t, 1, axis=1)  # [B,1]
                 step = StepArrays(
@@ -856,8 +961,15 @@ class ModelRunner:
                     extend_lens=jnp.ones((B,), jnp.int32),
                     kv_indices=kv_indices,
                     lora_ids=lora_ids,
+                    req_rows=req_indices,
                 )
-                logits, kc, vc = model.forward(params, step, kc, vc, lora=lora)
+                if has_swa:
+                    logits, kcs, vcs = model.forward(
+                        params, step, kc, vc, lora=lora, swa_caches=(ks, vs)
+                    )
+                    (kc, ks), (vc, vs) = kcs, vcs
+                else:
+                    logits, kc, vc = model.forward(params, step, kc, vc, lora=lora)
                 key = jax.random.fold_in(
                     jax.random.fold_in(self._rng_key, step_idx), t
                 )
@@ -866,32 +978,35 @@ class ModelRunner:
                     temperatures, top_ps, top_ks, min_ps, key,
                 )
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
-                return tok, kc, vc, out, st
+                return tok, kc, vc, ks, vs, out, st
 
             out0 = jnp.zeros((B, K), jnp.int32)
             st0 = (counts0, seen0) + _window_state_init(feats, B, K)
-            _, k_cache, v_cache, out, st = jax.lax.fori_loop(
-                0, K, body, (input_ids, k_cache, v_cache, out0, st0)
+            _, k_cache, v_cache, k_swa, v_swa, out, st = jax.lax.fori_loop(
+                0, K, body, (input_ids, k_cache, v_cache, k_swa, v_swa, out0, st0)
             )
             table = table_merge_window(
                 table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
             )
-            return out, st, k_cache, v_cache, table
+            return out, st, k_cache, v_cache, table, k_swa, v_swa
 
-        return jax.jit(window_fn, donate_argnums=(1, 2, 3))
+        donate = (1, 2, 3) + ((22, 23) if has_swa else ())
+        return jax.jit(window_fn, donate_argnums=donate)
 
     def _get_step_fn(self, fb: ForwardBatch, has_logit_bias: bool, return_logits: bool,
                      sampler_kind: str, has_penalties: bool, want_logprobs: bool,
                      has_vocab_mask: bool, want_hidden: bool = False):
         B, E = fb.input_ids.shape
+        has_mm = getattr(fb, "mm_embeds", None) is not None
         key = (fb.mode == ForwardMode.DECODE, B, E, fb.kv_bucket, has_logit_bias,
                return_logits, sampler_kind, has_penalties, want_logprobs,
-               has_vocab_mask, want_hidden)
+               has_vocab_mask, want_hidden, has_mm, self.swa_enabled)
         fn = self._step_cache.get(key)
         if fn is None:
             fn = self._build_step_fn(
                 key[0], fb.kv_bucket, has_logit_bias, return_logits, sampler_kind,
                 has_penalties, want_logprobs, has_vocab_mask, want_hidden,
+                has_mm, self.swa_enabled,
             )
             self._step_cache[key] = fn
             logger.info(
@@ -960,7 +1075,8 @@ class ModelRunner:
             want_logprobs, has_vocab_mask, want_hidden,
         )
         self._step_counter += 1
-        tokens, lp, logits, hidden, self.k_cache, self.v_cache, self.req_table = fn(
+        (tokens, lp, logits, hidden, self.k_cache, self.v_cache, self.req_table,
+         k_swa_out, v_swa_out) = fn(
             self.params,
             self.k_cache,
             self.v_cache,
@@ -987,7 +1103,15 @@ class ModelRunner:
             np.int32(self._step_counter),
             fb.lora_ids if fb.lora_ids is not None else np.zeros((B,), np.int32),
             self._lora_weights(),
+            fb.mm_embeds if getattr(fb, "mm_embeds", None) is not None
+            else np.zeros((1, 1, 1), np.float32),
+            fb.mm_mask if getattr(fb, "mm_mask", None) is not None
+            else np.zeros((1, 1), bool),
+            self.k_swa if self.swa_enabled else np.zeros((1,), np.float32),
+            self.v_swa if self.swa_enabled else np.zeros((1,), np.float32),
         )
+        if self.swa_enabled:
+            self.k_swa, self.v_swa = k_swa_out, v_swa_out
         out = (tokens, (lp if want_logprobs else None),
                (logits if return_logits else None))
         if want_hidden:
@@ -1056,7 +1180,9 @@ class ModelRunner:
                     K, wb.kv_bucket, si.sampler_kind, feats
                 )
             else:
-                fn = self._build_window_fn(K, wb.kv_bucket, si.sampler_kind, feats)
+                fn = self._build_window_fn(
+                    K, wb.kv_bucket, si.sampler_kind, feats, self.swa_enabled
+                )
             self._step_cache[key] = fn
             logger.info(
                 "compiling decode window fn B=%d K=%d C=%d sampler=%s paged=%s feats=%s",
@@ -1094,7 +1220,8 @@ class ModelRunner:
                 np.int32(self._step_counter), *extras,
             )
         else:
-            tokens, st, self.k_cache, self.v_cache, self.req_table = fn(
+            (tokens, st, self.k_cache, self.v_cache, self.req_table,
+             k_swa_out, v_swa_out) = fn(
                 self.params,
                 self.k_cache,
                 self.v_cache,
@@ -1111,7 +1238,11 @@ class ModelRunner:
                 wb.lora_ids if wb.lora_ids is not None else np.zeros((wb.slots.shape[0],), np.int32),
                 self._lora_weights(),
                 *extras,
+                self.k_swa if self.swa_enabled else np.zeros((1,), np.float32),
+                self.v_swa if self.swa_enabled else np.zeros((1,), np.float32),
             )
+            if self.swa_enabled:
+                self.k_swa, self.v_swa = k_swa_out, v_swa_out
         aux = None
         if any(feats):
             counts, seen, lp, topv, topi = st

@@ -92,7 +92,8 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
 
     # ---------------------------------------------------------------- forward
     def forward(self, params, step: StepArrays, k_cache, v_cache,
-                all_logits=False, lora=None, return_hidden=False):
+                all_logits=False, lora=None, return_hidden=False,
+                swa_caches=None):
         cfg = self.config
         B, E = step.input_ids.shape
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
@@ -104,9 +105,42 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
 
         layers, quant_stacked = self._split_quant_leaves(params["layers"])
 
+        # Hybrid SWA pool: sliding layers write/read per-request rings
+        # (slot = req_row*ring + pos % ring, in-program — no table or
+        # allocator; mem_cache/memory_pool.py:420 SWAKVPool analog).
+        use_swa = swa_caches is not None
+        if use_swa:
+            k_swa, v_swa = swa_caches
+            ring = self.swa_pool["ring"]
+            is_swa_arr = self.swa_pool["is_swa"]
+            sub_arr = self.swa_pool["sub_index"]
+            # Rings have no garbage slot 0: padded tokens inside the extend
+            # bucket (positions 0) would clobber the request's own position-0
+            # slot, so they are routed to the DUMP ring (last row).
+            dump_ring0 = (swa_caches[0].shape[1] // ring - 1) * ring
+            e_valid = (
+                jnp.arange(E, dtype=jnp.int32)[None, :]
+                < step.extend_lens[:, None]
+            ).reshape(-1)
+            ring_locs = jnp.where(
+                e_valid,
+                jnp.repeat(step.req_rows, E) * ring
+                + jax.lax.rem(step.positions.reshape(-1), ring),
+                dump_ring0,
+            ).astype(jnp.int32)
+            Cw0 = step.kv_indices.shape[1]
+            cols = jnp.arange(Cw0, dtype=jnp.int32)[None, :]
+            ring_idx = (
+                step.req_rows[:, None] * ring + jax.lax.rem(cols, ring)
+            ).astype(jnp.int32)
+        else:
+            k_swa = v_swa = None
+            is_swa_arr = jnp.zeros((cfg.num_layers,), bool)
+            sub_arr = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
         def layer_body(carry, xs):
-            h, kc, vc = carry
-            lp, li, window = xs
+            h, kc, vc, ks, vs = carry
+            lp, li, window, layer_is_swa, li_sub = xs
 
             def lin(name, x):
                 if quant_stacked is not None and name in quant_stacked:
@@ -126,13 +160,36 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             k_st, v_st, q_att, vsc = self._kv_quantize(
                 lp, kc.dtype, k.reshape(-1, Hkv, D), v.reshape(-1, Hkv, D), q
             )
-            kc, vc = self.kv_write(
-                kc, vc, li, cache_locs_flat, k_st, v_st,
-                jnp.asarray(B * E, jnp.int32),
-            )
-            Cw = step.kv_indices.shape[1]
-            k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
-            v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+            if use_swa:
+                def swa_branch(kc, vc, ks, vs):
+                    ks, vs = self.kv_write(
+                        ks, vs, li_sub, ring_locs, k_st, v_st,
+                        jnp.asarray(B * E, jnp.int32),
+                    )
+                    kp = ks[li_sub, ring_idx].reshape(B, -1, Hkv, D)
+                    vp = vs[li_sub, ring_idx].reshape(B, -1, Hkv, D)
+                    return kc, vc, ks, vs, kp, vp
+
+                def full_branch(kc, vc, ks, vs):
+                    kc, vc = self.kv_write(
+                        kc, vc, li_sub, cache_locs_flat, k_st, v_st,
+                        jnp.asarray(B * E, jnp.int32),
+                    )
+                    kp = kc[li_sub, step.kv_indices].reshape(B, -1, Hkv, D)
+                    vp = vc[li_sub, step.kv_indices].reshape(B, -1, Hkv, D)
+                    return kc, vc, ks, vs, kp, vp
+
+                kc, vc, ks, vs, k_pages, v_pages = jax.lax.cond(
+                    layer_is_swa, swa_branch, full_branch, kc, vc, ks, vs
+                )
+            else:
+                kc, vc = self.kv_write(
+                    kc, vc, li, cache_locs_flat, k_st, v_st,
+                    jnp.asarray(B * E, jnp.int32),
+                )
+                Cw = step.kv_indices.shape[1]
+                k_pages = kc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
+                v_pages = vc[li, step.kv_indices].reshape(B, Cw, Hkv, D)
             if vsc is not None:
                 k_pages = k_pages.astype(q.dtype)
                 v_pages = v_pages.astype(q.dtype)
@@ -165,24 +222,32 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
                 mlp, lp["post_feedforward_layernorm"], self.rms_eps, gemma_style=True
             )
             h = h + mlp
-            return (h, kc, vc), None
+            return (h, kc, vc, ks, vs), None
 
         L = cfg.num_layers
-        (hidden, k_cache, v_cache), _ = jax.lax.scan(
+        dummy = jnp.zeros((0,), self.dtype)
+        (hidden, k_cache, v_cache, k_swa, v_swa), _ = jax.lax.scan(
             layer_body,
-            (hidden, k_cache, v_cache),
+            (hidden, k_cache, v_cache,
+             k_swa if use_swa else dummy, v_swa if use_swa else dummy),
             (
                 layers,
                 jnp.arange(L, dtype=jnp.int32),
                 jnp.asarray(self.layer_windows),
+                is_swa_arr,
+                sub_arr,
             ),
         )
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps, gemma_style=True)
+        if use_swa:
+            k_out, v_out = (k_cache, k_swa), (v_cache, v_swa)
+        else:
+            k_out, v_out = k_cache, v_cache
         if return_hidden:
-            return hidden, k_cache, v_cache
+            return hidden, k_out, v_out
         logits = self._lm_head(params, hidden, step, all_logits)
         if self.final_logit_softcap:
             cap = self.final_logit_softcap
             logits = cap * jnp.tanh(logits / cap)
-        return logits, k_cache, v_cache
+        return logits, k_out, v_out

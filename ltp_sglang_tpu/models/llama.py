@@ -59,6 +59,9 @@ class StepArrays(NamedTuple):
     #                            ragged extend kernel is engaged (page_size>1)
     spec_mask: jnp.ndarray = None  # [B, E, E] bool: EAGLE tree-verify
     #                                visibility (ancestor-or-self), XLA path
+    mm_embeds: jnp.ndarray = None  # [B, E, Dm] projected multimodal embeds
+    mm_mask: jnp.ndarray = None  # [B, E] bool: positions taken from mm_embeds
+    req_rows: jnp.ndarray = None  # [B] int32 request-pool rows (SWA rings)
 
 
 class LlamaForCausalLM:
@@ -700,6 +703,14 @@ class LlamaForCausalLM:
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
+        if step.mm_embeds is not None:
+            # VLM embedding injection: placeholder positions (ids are image
+            # hashes >= vocab; the gather above clamps harmlessly) take the
+            # projected image embeddings instead (models/llava.py).
+            hidden = jnp.where(
+                step.mm_mask[:, :, None], step.mm_embeds.astype(hidden.dtype),
+                hidden,
+            )
         cache_locs_flat = step.cache_locs.reshape(-1)  # [B*E]
         if lora is not None:
             from ltp_sglang_tpu.lora.lora_manager import lora_apply

@@ -26,6 +26,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "DeepseekV2ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Phi3ForCausalLM": ("ltp_sglang_tpu.models.phi3", "Phi3ForCausalLM"),
+    "LlavaForConditionalGeneration": (
+        "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
+    ),
+    "LlavaLlamaForCausalLM": (
+        "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
+    ),
 }
 
 

@@ -3,6 +3,7 @@
 
 import tempfile
 
+import numpy as np
 import pytest
 
 from tiny_configs import (
@@ -296,3 +297,52 @@ def test_gemma2_greedy_parity():
     eng = Engine(ServerArgs(model_path=d, dtype="float32", max_total_tokens=2048, max_running_requests=8))
     out = eng.generate(input_ids=prompt, sampling_params={"max_new_tokens": 16, "temperature": 0.0})
     assert out["output_ids"] == ref, (out["output_ids"], ref)
+
+
+def test_gemma2_swa_pool_ring_wraparound():
+    """Hybrid SWA memory pool (per-request rings): greedy parity with HF
+    through chunked prefill and decode that wrap the ring several times,
+    plus the memory-shape claim (windowed layers hold ring-sized KV)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    cfg = dict(TINY_GEMMA2_CFG, sliding_window=8)
+    d = tempfile.mkdtemp(prefix="tiny_gemma2_swa_")
+    write_tiny_model_dir(d, cfg=cfg)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    rng = np.random.default_rng(5)
+    prompt = [int(x) for x in rng.integers(3, 500, size=40)]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=24, do_sample=False
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=4, chunked_prefill_size=8,
+        prefill_token_buckets=[8], context_buckets=[16, 32, 64, 128],
+    ))
+    r = eng.model_runner
+    assert r.swa_enabled
+    ring = r.model.swa_pool["ring"]
+    assert ring == 16  # window 8 + chunk bucket 8
+    assert r.k_swa.shape[:2] == (1, 5 * ring)  # 1 swa layer, (R+1) rings
+    assert r.k_cache.shape[0] == 1  # 1 global layer keeps full-length KV
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 24, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
+    # Second request in a fresh req row must be unaffected by stale rings.
+    out2 = eng.generate(
+        input_ids=prompt[:20] + [9, 9],
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0},
+    )
+    with torch.no_grad():
+        ref2 = hf.generate(
+            torch.tensor([prompt[:20] + [9, 9]]), max_new_tokens=8,
+            do_sample=False,
+        )[0].tolist()[22:]
+    assert out2["output_ids"] == ref2
