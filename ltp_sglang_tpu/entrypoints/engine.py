@@ -605,6 +605,27 @@ class Engine:
     def unload_lora_adapter(self, name: str):
         self.model_runner.lora_manager.unload_adapter(name)
 
+    # ------------------------------------------------------------- EPLB
+    @property
+    def eplb(self):
+        if not hasattr(self, "_eplb"):
+            from ltp_sglang_tpu.eplb.eplb_manager import EPLBManager
+
+            self._eplb = EPLBManager(self)
+        return self._eplb
+
+    def start_expert_distribution_record(self) -> bool:
+        return self.eplb.start_record()
+
+    def stop_expert_distribution_record(self):
+        self.eplb.stop_record()
+
+    def dump_expert_distribution_record(self):
+        return self.eplb.dump_record()
+
+    def rebalance_experts(self):
+        return self.eplb.rebalance()
+
     def flush_cache(self) -> bool:
         return self.scheduler.flush_cache()
 

@@ -154,6 +154,10 @@ class HttpServer:
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
+        r.add_post("/start_expert_distribution_record", self.eplb_start)
+        r.add_post("/stop_expert_distribution_record", self.eplb_stop)
+        r.add_get("/dump_expert_distribution_record", self.eplb_dump)
+        r.add_post("/rebalance_experts", self.eplb_rebalance)
         r.add_get("/metrics", self.metrics)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
@@ -388,6 +392,26 @@ class HttpServer:
     async def flush_cache(self, request):
         ok = self.engine.flush_cache()
         return web.json_response({"success": ok})
+
+    # --------------------------------------------------------------- EPLB
+    async def eplb_start(self, request):
+        return web.json_response(
+            {"success": self.engine.start_expert_distribution_record()}
+        )
+
+    async def eplb_stop(self, request):
+        self.engine.stop_expert_distribution_record()
+        return web.json_response({"success": True})
+
+    async def eplb_dump(self, request):
+        counts = self.engine.dump_expert_distribution_record()
+        return web.json_response(
+            {"counts": None if counts is None else counts.tolist()}
+        )
+
+    async def eplb_rebalance(self, request):
+        stats = self.engine.rebalance_experts()
+        return web.json_response({"success": stats is not None, "stats": stats})
 
     async def abort_request(self, request):
         body = await request.json()

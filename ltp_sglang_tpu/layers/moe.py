@@ -28,6 +28,8 @@ def moe_topk(
     scoring: str = "softmax",  # softmax | sigmoid (deepseek v3)
     routed_scaling_factor: float = 1.0,
     e_score_bias: Optional[jnp.ndarray] = None,  # [E] noaux_tc bias (dsv3)
+    valid: Optional[jnp.ndarray] = None,  # [T] bool: real (non-pad) tokens
+    layer_tag: Optional[jnp.ndarray] = None,  # scalar MoE-layer id (EPLB)
 ):
     """Returns (weights [T, k] f32, indices [T, k] i32). Mirrors
     layers/moe/topk.py semantics."""
@@ -40,6 +42,12 @@ def moe_topk(
     w = jnp.take_along_axis(scores, idx, axis=-1)
     if norm_topk_prob:
         w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+    # EPLB capture (trace-time no-op unless recording is on).
+    from ltp_sglang_tpu.eplb.expert_distribution import recorder
+
+    recorder.record_in_program(
+        idx, router_logits.shape[-1], valid=valid, layer_tag=layer_tag
+    )
     return (w * routed_scaling_factor).astype(jnp.float32), idx.astype(jnp.int32)
 
 
@@ -164,10 +172,16 @@ def moe_ffn_ep(
 
 
 def moe_ffn_auto(
-    x, weights, indices, gate_w, up_w, down_w, mesh_ctx=None, axis: str = "tp"
+    x, weights, indices, gate_w, up_w, down_w, mesh_ctx=None, axis: str = "tp",
+    expert_perm=None,
 ):
     """Pick EP (shard_map over the tp axis) on multi-device pure-TP meshes
-    whose expert count divides; otherwise the single-program grouped GEMM."""
+    whose expert count divides; otherwise the single-program grouped GEMM.
+
+    `expert_perm` [E] int32: EPLB logical -> physical slot map
+    (eplb/eplb_manager.py); weights are stored in physical order."""
+    if expert_perm is not None:
+        indices = expert_perm[indices]
     if (
         mesh_ctx is not None
         and not mesh_ctx.is_single_device

@@ -373,7 +373,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, H * self.v_head_dim))
         return h + out, kc, vc
 
-    def _moe_mlp(self, lp, normed):
+    def _moe_mlp(self, lp, normed, tok_valid=None):
         B, E_, Dm = normed.shape
         x = normed.reshape(-1, Dm)
         logits = jnp.einsum(
@@ -387,10 +387,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             scoring=self.scoring,
             routed_scaling_factor=self.routed_scaling_factor,
             e_score_bias=bias,
+            valid=None if tok_valid is None else tok_valid.reshape(-1),
+            layer_tag=lp.get("moe_layer_idx"),
         )
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
             mesh_ctx=self.mesh_ctx,
+            expert_perm=lp.get("expert_perm"),
         )
         if self.n_shared_experts:
             g = apply_linear(lp["shared_gate_proj"], x)
@@ -418,7 +421,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             lp, li = xs
             h, kc, vc = self._attention(lp, h, step, kc, vc, li)
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
-            h = h + self._moe_mlp(lp, normed)
+            tok_valid = (
+                jnp.arange(normed.shape[1], dtype=jnp.int32)[None, :]
+                < step.extend_lens[:, None]
+            )
+            h = h + self._moe_mlp(lp, normed, tok_valid)
             return (h, kc, vc), None
 
         Ld = self.first_k_dense

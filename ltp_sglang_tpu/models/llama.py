@@ -543,7 +543,7 @@ class LlamaForCausalLM:
                 up = lin("up_proj", normed)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
             else:
-                h = h + self.mlp(lp, normed)
+                h = h + self.mlp(lp, normed, prefix_len > 0)
             return (h, wk, wv), None
 
         L = cfg.num_layers
@@ -657,7 +657,7 @@ class LlamaForCausalLM:
                 up = lin("up_proj", normed)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
             else:
-                h = h + self.mlp(lp, normed)
+                h = h + self.mlp(lp, normed, seq_lens > 0)
             return (h, kc, vc), None
 
         L = cfg.num_layers
@@ -680,7 +680,7 @@ class LlamaForCausalLM:
         return logits, k_cache, v_cache
 
     # ---------------------------------------------------------------- forward
-    def mlp(self, lp, normed):
+    def mlp(self, lp, normed, tok_valid=None):
         gs = self.quant_group_size
         gate = apply_linear(lp["gate_proj"], normed, gs)
         up = apply_linear(lp["up_proj"], normed, gs)
@@ -849,7 +849,11 @@ class LlamaForCausalLM:
                 up = lin("up_proj", normed)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
             else:
-                h = h + self.mlp(lp, normed)
+                tok_valid = (
+                    jnp.arange(E, dtype=jnp.int32)[None, :]
+                    < step.extend_lens[:, None]
+                )
+                h = h + self.mlp(lp, normed, tok_valid)
             return (h, kc, vc), None
 
         L = cfg.num_layers

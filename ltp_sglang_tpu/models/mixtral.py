@@ -121,15 +121,18 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return params
 
     # ---------------------------------------------------------------- forward
-    def mlp(self, lp, normed):
+    def mlp(self, lp, normed, tok_valid=None):
         lead, Dm = normed.shape[:-1], normed.shape[-1]
         x = normed.reshape(-1, Dm)
         logits = jnp.einsum(
             "td,de->te", x, lp["router"]["kernel"], preferred_element_type=jnp.float32
         )
-        w, idx = moe_topk(logits, self.top_k, self.norm_topk_prob)
+        w, idx = moe_topk(logits, self.top_k, self.norm_topk_prob,
+                          valid=None if tok_valid is None else tok_valid.reshape(-1),
+                          layer_tag=lp.get("moe_layer_idx"))
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
             mesh_ctx=self.mesh_ctx,
+            expert_perm=lp.get("expert_perm"),
         )
         return out.reshape(*lead, Dm)
