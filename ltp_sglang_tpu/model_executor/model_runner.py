@@ -340,9 +340,11 @@ class ModelRunner:
             import glob as _glob
             import os as _os
 
-            has_files = bool(
-                _glob.glob(_os.path.join(self.model_config.model_path, "*.safetensors"))
-            ) or bool(_glob.glob(_os.path.join(self.model_config.model_path, "*.bin")))
+            mp = self.model_config.model_path
+            has_files = any(
+                _glob.glob(_os.path.join(mp, pat))
+                for pat in ("*.safetensors", "*.bin", "*.gguf")
+            ) or mp.endswith(".gguf")
             load_format = "safetensors" if has_files else "dummy"
         self.params = load_model_weights(
             self.model,

@@ -71,6 +71,17 @@ def _load_torch_bin(model_path: str) -> Dict[str, Any]:
 
 
 def load_raw_weights(model_path: str) -> Dict[str, Any]:
+    gguf_files = (
+        [model_path] if model_path.endswith(".gguf")
+        else sorted(glob.glob(os.path.join(model_path, "*.gguf")))
+    )
+    if gguf_files:
+        from ltp_sglang_tpu.model_loader.gguf import load_gguf_weights
+
+        weights: Dict[str, Any] = {}
+        for f in gguf_files:
+            weights.update(load_gguf_weights(f))
+        return weights
     if glob.glob(os.path.join(model_path, "*.safetensors")):
         return _load_safetensors_dir(model_path)
     return _load_torch_bin(model_path)

@@ -112,6 +112,9 @@ class LlamaForCausalLM:
             "gptq_v2" if qc.get("checkpoint_format") == "gptq_v2" else "gptq"
         )
         self.sliding_window = 0
+        # Subclass hooks: gemma scales embeddings; starcoder2-style models
+        # use LayerNorm instead of RMSNorm (override norm()).
+        self.embed_multiplier = 1.0
         self.cos_sin_cache = build_cos_sin_cache(
             config.head_dim,
             config.context_len,
@@ -443,6 +446,8 @@ class LlamaForCausalLM:
         group = Hq // Hkv
 
         hidden = params["embed"]["weight"][tok]  # [B, Dm]
+        if self.embed_multiplier != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
         # Single-position rope (avoids [B, 1, ...] singleton relayouts).
         rot = self.cos_sin_cache.shape[-1]
         cs = self.cos_sin_cache[pos]  # [B, rot]
@@ -478,7 +483,7 @@ class LlamaForCausalLM:
                     )
                 return apply_linear(lp[name], x, self.quant_group_size)
 
-            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            normed = self.norm(h, lp["input_layernorm"])
             if quant_stacked is not None and "qkv_proj" in quant_stacked:
                 y = lin("qkv_proj", normed)
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -534,7 +539,7 @@ class LlamaForCausalLM:
             attn = out.reshape(B, Hq * D).astype(h.dtype)
             h = h + lin("o_proj", attn)
 
-            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            normed = self.norm(h, lp["post_attention_layernorm"])
             if quant_stacked is not None and "gate_up_proj" in quant_stacked:
                 gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
@@ -552,7 +557,7 @@ class LlamaForCausalLM:
             (hidden, win_k, win_v),
             (layers, jnp.arange(L, dtype=jnp.int32), k_pages, v_pages),
         )
-        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        hidden = self.norm(hidden, params["norm"])
         if self.tie_word_embeddings:
             logits = jnp.einsum(
                 "bd,vd->bv", hidden, params["embed"]["weight"],
@@ -589,6 +594,8 @@ class LlamaForCausalLM:
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         hidden = params["embed"]["weight"][tok]  # [B, Dm]
+        if self.embed_multiplier != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
         rot = self.cos_sin_cache.shape[-1]
         cs = self.cos_sin_cache[pos]
         cos, sin = jnp.split(cs, 2, axis=-1)
@@ -617,7 +624,7 @@ class LlamaForCausalLM:
                     )
                 return apply_linear(lp[name], x, self.quant_group_size)
 
-            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            normed = self.norm(h, lp["input_layernorm"])
             if quant_stacked is not None and "qkv_proj" in quant_stacked:
                 y = lin("qkv_proj", normed)
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -648,7 +655,7 @@ class LlamaForCausalLM:
             attn = attn.reshape(B, Hq * D).astype(h.dtype)
             h = h + lin("o_proj", attn)
 
-            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            normed = self.norm(h, lp["post_attention_layernorm"])
             if quant_stacked is not None and "gate_up_proj" in quant_stacked:
                 gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
                 h = h + lin("down_proj", jax.nn.silu(gate) * up)
@@ -666,7 +673,7 @@ class LlamaForCausalLM:
             (hidden, k_cache, v_cache),
             (layers, jnp.arange(L, dtype=jnp.int32)),
         )
-        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        hidden = self.norm(hidden, params["norm"])
         if self.tie_word_embeddings:
             logits = jnp.einsum(
                 "bd,vd->bv", hidden, params["embed"]["weight"],
@@ -680,6 +687,9 @@ class LlamaForCausalLM:
         return logits, k_cache, v_cache
 
     # ---------------------------------------------------------------- forward
+    def norm(self, x, w):
+        return rms_norm(x, w, self.rms_eps)
+
     def mlp(self, lp, normed, tok_valid=None):
         gs = self.quant_group_size
         gate = apply_linear(lp["gate_proj"], normed, gs)
@@ -703,6 +713,8 @@ class LlamaForCausalLM:
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
+        if self.embed_multiplier != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
         if step.mm_embeds is not None:
             # VLM embedding injection: placeholder positions (ids are image
             # hashes >= vocab; the gather above clamps harmlessly) take the
@@ -749,7 +761,7 @@ class LlamaForCausalLM:
                 return y
 
             # Self-attention
-            normed = rms_norm(h, lp["input_layernorm"], self.rms_eps)
+            normed = self.norm(h, lp["input_layernorm"])
             gs = self.quant_group_size
             if quant_stacked is not None and "qkv_proj" in quant_stacked:
                 y = apply_linear(quant_stacked["qkv_proj"], normed, gs, li=li)
@@ -822,7 +834,7 @@ class LlamaForCausalLM:
             h = h + lin("o_proj", attn_out.reshape(B, E, Hq * D))
 
             # MLP (subclasses override mlp() — MoE models route here)
-            normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+            normed = self.norm(h, lp["post_attention_layernorm"])
             if quant_stacked is not None and "gate_up_proj" in quant_stacked:
                 gu = apply_linear(quant_stacked["gate_up_proj"], normed, gs, li=li)
                 gate, up = jnp.split(gu, 2, axis=-1)
@@ -866,7 +878,7 @@ class LlamaForCausalLM:
             xs,
         )
 
-        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        hidden = self.norm(hidden, params["norm"])
         if return_hidden:
             # Embedding mode (reference: models with pooling heads served via
             # is_embedding; pooling happens in the caller).

@@ -26,6 +26,10 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "DeepseekV2ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Phi3ForCausalLM": ("ltp_sglang_tpu.models.phi3", "Phi3ForCausalLM"),
+    "GemmaForCausalLM": ("ltp_sglang_tpu.models.gemma", "GemmaForCausalLM"),
+    "Starcoder2ForCausalLM": (
+        "ltp_sglang_tpu.models.starcoder2", "Starcoder2ForCausalLM"
+    ),
     "LlavaForConditionalGeneration": (
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),

@@ -236,8 +236,51 @@ TINY_QWEN2_MOE_CFG = {
 }
 
 
+TINY_GEMMA_CFG = {
+    "architectures": ["GemmaForCausalLM"],
+    "model_type": "gemma",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-6,
+    "rope_theta": 10000.0,
+    "hidden_act": "gelu_pytorch_tanh",
+    "hidden_activation": "gelu_pytorch_tanh",
+    "tie_word_embeddings": True,
+    "eos_token_id": 2,
+    "torch_dtype": "float32",
+}
+
+TINY_STARCODER2_CFG = {
+    "architectures": ["Starcoder2ForCausalLM"],
+    "model_type": "starcoder2",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "norm_epsilon": 1e-5,
+    "rope_theta": 10000.0,
+    "use_bias": True,
+    "sliding_window": 16,
+    "tie_word_embeddings": True,
+    "eos_token_id": 2,
+    "hidden_act": "gelu_pytorch_tanh",
+    "torch_dtype": "float32",
+}
+
+
 @pytest.mark.parametrize(
-    "cfg", [TINY_PHI3_CFG, TINY_QWEN2_MOE_CFG], ids=["phi3", "qwen2_moe"]
+    "cfg",
+    [TINY_PHI3_CFG, TINY_QWEN2_MOE_CFG, TINY_GEMMA_CFG, TINY_STARCODER2_CFG],
+    ids=["phi3", "qwen2_moe", "gemma", "starcoder2"],
 )
 def test_more_model_parity(cfg):
     import torch
