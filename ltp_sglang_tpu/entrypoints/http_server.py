@@ -154,6 +154,7 @@ class HttpServer:
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
+        r.add_get("/kv_events", self.kv_events)
         r.add_post("/start_expert_distribution_record", self.eplb_start)
         r.add_post("/stop_expert_distribution_record", self.eplb_stop)
         r.add_get("/dump_expert_distribution_record", self.eplb_dump)
@@ -392,6 +393,19 @@ class HttpServer:
     async def flush_cache(self, request):
         ok = self.engine.flush_cache()
         return web.json_response({"success": ok})
+
+    async def kv_events(self, request):
+        """Drain KV cache block events (reference kv_events.py publisher):
+        the first call subscribes; later calls return and clear the queue."""
+        cache = self.engine.scheduler.tree_cache
+        if not hasattr(cache, "enable_kv_events"):
+            return web.json_response({"events": [], "supported": False})
+        if cache.kv_events is None:
+            cache.enable_kv_events()
+            return web.json_response({"events": [], "subscribed": True})
+        events = list(cache.kv_events)
+        cache.kv_events.clear()
+        return web.json_response({"events": events})
 
     # --------------------------------------------------------------- EPLB
     async def eplb_start(self, request):

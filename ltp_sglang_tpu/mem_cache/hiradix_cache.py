@@ -1,65 +1,52 @@
 """Hierarchical radix cache: device KV + host-RAM second tier.
 
 Counterpart of HiRadixCache/HiCacheController (mem_cache/hiradix_cache.py:26,
-managers/cache_controller.py:215), reduced to the write-back policy: pages
-evicted from the device tree are stashed in a host LRU store keyed by their
-token prefix; a later prefix match that misses on device loads the pages back
-(alloc + device write + tree reinsert) before prefill admission. The
-reference's layer-wise H2D overlap (LayerDoneCounter) and storage tier are
-follow-ups behind the same interface.
+managers/cache_controller.py:215). ONE tree, two tiers per node (the
+reference's design): evicting a node moves its KV rows into a host-RAM
+arena (node.host_value) instead of deleting it, and a later prefix match
+walks the SAME tree, loading host-backed spans back onto the device as it
+goes — admission probing is O(match length), not a scan over stored
+entries, and shared prefixes are stored once (both were called out on the
+previous round's linear-scan design).
+
+The reference's layer-wise H2D overlap (LayerDoneCounter) and the storage
+(disk) tier are follow-ups behind the same node contract.
 """
 
 from __future__ import annotations
 
-import collections
+import functools
+import heapq
 import logging
-from typing import List, Optional, Tuple
+import time
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ltp_sglang_tpu.mem_cache.radix_cache import MatchResult, RadixCache
+from ltp_sglang_tpu.mem_cache.allocator import TokenToKVPoolAllocator
+from ltp_sglang_tpu.mem_cache.radix_cache import (
+    MatchResult,
+    RadixCache,
+    TreeNode,
+    _key_match,
+)
 
 logger = logging.getLogger(__name__)
 
 
-class HostKVStore:
-    """Token-prefix keyed host store (LRU by insertion refresh)."""
+class HostKVArena:
+    """Host-RAM KV rows addressed by slot id (mirrors the device layout)."""
 
-    def __init__(self, max_tokens: int):
-        self.max_tokens = max_tokens
-        self.cur_tokens = 0
-        # key: tuple(tokens) -> (k_rows [L, n, r, ln] np, v_rows)
-        self.store: "collections.OrderedDict[Tuple, Tuple]" = collections.OrderedDict()
-
-    def put(self, tokens: Tuple[int, ...], k_rows: np.ndarray, v_rows: np.ndarray):
-        n = len(tokens)
-        if n > self.max_tokens:
-            return
-        while self.cur_tokens + n > self.max_tokens and self.store:
-            _, (ko, _) = self.store.popitem(last=False)
-            self.cur_tokens -= ko.shape[1]
-        self.store[tokens] = (k_rows, v_rows)
-        self.cur_tokens += n
-
-    def best_common_prefix(self, tokens: List[int]):
-        """(key, common_len) of the stored entry sharing the longest common
-        prefix with `tokens` (linear scan; the C++ tier replaces this for
-        scale)."""
-        best, best_n = None, 0
-        t = tuple(tokens)
-        for key in self.store:
-            n = 0
-            for a, b in zip(key, t):
-                if a != b:
-                    break
-                n += 1
-            if n > best_n:
-                best, best_n = key, n
-        if best is not None:
-            self.store.move_to_end(best)
-        return best, best_n
+    def __init__(self, runner, host_tokens: int):
+        kd = np.asarray(jnp.zeros((), runner.k_cache.dtype)).dtype
+        vd = np.asarray(jnp.zeros((), runner.v_cache.dtype)).dtype
+        Lk, _, rk, lnk = runner.k_cache.shape
+        Lv, _, rv, lnv = runner.v_cache.shape
+        self.k = np.zeros((Lk, host_tokens + 1, rk, lnk), kd)
+        self.v = np.zeros((Lv, host_tokens + 1, rv, lnv), vd)
+        self.alloc = TokenToKVPoolAllocator(host_tokens)
 
 
 class HiRadixCache(RadixCache):
@@ -67,100 +54,181 @@ class HiRadixCache(RadixCache):
                  page_size: int = 1, host_tokens: int = 1 << 20):
         super().__init__(req_to_token_pool, token_to_kv_pool_allocator, page_size)
         self.runner = runner
-        self.host_store = HostKVStore(host_tokens)
+        self.arena = HostKVArena(runner, host_tokens)
         self.num_host_hits = 0
         self.num_writebacks = 0
 
-    # Write-back on eviction: stash evicted leaf pages to host.
-    def evict(self, num_tokens: int):
-        import heapq
-        import time as _time
+    # -------------------------------------------------------------- helpers
+    def _split_node(self, child: TreeNode, split_len: int) -> TreeNode:
+        """Host-aware split: host_value slices alongside value (either may
+        be None on a given node)."""
+        new_node = TreeNode()
+        new_node.key = child.key[:split_len]
+        new_node.parent = child.parent
+        new_node.lock_ref = child.lock_ref
+        new_node.children = {self._child_key(child.key[split_len:]): child}
+        new_node.parent.children[self._child_key(new_node.key)] = new_node
+        if child.value is not None:
+            new_node.value = child.value[:split_len]
+            child.value = child.value[split_len:]
+        else:
+            new_node.value = None
+        hv = getattr(child, "host_value", None)
+        if hv is not None:
+            new_node.host_value = hv[:split_len]
+            child.host_value = hv[split_len:]
+        child.key = child.key[split_len:]
+        child.parent = new_node
+        return new_node
 
-        leaves = self._collect_leaves()
+    def _load_back(self, node: TreeNode) -> bool:
+        """Restore a host-backed node's device rows (keeps the host copy)."""
+        n = len(node.key)
+        slots = self.token_to_kv_pool_allocator.alloc(n)
+        if slots is None:
+            self.evict(n)
+            slots = self.token_to_kv_pool_allocator.alloc(n)
+        if slots is None:
+            return False
+        slots = np.asarray(slots, np.int32)
+        hv = np.asarray(node.host_value)
+        r = self.runner
+        r.k_cache, r.v_cache = _hicache_write(
+            r.k_cache, r.v_cache, jnp.asarray(slots),
+            jnp.asarray(self.arena.k[:, hv]), jnp.asarray(self.arena.v[:, hv]),
+        )
+        node.value = slots
+        self.evictable_size_ += n
+        self.num_host_hits += 1
+        return True
+
+    # ---------------------------------------------------------------- match
+    def match_prefix(self, key: List[int]) -> MatchResult:
+        if self.disable or not key:
+            return MatchResult(np.empty((0,), dtype=np.int32), self.root_node)
+        if self.page_size != 1:
+            key = key[: (len(key) // self.page_size) * self.page_size]
+        if not key:
+            return MatchResult(np.empty((0,), dtype=np.int32), self.root_node)
+        node = self.root_node
+        values: List[np.ndarray] = []
+        while key:
+            ck = self._child_key(key)
+            child = node.children.get(ck)
+            if child is None:
+                break
+            child.last_access_time = time.monotonic()
+            prefix_len = _key_match(child.key, key)
+            if self.page_size != 1:
+                prefix_len = (prefix_len // self.page_size) * self.page_size
+            if prefix_len < len(child.key):
+                if prefix_len > 0:
+                    child = self._split_node(child, prefix_len)
+                    if child.value is None and not self._load_back(child):
+                        break
+                    values.append(child.value)
+                    node = child
+                break
+            if child.value is None and not self._load_back(child):
+                break
+            values.append(child.value)
+            node = child
+            key = key[prefix_len:]
+        indices = (
+            np.concatenate(values) if values else np.empty((0,), dtype=np.int32)
+        )
+        return MatchResult(indices, node)
+
+    # ---------------------------------------------------------------- evict
+    def _device_leaves(self) -> List[TreeNode]:
+        """Nodes holding device rows with no device-backed descendants."""
+        out = []
+
+        def walk(node) -> bool:  # returns: subtree has device rows
+            has_below = False
+            for c in node.children.values():
+                has_below |= walk(c)
+            mine = node is not self.root_node and node.value is not None
+            if mine and not has_below and node.lock_ref == 0:
+                out.append(node)
+            return has_below or mine
+
+        walk(self.root_node)
+        return out
+
+    def evict(self, num_tokens: int):
+        if self.disable:
+            return
+        leaves = self._device_leaves()
         heapq.heapify(leaves)
         freed = 0
         while freed < num_tokens and leaves:
             node = heapq.heappop(leaves)
-            if node is self.root_node or node.lock_ref > 0:
+            if node.value is None or node.lock_ref > 0:
                 continue
-            # Reconstruct the full token key for this node's span.
-            key_parts = []
-            cur = node
-            while cur is not None and cur is not self.root_node:
-                key_parts.append(cur.key)
-                cur = cur.parent
-            full_key = tuple(t for part in reversed(key_parts) for t in part)
-            slots = np.asarray(node.value)
-            try:
-                k_rows = np.asarray(self.runner.k_cache[:, slots])
-                v_rows = np.asarray(self.runner.v_cache[:, slots])
-                # Store the whole path's tokens with only this node's rows?
-                # The loadback needs the full prefix rows; store node-local
-                # rows keyed by the full path (ancestors stay on device or
-                # have their own entries).
-                self.host_store.put(full_key, k_rows, v_rows)
-                self.num_writebacks += 1
-            except Exception as e:  # pragma: no cover
-                logger.warning("hicache writeback failed: %s", e)
+            n = len(node.value)
+            if getattr(node, "host_value", None) is None:
+                hs = self.arena.alloc.alloc(n)
+                if hs is None:
+                    self._evict_host(n)
+                    hs = self.arena.alloc.alloc(n)
+                if hs is not None:
+                    hs = np.asarray(hs, np.int32)
+                    slots = np.asarray(node.value)
+                    self.arena.k[:, hs] = np.asarray(self.runner.k_cache[:, slots])
+                    self.arena.v[:, hs] = np.asarray(self.runner.v_cache[:, slots])
+                    node.host_value = hs
+                    self.num_writebacks += 1
             self.token_to_kv_pool_allocator.free(node.value)
-            freed += len(node.value)
-            self._delete_leaf(node)
+            freed += n
+            self.evictable_size_ -= n
+            node.value = None
+            if getattr(node, "host_value", None) is None:
+                # No host copy could be made: the node is gone entirely.
+                self._delete_host_leaf(node)
             parent = node.parent
-            if parent is not self.root_node and not parent.children and parent.lock_ref == 0:
+            if (
+                parent is not self.root_node
+                and parent.value is not None
+                and parent.lock_ref == 0
+                and not any(c.value is not None for c in parent.children.values())
+            ):
                 heapq.heappush(leaves, parent)
 
-    def match_prefix(self, key: List[int]) -> MatchResult:
-        match = super().match_prefix(key)
-        dev_len = len(match.device_indices)
-        if dev_len >= len(key):
-            return match
-        # Device miss beyond dev_len: probe the host tier. Entries hold
-        # node-local spans (the tail of their path); only entries that start
-        # exactly where the device prefix ends are loadable, so pick the
-        # best-matching one among those.
-        host_key, common = None, dev_len
-        for cand in self.host_store.store:
-            span_c = self.host_store.store[cand][0].shape[1]
-            if len(cand) - span_c != dev_len:
-                continue
-            n = 0
-            for a, b in zip(cand, key):
-                if a != b:
-                    break
-                n += 1
-            if n > common:
-                host_key, common = cand, n
-        if host_key is None:
-            return match
-        self.host_store.store.move_to_end(host_key)
-        k_rows, v_rows = self.host_store.store[host_key]
-        take = common - dev_len
-        slots = self.token_to_kv_pool_allocator.alloc(take)
-        if slots is None:
-            # Make device room (evicted pages themselves write back to host).
-            self.evict(take)
-            slots = self.token_to_kv_pool_allocator.alloc(take)
-        if slots is None:
-            return match
-        slots = np.asarray(slots, dtype=np.int32)
-        r = self.runner
-        r.k_cache, r.v_cache = _hicache_write(
-            r.k_cache, r.v_cache, jnp.asarray(slots),
-            jnp.asarray(k_rows[:, :take]), jnp.asarray(v_rows[:, :take]),
-        )
-        value = (
-            np.concatenate([np.asarray(match.device_indices), slots])
-            if dev_len
-            else slots
-        )
-        dup = self.insert(list(key[:common]), value)
-        if dup > dev_len:
-            self.token_to_kv_pool_allocator.free(slots[: dup - dev_len])
-        self.num_host_hits += 1
-        return super().match_prefix(key)
+    def _delete_host_leaf(self, node: TreeNode):
+        if node.children:
+            return  # mid-path node: keep the skeleton
+        ck = self._child_key(node.key)
+        if node.parent and node.parent.children.get(ck) is node:
+            del node.parent.children[ck]
 
+    def _evict_host(self, num_tokens: int):
+        """Free host arena rows: drop host copies of nodes that still have
+        device rows first (redundant), then host-only leaves (dead)."""
+        nodes = []
+        stack = [self.root_node]
+        while stack:
+            n = stack.pop()
+            stack.extend(n.children.values())
+            if n is not self.root_node and getattr(n, "host_value", None) is not None:
+                nodes.append(n)
+        nodes.sort(key=lambda n: (n.value is None, n.last_access_time))
+        freed = 0
+        for n in nodes:
+            if freed >= num_tokens:
+                break
+            if n.value is None and n.children:
+                continue  # host-only mid-path: dropping would orphan children
+            self.arena.alloc.free(n.host_value)
+            freed += len(n.host_value)
+            n.host_value = None
+            if n.value is None:
+                self._delete_host_leaf(n)
 
-import functools
+    def reset(self):
+        super().reset()
+        if hasattr(self, "arena"):
+            self.arena.alloc.clear()
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

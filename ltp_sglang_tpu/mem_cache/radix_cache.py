@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import heapq
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from dataclasses import dataclass
 from typing import Any, List, Optional, Tuple
 
@@ -72,7 +72,25 @@ class RadixCache:
         self.token_to_kv_pool_allocator = token_to_kv_pool_allocator
         self.page_size = page_size
         self.disable = disable
+        # KV-event publishing (reference disaggregation/kv_events.py): when
+        # a subscriber attaches (http /kv_events), store/remove/clear events
+        # accumulate in a bounded deque for cache-aware external routers.
+        self.kv_events: Optional[deque] = None
         self.reset()
+
+    def enable_kv_events(self, maxlen: int = 4096):
+        self.kv_events = deque(maxlen=maxlen)
+
+    def _emit(self, action: str, node: "TreeNode"):
+        if self.kv_events is None:
+            return
+        self.kv_events.append({
+            "ts": time.time(),
+            "action": action,  # block_stored | block_removed
+            "node_id": node.id,
+            "parent_id": node.parent.id if node.parent is not None else None,
+            "token_ids": list(node.key),
+        })
 
     def reset(self):
         self.root_node = TreeNode()
@@ -81,6 +99,8 @@ class RadixCache:
         self.root_node.lock_ref = 1
         self.evictable_size_ = 0
         self.protected_size_ = 0
+        if getattr(self, "kv_events", None) is not None:
+            self.kv_events.append({"ts": time.time(), "action": "all_blocks_cleared"})
 
     # ------------------------------------------------------------- matching
     def _child_key(self, key: List[int]):
@@ -163,6 +183,7 @@ class RadixCache:
                 new_node.value = value
                 node.children[ck] = new_node
                 self.evictable_size_ += len(value)
+                self._emit("block_stored", new_node)
                 return total_prefix
             child.last_access_time = time.monotonic()
             prefix_len = _key_match(child.key, key)
@@ -190,6 +211,7 @@ class RadixCache:
                     new_node.value = rem_val
                     new_parent.children[self._child_key(rem_key)] = new_node
                     self.evictable_size_ += len(rem_val)
+                    self._emit("block_stored", new_node)
                 return total_prefix
         return total_prefix
 
@@ -292,6 +314,7 @@ class RadixCache:
         if node.parent and node.parent.children.get(ck) is node:
             del node.parent.children[ck]
         self.evictable_size_ -= len(node.value)
+        self._emit("block_removed", node)
 
     def _collect_leaves(self) -> List[TreeNode]:
         out = []

@@ -37,3 +37,36 @@ def test_host_tier_loadback():
     again = eng.generate(input_ids=prompt_a, sampling_params=sp)
     assert again["output_ids"] == ref_a["output_ids"]
     assert cache.num_host_hits > 0, "host tier never hit"
+
+
+def test_host_tier_many_prefixes_and_host_eviction():
+    """Many distinct prompts sharing a long prefix: the host tier stores the
+    shared span ONCE (tree-structured, not per-entry blobs), admission stays
+    O(match) (structural; we check correctness under churn), and exhausting
+    the small host arena exercises host-side eviction without corruption."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="hicache2_llama_")
+    write_tiny_model_dir(d)
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=96, max_running_requests=4,
+        enable_hierarchical_cache=True,
+        hicache_host_tokens=256,  # small arena -> host eviction under churn
+    ))
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    shared = list(range(3, 3 + 40))
+    prompts = [shared + [500 + i, 501 + i, 502 + i, 503 + i] for i in range(6)]
+    refs = [eng.generate(input_ids=p, sampling_params=sp)["output_ids"]
+            for p in prompts]
+    cache = eng.scheduler.tree_cache
+    assert cache.num_writebacks > 0
+    # Replay in reverse order: every output must be reproduced exactly
+    # through whatever mix of device hits, host loadbacks, and recompute.
+    for p, ref in zip(reversed(prompts), reversed(refs)):
+        out = eng.generate(input_ids=p, sampling_params=sp)
+        assert out["output_ids"] == ref
+    # The host arena never over-allocates.
+    used = cache.arena.alloc.size - cache.arena.alloc.available_size()
+    assert 0 <= used <= 256

@@ -255,3 +255,24 @@ def test_openai_score_and_rerank(client):
         assert resp.status == 400
 
     loop.run_until_complete(go())
+
+
+def test_kv_events(client):
+    c, loop = client
+
+    async def go():
+        r = await c.get("/kv_events")  # subscribe
+        assert (await r.json()).get("subscribed")
+        r = await c.post("/generate", json={
+            "input_ids": [5, 6, 7, 8], "sampling_params": {"max_new_tokens": 4},
+        })
+        assert r.status == 200
+        r = await c.get("/kv_events")
+        events = (await r.json())["events"]
+        assert any(e["action"] == "block_stored" for e in events)
+        assert all("token_ids" in e for e in events if e["action"] != "all_blocks_cleared")
+        # Drained: a second read is empty (modulo new activity).
+        r = await c.get("/kv_events")
+        assert (await r.json())["events"] == []
+
+    loop.run_until_complete(go())
