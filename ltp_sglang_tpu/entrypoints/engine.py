@@ -73,8 +73,10 @@ class Engine:
             )
 
         mesh_ctx = None
-        if server_args.tp_size * server_args.dp_size > 1:
-            mesh_ctx = create_mesh(server_args.tp_size, server_args.dp_size)
+        if server_args.tp_size * server_args.dp_size * server_args.pp_size > 1:
+            mesh_ctx = create_mesh(
+                server_args.tp_size, server_args.dp_size, server_args.pp_size
+            )
         self.mesh_ctx = mesh_ctx
 
         self.model_runner = ModelRunner(self.model_config, server_args, mesh_ctx)

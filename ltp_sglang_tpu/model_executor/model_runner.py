@@ -194,6 +194,7 @@ class ModelRunner:
             multi
             and backend == "tpu"
             and mesh_ctx.dp_size == 1
+            and mesh_ctx.pp_size == 1
             and tp_pallas_eligible(
                 model_config.num_attention_heads,
                 model_config.num_kv_heads,
@@ -202,6 +203,20 @@ class ModelRunner:
                 jnp.dtype(self.kv_dtype).itemsize,
             )
         )
+        # Pipeline parallelism (parallel/pipeline.py): layer stages over the
+        # "pp" mesh axis, microbatches rotated with ppermute inside one
+        # program. Composes with the base serving path only for now.
+        self.pp_size = mesh_ctx.pp_size if mesh_ctx else 1
+        if self.pp_size > 1:
+            if mesh_ctx.tp_size != 1 or mesh_ctx.dp_size != 1:
+                raise NotImplementedError("pp currently requires tp=1, dp=1")
+            if model_config.num_layers % self.pp_size:
+                raise ValueError("num_layers must divide pp_size")
+            if self.model_config.quantization:
+                raise NotImplementedError("pp + quantization TODO")
+            if server_args.speculative_algorithm:
+                raise NotImplementedError("pp + speculative decoding TODO")
+            server_args.decode_window_size = 1  # windows are single-stage fns
         use_pallas = backend == "tpu" and (not multi or self._sharded_pallas)
         from ltp_sglang_tpu.ops.kv_cache_ops import (
             kv_write_pallas,
@@ -232,6 +247,11 @@ class ModelRunner:
             kv_write_impl=kv_write_impl,
         )
         self.model.mesh_ctx = mesh_ctx
+        if self.pp_size > 1 and not getattr(self.model, "supports_pp", False):
+            raise NotImplementedError(
+                f"{type(self.model).__name__} does not support pipeline "
+                "parallelism yet"
+            )
         if self._sharded_pallas:
             self.model.paged_attn = make_sharded_paged_attention(mesh_ctx)
 
@@ -369,7 +389,16 @@ class ModelRunner:
 
             fuse_quant_projections(self.params["layers"])
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
-            self.params = shard_pytree(self.params, self.model.param_specs(), self.mesh_ctx)
+            specs = self.model.param_specs()
+            if getattr(self, "pp_size", 1) > 1 and "layers" in specs:
+                from jax.sharding import PartitionSpec as P
+
+                specs["layers"] = jax.tree.map(
+                    lambda s: P("pp", *tuple(s)[1:]) if isinstance(s, P) and len(s) else P("pp"),
+                    specs["layers"],
+                    is_leaf=lambda x: isinstance(x, P),
+                )
+            self.params = shard_pytree(self.params, specs, self.mesh_ctx)
         logger.info("Model loaded in %.1fs (format=%s)", time.time() - t0, load_format)
 
     def profile_max_num_tokens(self) -> int:
@@ -457,11 +486,14 @@ class ModelRunner:
             # Shard KV over tp along the row dim when it divides evenly
             # (row-major [r, ln] interleaves heads; head sharding needs the
             # pallas path disabled, which multi-device already implies).
-            kv_sharding = self.mesh_ctx.sharding(
-                P(None, None, "tp", None)
-                if rk % self.mesh_ctx.tp_size == 0 and rv % self.mesh_ctx.tp_size == 0
-                else P(None, None, None, None)
-            )
+            if self.pp_size > 1:
+                kv_sharding = self.mesh_ctx.sharding(P("pp", None, None, None))
+            else:
+                kv_sharding = self.mesh_ctx.sharding(
+                    P(None, None, "tp", None)
+                    if rk % self.mesh_ctx.tp_size == 0 and rv % self.mesh_ctx.tp_size == 0
+                    else P(None, None, None, None)
+                )
             table_sharding = self.mesh_ctx.replicated()
         # Hybrid SWA memory pool (reference mem_cache/memory_pool.py:420
         # SWAKVPool): sliding-window layers store KV in PER-REQUEST RING
@@ -626,7 +658,23 @@ class ModelRunner:
                 req_rows=req_indices,
             )
             swa_kw = {"swa_caches": (k_swa, v_swa)} if has_swa else {}
-            if want_hidden:
+            if getattr(self, "pp_size", 1) > 1:
+                from ltp_sglang_tpu.parallel.pipeline import pp_forward
+
+                # Microbatch split: M stages' worth of work in flight keeps
+                # bubbles at (P-1)/(P+M-1); M = min(2*pp, B) among divisors.
+                M = next(m for m in range(min(2 * self.pp_size, B), 0, -1)
+                         if B % m == 0)
+                Bm = B // M
+                steps_mb = jax.tree.map(
+                    lambda a: a.reshape((M, Bm) + a.shape[1:]), step
+                )
+                logits, k_cache, v_cache = pp_forward(
+                    model, self.mesh_ctx, params, steps_mb, k_cache, v_cache,
+                    kv_indices.reshape(M, Bm, -1), M,
+                )
+                hidden_out = jnp.zeros((0,), jnp.float32)
+            elif want_hidden:
                 # EAGLE prefill: expose post-norm hiddens so the draft head
                 # can cover prompt positions (speculative/eagle_worker.py).
                 hidden_out, k_cache, v_cache = model.forward(

@@ -38,6 +38,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     forward_window_token = None  # incompatible attention structure
     forward_window_token_paged = None
     supports_quant_fusion = False  # MLA projections use their own names
+    supports_pp = False
 
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         super().__init__(config, attn_impl, kv_write_impl)

@@ -31,6 +31,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
     forward_window_token = None  # incompatible attention structure
     forward_window_token_paged = None
     supports_quant_fusion = False  # custom forward keeps per-proj names
+    supports_pp = False
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         super().__init__(config, attn_impl, kv_write_impl)
         hf = config.hf_config

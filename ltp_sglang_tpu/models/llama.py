@@ -69,6 +69,9 @@ class LlamaForCausalLM:
     # valid for any model whose layer body goes through this class's lin()
     # dispatch; models with custom forwards opt out.
     supports_quant_fusion = True
+    # Pipeline parallelism needs this class's forward (input_embeds /
+    # pp_raw_hidden hooks); models with custom forwards opt out.
+    supports_pp = True
     has_bias = False  # qwen2 subclass sets qkv bias
     has_qk_norm = False  # qwen3 subclass: per-head RMS norm on q/k before RoPE
 
@@ -705,6 +708,8 @@ class LlamaForCausalLM:
         all_logits: bool = False,
         lora: Optional[Dict[str, Any]] = None,
         return_hidden: bool = False,
+        input_embeds: Optional[jnp.ndarray] = None,  # PP mid-stage input
+        pp_raw_hidden: bool = False,  # PP non-last stage: skip norm + head
     ):
         """Returns (logits, k_cache, v_cache): last-token logits [B, V], or
         per-position logits [B, E, V] when all_logits (speculative verify)."""
@@ -712,8 +717,11 @@ class LlamaForCausalLM:
         B, E = step.input_ids.shape
         Hq, Hkv, D = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
-        hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
-        if self.embed_multiplier != 1.0:
+        if input_embeds is not None:
+            hidden = input_embeds
+        else:
+            hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
+        if input_embeds is None and self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
         if step.mm_embeds is not None:
             # VLM embedding injection: placeholder positions (ids are image
@@ -868,7 +876,9 @@ class LlamaForCausalLM:
                 h = h + self.mlp(lp, normed, tok_valid)
             return (h, kc, vc), None
 
-        L = cfg.num_layers
+        # Local layer count: under pipeline parallelism (shard_map over
+        # "pp") the stacked leaves are this stage's slice, not all L layers.
+        L = jax.tree.leaves(layers)[0].shape[0]
         xs = (layers, jnp.arange(L, dtype=jnp.int32))
         if lora_layers is not None:
             xs = xs + (lora_layers,)
@@ -878,6 +888,10 @@ class LlamaForCausalLM:
             xs,
         )
 
+        if pp_raw_hidden:
+            # Pipeline-parallel non-final stage: hand the raw residual stream
+            # to the next stage (parallel/pipeline.py).
+            return hidden, k_cache, v_cache
         hidden = self.norm(hidden, params["norm"])
         if return_hidden:
             # Embedding mode (reference: models with pooling heads served via

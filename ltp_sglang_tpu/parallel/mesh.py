@@ -26,6 +26,7 @@ class MeshContext:
     mesh: Mesh
     dp_size: int
     tp_size: int
+    pp_size: int = 1
 
     def sharding(self, spec: PartitionSpec) -> NamedSharding:
         return NamedSharding(self.mesh, spec)
@@ -41,15 +42,20 @@ class MeshContext:
 def create_mesh(
     tp_size: int = 1,
     dp_size: int = 1,
+    pp_size: int = 1,
     devices=None,
 ) -> MeshContext:
     devices = devices if devices is not None else jax.devices()
-    n = dp_size * tp_size
+    n = dp_size * tp_size * pp_size
     if n > len(devices):
-        raise ValueError(f"need {n} devices (dp={dp_size} x tp={tp_size}), have {len(devices)}")
-    dev_array = np.array(devices[:n]).reshape(dp_size, tp_size)
-    mesh = Mesh(dev_array, axis_names=("dp", "tp"))
-    return MeshContext(mesh=mesh, dp_size=dp_size, tp_size=tp_size)
+        raise ValueError(
+            f"need {n} devices (dp={dp_size} x tp={tp_size} x pp={pp_size}), "
+            f"have {len(devices)}"
+        )
+    # pp outermost: stage hand-offs ride neighbor ICI links.
+    dev_array = np.array(devices[:n]).reshape(pp_size, dp_size, tp_size)
+    mesh = Mesh(dev_array, axis_names=("pp", "dp", "tp"))
+    return MeshContext(mesh=mesh, dp_size=dp_size, tp_size=tp_size, pp_size=pp_size)
 
 
 def shard_pytree(params, specs, mesh_ctx: Optional[MeshContext]):

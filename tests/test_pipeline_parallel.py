@@ -1,0 +1,58 @@
+"""Pipeline parallelism on the virtual 8-device CPU mesh: stage-sharded
+layers + microbatched ppermute pipeline must reproduce single-device greedy
+outputs exactly (covers what the reference covers with test_pp_single_node)."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from tiny_configs import TINY_LLAMA_CFG, write_tiny_model_dir
+
+PROMPTS = [[1, 5, 7, 9, 100, 200], [2, 8, 450, 3, 17, 77, 240, 9, 11],
+           [4, 4, 8, 2], [10, 20, 30, 40, 50]]
+SP = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+
+
+@pytest.fixture(scope="module")
+def model_dir():
+    cfg = dict(TINY_LLAMA_CFG, num_hidden_layers=4)  # divisible by pp=2 and 4
+    d = tempfile.mkdtemp(prefix="pp_llama_")
+    write_tiny_model_dir(d, cfg=cfg)
+    return d
+
+
+def _generate(model_dir, pp):
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(ServerArgs(
+        model_path=model_dir, dtype="float32", pp_size=pp,
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    outs = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    return [o["output_ids"] for o in outs]
+
+
+@pytest.fixture(scope="module")
+def single_out(model_dir):
+    return _generate(model_dir, 1)
+
+
+@pytest.mark.parametrize("pp", [2, 4])
+def test_pp_generate_parity(model_dir, single_out, pp):
+    out = _generate(model_dir, pp)
+    assert out == single_out, (pp, out, single_out)
+
+
+def test_pp_radix_and_second_turn(model_dir, single_out):
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(ServerArgs(
+        model_path=model_dir, dtype="float32", pp_size=4,
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    a = eng.generate(input_ids=PROMPTS[0], sampling_params=dict(SP))
+    b = eng.generate(input_ids=PROMPTS[0], sampling_params=dict(SP))
+    assert a["output_ids"] == b["output_ids"] == single_out[0]
