@@ -590,6 +590,7 @@ class ModelRunner:
         model = self.model
         table_write_rows = self._table_write_rows
         table_merge_window = self._table_merge_window
+        nan_detect = self.server_args.enable_nan_detection
 
         def step_fn(
             params,
@@ -689,6 +690,12 @@ class ModelRunner:
                 )
             if has_swa:
                 (k_cache, k_swa), (v_cache, v_swa) = k_cache, v_cache
+            if nan_detect:
+                # Reference enable_nan_detection (LogitsProcessor NaN guard):
+                # a corrupted step must abort loudly, not sample garbage.
+                nan_flag = jnp.any(jnp.isnan(logits) | jnp.isinf(logits))
+            else:
+                nan_flag = jnp.zeros((), bool)
             if has_penalties:
                 from ltp_sglang_tpu.ops.sampling import apply_penalties
 
@@ -715,7 +722,7 @@ class ModelRunner:
                 top_vals = jnp.zeros((0, 0), jnp.float32)
                 top_idx = jnp.zeros((0, 0), jnp.int32)
             return (tokens, (chosen, top_vals, top_idx), out_logits, hidden_out,
-                    k_cache, v_cache, table, k_swa, v_swa)
+                    k_cache, v_cache, table, k_swa, v_swa, nan_flag)
 
         donate = (1, 2, 3) + ((28, 29) if has_swa else ())
         return jax.jit(step_fn, donate_argnums=donate)
@@ -1126,7 +1133,7 @@ class ModelRunner:
         )
         self._step_counter += 1
         (tokens, lp, logits, hidden, self.k_cache, self.v_cache, self.req_table,
-         k_swa_out, v_swa_out) = fn(
+         k_swa_out, v_swa_out, nan_flag) = fn(
             self.params,
             self.k_cache,
             self.v_cache,
@@ -1162,6 +1169,10 @@ class ModelRunner:
         )
         if self.swa_enabled:
             self.k_swa, self.v_swa = k_swa_out, v_swa_out
+        if self.server_args.enable_nan_detection and bool(nan_flag):
+            raise FloatingPointError(
+                "NaN/Inf detected in logits (enable_nan_detection)"
+            )
         out = (tokens, (lp if want_logprobs else None),
                (logits if return_logits else None))
         if want_hidden:
