@@ -144,7 +144,7 @@ def main():
         )
 
     page_size = int(os.environ.get("BENCH_PAGE_SIZE", "16" if on_tpu else "1"))
-    window = int(os.environ.get("BENCH_WINDOW", "16" if on_tpu else "8"))
+    window = int(os.environ.get("BENCH_WINDOW", "32" if on_tpu else "8"))
 
     bf16_tok_s, param_bytes = run_one(
         cfg, None, bs, prompt_len, gen_len, page_size, window
