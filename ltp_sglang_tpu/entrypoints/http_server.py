@@ -695,6 +695,42 @@ class HttpServer:
             native["input_ids"] = prompt
         else:
             return web.json_response({"error": "unsupported prompt type"}, status=400)
+        if body.get("stream"):
+            # SSE text_completion chunks (reference serving_completions SSE).
+            cid = f"cmpl-{uuid.uuid4().hex}"
+            created = int(time.time())
+            model_name = self.engine.server_args.served_model_name
+            req = self._make_req({**native, "stream": True})
+            out_q = self.loop_thread.submit(req)
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream",
+                         "Cache-Control": "no-cache"}
+            )
+            await resp.prepare(request)
+            loop = asyncio.get_event_loop()
+            sent = 0
+            while True:
+                try:
+                    out = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                except queue.Empty:
+                    continue
+                text = out["decoded_text"]
+                delta, sent = text[sent:], len(text)
+                chunk = {
+                    "id": cid, "object": "text_completion", "created": created,
+                    "model": model_name,
+                    "choices": [{
+                        "index": 0, "text": delta, "logprobs": None,
+                        "finish_reason": _openai_finish_reason(
+                            out["finish_reason"]) if out["finished"] else None,
+                    }],
+                }
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                if out["finished"]:
+                    break
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
         out = await self._generate_one(native)
         if out is None:
             return web.json_response({"error": "timeout"}, status=504)

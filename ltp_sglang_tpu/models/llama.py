@@ -808,10 +808,17 @@ class LlamaForCausalLM:
                 kc, vc, li, cache_locs_flat, k_st, v_st,
                 jnp.asarray(B * E, jnp.int32),
             )
-            if self.extend_attn is not None and step.pages is not None and step.spec_mask is None:
+            if (
+                self.extend_attn is not None
+                and step.pages is not None
+                and step.spec_mask is None
+                and step.kv_indices.shape[1] >= 2048
+            ):
                 # Pallas ragged extend kernel: streams pages HBM->VMEM once
                 # (ops/attention/pallas_extend.py) instead of the triple
-                # byte-move gather below.
+                # byte-move gather below. Measured crossover: the gather
+                # path's materialization cost passes the kernel around
+                # C~2k (1k: 26% vs 21% MFU for gather; 8k: 17% vs 21%).
                 attn_out = self.extend_attn(
                     q_att, kc, vc, li, step.pages, step.seq_lens,
                     step.prefix_lens, num_kv_heads=Hkv,

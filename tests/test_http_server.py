@@ -276,3 +276,23 @@ def test_kv_events(client):
         assert (await r.json())["events"] == []
 
     loop.run_until_complete(go())
+
+
+def test_openai_completions_stream(client):
+    c, loop = client
+
+    async def go():
+        r = await c.post("/v1/completions", json={
+            "prompt": [5, 6, 7, 8], "max_tokens": 6, "stream": True,
+        })
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await r.read()).decode()
+        lines = [l[6:] for l in raw.splitlines() if l.startswith("data: ")]
+        assert lines[-1] == "[DONE]"
+        chunks = [json.loads(l) for l in lines[:-1]]
+        assert all(ch["object"] == "text_completion" for ch in chunks)
+        finishes = [ch["choices"][0]["finish_reason"] for ch in chunks]
+        assert finishes[-1] in ("stop", "length")
+
+    loop.run_until_complete(go())
