@@ -60,6 +60,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.topk_method = hf.get("topk_method", "greedy")
         if hf.get("n_group", 1) > 1:
             raise NotImplementedError("group-limited routing (n_group>1) TODO")
+        self.latent_cache = bool(hf.get("mla_latent_cache", True))
+        from ltp_sglang_tpu.utils import round_up
+
+        self.latent_k_row = round_up(self.kv_lora_rank + self.qk_rope, 256)
 
         # MLA softmax scale includes yarn mscale (deepseek_v2.py reference).
         self.sm_scale = self.qk_head_dim**-0.5
@@ -77,9 +81,18 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             rope_scaling=self.rope_scaling,
         )
 
-    # KV cache row sizes: k rows hold [nope|rope] per head, v rows v_head_dim.
+    # KV cache rows. Latent mode (default; the reference's absorb path,
+    # models/deepseek_v2.py:1179 forward_absorb_prepare): ONE shared row of
+    # [normed latent (kv_lora) | roped k_pe (qk_rope) | pad] per token per
+    # layer — ~7x smaller than materialized MHA rows — padded to a
+    # 256-elem multiple so the Pallas row-DMA write stays eligible; the
+    # v_cache holds a minimal dummy row (V is the latent slice of K).
+    # MHA mode (model_override_args {"mla_latent_cache": false}) keeps
+    # materialized per-head K/V rows.
     def kv_row_elems(self):
         H = self.config.num_attention_heads
+        if self.latent_cache:
+            return self.latent_k_row, 128
         return H * self.qk_head_dim, H * self.v_head_dim
 
     # ------------------------------------------------------------- parameters
@@ -337,6 +350,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         k_nope, v = kv[..., : self.qk_nope], kv[..., self.qk_nope :]
 
         q_rope, k_rope = apply_rope(q_rope, k_rope, step.positions, self.cos_sin_cache)
+        if self.latent_cache:
+            return self._attention_absorbed(
+                lp, h, step, kc, vc, li, q_nope, q_rope, kv_lora, k_rope
+            )
         k = jnp.concatenate(
             [k_nope, jnp.broadcast_to(k_rope, (B, E, H, self.qk_rope))], axis=-1
         )
@@ -372,6 +389,74 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         if vsc is not None:
             attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
         out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, H * self.v_head_dim))
+        return h + out, kc, vc
+
+    def _attention_absorbed(self, lp, h, step, kc, vc, li,
+                            q_nope, q_rope, kv_lora, k_rope):
+        """MQA over the latent cache with kv_b absorbed into the query and
+        the output (reference forward_absorb_prepare/core): scores use
+        q_nope @ W_kc in latent space against the cached [latent | k_pe]
+        row; the value IS the latent, expanded per head by W_vc after."""
+        from ltp_sglang_tpu.models.llama import kv_is_fp8
+
+        cfg = self.config
+        B, E = step.input_ids.shape
+        H = cfg.num_attention_heads
+        R = self.kv_lora_rank
+        pad = self.latent_k_row - R - self.qk_rope
+
+        krow = jnp.concatenate(
+            [kv_lora, k_rope[:, :, 0, :]]
+            + ([jnp.zeros((B, E, pad), kv_lora.dtype)] if pad else []),
+            axis=-1,
+        )  # [B, E, latent_k_row]
+        one = jnp.float32(1.0)
+        if kv_is_fp8(kc.dtype):
+            ks = lp["k_scale"].astype(jnp.float32) if "k_scale" in lp else one
+            k_st = (krow.astype(jnp.float32) / ks).reshape(
+                B * E, 1, -1
+            ).astype(kc.dtype)
+            out_scale = ks
+        else:
+            ks = None
+            k_st = krow.reshape(B * E, 1, -1).astype(kc.dtype)
+            out_scale = None
+        v_st = jnp.zeros((B * E, 1, 128), vc.dtype)
+        kc, vc = self.kv_write(
+            kc, vc, li, step.cache_locs.reshape(-1), k_st, v_st,
+            jnp.asarray(B * E, jnp.int32),
+        )
+
+        # Absorb kv_b's K half into the query (one einsum per layer).
+        w_kv = lp["kv_b_proj"]["kernel"].reshape(
+            R, H, self.qk_nope + self.v_head_dim
+        )
+        q_lat = jnp.einsum(
+            "behn,khn->behk", q_nope, w_kv[..., : self.qk_nope],
+            preferred_element_type=jnp.float32,
+        ).astype(q_nope.dtype)
+        q_cat = jnp.concatenate([q_lat, q_rope], axis=-1)  # [B,E,H,R+rope]
+        if ks is not None:
+            q_cat = (q_cat.astype(jnp.float32) * ks).astype(q_cat.dtype)
+
+        Cw = step.kv_indices.shape[1]
+        pages = kc[li, step.kv_indices].reshape(B, Cw, self.latent_k_row)
+        k_cat = pages[..., : R + self.qk_rope][:, :, None, :]
+        v_lat = pages[..., :R][:, :, None, :]
+        if ks is not None:
+            k_cat = k_cat.astype(q_cat.dtype)
+            v_lat = v_lat.astype(q_cat.dtype)
+        attn = self.attn_impl(
+            q_cat, k_cat, v_lat, step.kv_indices, step.seq_lens,
+            step.prefix_lens, self.sm_scale, sliding_window=0,
+        )  # [B, E, H, R]
+        if out_scale is not None:
+            attn = (attn.astype(jnp.float32) * out_scale).astype(h.dtype)
+        out_h = jnp.einsum(
+            "behk,khv->behv", attn, w_kv[..., self.qk_nope :],
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        out = apply_linear(lp["o_proj"], out_h.reshape(B, E, H * self.v_head_dim))
         return h + out, kc, vc
 
     def _moe_mlp(self, lp, normed, tok_valid=None):

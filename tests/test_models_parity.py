@@ -389,3 +389,39 @@ def test_gemma2_swa_pool_ring_wraparound():
             do_sample=False,
         )[0].tolist()[22:]
     assert out2["output_ids"] == ref2
+
+
+def test_deepseek_mla_latent_cache_modes():
+    """The latent (absorbed-MQA) cache is the default; it must match the
+    materialized-MHA mode exactly AND store ~7x smaller KV rows."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_dsv2_mla_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+    prompt = [1, 5, 7, 9, 100, 200, 31]
+    sp = {"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True}
+
+    lat = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    r = lat.model_runner
+    assert lat.model_runner.model.latent_cache
+    m = lat.model_runner.model
+    assert r.k_cache.shape[2] * r.k_cache.shape[3] == m.latent_k_row
+    assert r.v_cache.shape[2] * r.v_cache.shape[3] == 128  # dummy V rows
+    # At real DeepSeek dims the row shrinks ~7x (tiny-config padding hides
+    # it): lora 512 + rope 64 -> 768+128 vs 16 heads x (192 + 128) = 5120.
+    assert (768 + 128) * 5 < 16 * (192 + 128)
+    out_lat = lat.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+
+    mha = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=2048, max_running_requests=8,
+        model_override_args={"mla_latent_cache": False},
+    ))
+    assert not mha.model_runner.model.latent_cache
+    out_mha = mha.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+    assert out_lat == out_mha, (out_lat, out_mha)
