@@ -66,6 +66,8 @@ class ServerArgs:
     # Hierarchical KV cache: device tier + host-RAM write-back tier.
     enable_hierarchical_cache: bool = False
     hicache_host_tokens: int = 1 << 20
+    # File-backed host arena (the storage tier; reference HiCacheStorage).
+    hicache_storage_dir: Optional[str] = None
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20

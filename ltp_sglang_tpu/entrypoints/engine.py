@@ -628,6 +628,25 @@ class Engine:
     def rebalance_experts(self):
         return self.eplb.rebalance()
 
+    def save_sharded_checkpoint(self, out_dir: str,
+                                max_shard_bytes: int = 4 << 30) -> int:
+        """Write the live params as sharded safetensors (+ config.json) in
+        the NATIVE stacked layout; reload via model_path=out_dir (reference
+        save_sharded_model analog). Returns shard count."""
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+
+        from ltp_sglang_tpu.model_loader.loader import save_sharded_checkpoint
+
+        n = save_sharded_checkpoint(
+            self.model_runner.params, out_dir, max_shard_bytes
+        )
+        src_cfg = _os.path.join(self.server_args.model_path, "config.json")
+        if _os.path.exists(src_cfg):
+            _shutil.copy(src_cfg, _os.path.join(out_dir, "config.json"))
+        return n
+
     def flush_cache(self) -> bool:
         return self.scheduler.flush_cache()
 

@@ -100,6 +100,7 @@ class Scheduler:
                 model_runner,
                 page_size=server_args.page_size,
                 host_tokens=server_args.hicache_host_tokens,
+                storage_dir=server_args.hicache_storage_dir,
             )
         elif server_args.radix_cache_backend == "cpp":
             from ltp_sglang_tpu.mem_cache.radix_cache_cpp import CppRadixCache

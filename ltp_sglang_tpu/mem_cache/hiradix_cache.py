@@ -37,24 +37,41 @@ logger = logging.getLogger(__name__)
 
 
 class HostKVArena:
-    """Host-RAM KV rows addressed by slot id (mirrors the device layout)."""
+    """Host KV rows addressed by slot id (mirrors the device layout).
 
-    def __init__(self, runner, host_tokens: int):
+    With `storage_dir` set, the arena is FILE-BACKED (np.memmap): the OS
+    page cache keeps the hot span in RAM and colder rows spill to disk —
+    the reference's third (storage) tier (managers/cache_controller.py
+    HiCacheStorage), collapsed into the same slot address space."""
+
+    def __init__(self, runner, host_tokens: int, storage_dir=None):
         kd = np.asarray(jnp.zeros((), runner.k_cache.dtype)).dtype
         vd = np.asarray(jnp.zeros((), runner.v_cache.dtype)).dtype
         Lk, _, rk, lnk = runner.k_cache.shape
         Lv, _, rv, lnv = runner.v_cache.shape
-        self.k = np.zeros((Lk, host_tokens + 1, rk, lnk), kd)
-        self.v = np.zeros((Lv, host_tokens + 1, rv, lnv), vd)
+        k_shape = (Lk, host_tokens + 1, rk, lnk)
+        v_shape = (Lv, host_tokens + 1, rv, lnv)
+        if storage_dir:
+            import os
+
+            os.makedirs(storage_dir, exist_ok=True)
+            self.k = np.memmap(os.path.join(storage_dir, "kv_k.bin"),
+                               dtype=kd, mode="w+", shape=k_shape)
+            self.v = np.memmap(os.path.join(storage_dir, "kv_v.bin"),
+                               dtype=vd, mode="w+", shape=v_shape)
+        else:
+            self.k = np.zeros(k_shape, kd)
+            self.v = np.zeros(v_shape, vd)
         self.alloc = TokenToKVPoolAllocator(host_tokens)
 
 
 class HiRadixCache(RadixCache):
     def __init__(self, req_to_token_pool, token_to_kv_pool_allocator, runner,
-                 page_size: int = 1, host_tokens: int = 1 << 20):
+                 page_size: int = 1, host_tokens: int = 1 << 20,
+                 storage_dir=None):
         super().__init__(req_to_token_pool, token_to_kv_pool_allocator, page_size)
         self.runner = runner
-        self.arena = HostKVArena(runner, host_tokens)
+        self.arena = HostKVArena(runner, host_tokens, storage_dir=storage_dir)
         self.num_host_hits = 0
         self.num_writebacks = 0
 

@@ -92,7 +92,79 @@ def load_model_weights(model, model_path: str, load_format: str = "auto", seed: 
     if load_format == "dummy":
         logger.info("Initializing dummy (random) weights for %s", model_path)
         return model.init_params(seed)
+    if glob.glob(os.path.join(model_path, "native-*.safetensors")):
+        logger.info("Loading native sharded checkpoint from %s", model_path)
+        return load_native_checkpoint(model, model_path)
     weights = load_raw_weights(model_path)
     logger.info("Loaded %d raw tensors from %s", len(weights), model_path)
     params = model.convert_hf_weights(weights)
     return params
+
+
+# ------------------------------------------------- native sharded checkpoints
+def save_sharded_checkpoint(params, out_dir: str,
+                            max_shard_bytes: int = 4 << 30) -> int:
+    """Save a param pytree as sharded safetensors with slash-joined leaf
+    names + an index file (the reference's save_sharded_model analog,
+    model_runner save path; format is this framework's NATIVE layout —
+    stacked [L, ...] leaves — so reload skips HF conversion entirely).
+    Returns the number of shards written."""
+    import jax
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    os.makedirs(out_dir, exist_ok=True)
+    shards, cur, cur_bytes = [], {}, 0
+    for name in sorted(flat):
+        arr = flat[name]
+        if cur and cur_bytes + arr.nbytes > max_shard_bytes:
+            shards.append(cur)
+            cur, cur_bytes = {}, 0
+        cur[name] = arr
+        cur_bytes += arr.nbytes
+    if cur:
+        shards.append(cur)
+    index = {"metadata": {"format": "ltp_native"}, "weight_map": {}}
+    n = len(shards)
+    for i, shard in enumerate(shards):
+        fname = f"native-{i + 1:05d}-of-{n:05d}.safetensors"
+        save_file(shard, os.path.join(out_dir, fname))
+        for name in shard:
+            index["weight_map"][name] = fname
+    with open(os.path.join(out_dir, "native.index.json"), "w") as f:
+        json.dump(index, f, indent=1)
+    return n
+
+
+def load_native_checkpoint(model, model_path: str):
+    """Reload a save_sharded_checkpoint tree (native stacked layout)."""
+    import jax.numpy as jnp
+    from safetensors import safe_open
+
+    ref = model.init_params(0)  # structure + dtypes to restore into
+    flat = {}
+    for f in sorted(glob.glob(os.path.join(model_path, "native-*.safetensors"))):
+        with safe_open(f, framework="np") as sf:
+            for name in sf.keys():
+                flat[name] = sf.get_tensor(name)
+
+    def rebuild(node, prefix):
+        if isinstance(node, dict):
+            return {
+                k: rebuild(v, f"{prefix}/{k}" if prefix else k)
+                for k, v in node.items()
+            }
+        arr = flat[prefix]
+        return jnp.asarray(arr).astype(node.dtype)
+
+    return rebuild(ref, "")

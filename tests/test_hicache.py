@@ -70,3 +70,33 @@ def test_host_tier_many_prefixes_and_host_eviction():
     # The host arena never over-allocates.
     used = cache.arena.alloc.size - cache.arena.alloc.available_size()
     assert 0 <= used <= 256
+
+
+def test_storage_tier_memmap(tmp_path):
+    """hicache_storage_dir file-backs the host arena (the disk tier):
+    loadbacks after churn still reproduce exact outputs, and the backing
+    files exist with the arena's size."""
+    import os
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="hicache3_llama_")
+    write_tiny_model_dir(d)
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=96, max_running_requests=4,
+        enable_hierarchical_cache=True, hicache_host_tokens=512,
+        hicache_storage_dir=str(tmp_path),
+    ))
+    cache = eng.scheduler.tree_cache
+    assert isinstance(cache.arena.k, np.memmap)
+    assert os.path.getsize(tmp_path / "kv_k.bin") == cache.arena.k.nbytes
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    pa, pb = list(range(3, 63)), list(range(200, 260))
+    ref = eng.generate(input_ids=pa, sampling_params=sp)
+    eng.generate(input_ids=pb, sampling_params=sp)  # displaces A
+    assert cache.num_writebacks > 0
+    again = eng.generate(input_ids=pa, sampling_params=sp)
+    assert again["output_ids"] == ref["output_ids"]
+    assert cache.num_host_hits > 0
