@@ -478,7 +478,7 @@ class ModelRunner:
             k_elems = v_elems = Hkv * D
         rk, lnk = _row_dims(k_elems)
         rv, lnv = _row_dims(v_elems)
-        kv_sharding = None
+        k_sharding = v_sharding = None
         table_sharding = None
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
             from jax.sharding import PartitionSpec as P
@@ -487,11 +487,20 @@ class ModelRunner:
             # (row-major [r, ln] interleaves heads; head sharding needs the
             # pallas path disabled, which multi-device already implies).
             if self.pp_size > 1:
-                kv_sharding = self.mesh_ctx.sharding(P("pp", None, None, None))
+                k_sharding = v_sharding = self.mesh_ctx.sharding(
+                    P("pp", None, None, None)
+                )
             else:
-                kv_sharding = self.mesh_ctx.sharding(
+                # K and V shard independently (MLA latent mode keeps a
+                # dummy V row that must not force K replication).
+                k_sharding = self.mesh_ctx.sharding(
                     P(None, None, "tp", None)
-                    if rk % self.mesh_ctx.tp_size == 0 and rv % self.mesh_ctx.tp_size == 0
+                    if rk % self.mesh_ctx.tp_size == 0
+                    else P(None, None, None, None)
+                )
+                v_sharding = self.mesh_ctx.sharding(
+                    P(None, None, "tp", None)
+                    if rv % self.mesh_ctx.tp_size == 0
                     else P(None, None, None, None)
                 )
             table_sharding = self.mesh_ctx.replicated()
@@ -540,9 +549,9 @@ class ModelRunner:
             }
             S_swa = (max_reqs + 1) * ring
             self.k_swa = jnp.zeros((n_swa, S_swa, rk, lnk), dtype=self.kv_dtype,
-                                   device=kv_sharding)
+                                   device=k_sharding)
             self.v_swa = jnp.zeros((n_swa, S_swa, rv, lnv), dtype=self.kv_dtype,
-                                   device=kv_sharding)
+                                   device=v_sharding)
             L_alloc = n_full
             logger.info(
                 "SWA pool: %d windowed layers -> %d-token rings x %d reqs "
@@ -551,8 +560,8 @@ class ModelRunner:
             )
         else:
             L_alloc = L
-        self.k_cache = jnp.zeros((L_alloc, S, rk, lnk), dtype=self.kv_dtype, device=kv_sharding)
-        self.v_cache = jnp.zeros((L_alloc, S, rv, lnv), dtype=self.kv_dtype, device=kv_sharding)
+        self.k_cache = jnp.zeros((L_alloc, S, rk, lnk), dtype=self.kv_dtype, device=k_sharding)
+        self.v_cache = jnp.zeros((L_alloc, S, rv, lnv), dtype=self.kv_dtype, device=v_sharding)
         # Whole-row table DMAs (table_write_rows_pallas) fault when the row
         # spans a partial int32 tile: (9,128) / (10,128) int32 copies crash
         # the TPU worker while (8,128) / (16,128) run (measured on v5e).

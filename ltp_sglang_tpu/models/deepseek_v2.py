@@ -92,6 +92,18 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def kv_row_elems(self):
         H = self.config.num_attention_heads
         if self.latent_cache:
+            # On tp meshes, pad the row so its [r, 128] sublane count
+            # divides tp: the runner then FEATURE-SHARDS the latent cache
+            # over tp (XLA psums the score/value contractions) instead of
+            # replicating it — the memory benefit the reference gets from
+            # hybrid DP-attention (dp_attention.py:62), GSPMD-style.
+            tp = self.mesh_ctx.tp_size if self.mesh_ctx is not None else 1
+            if tp > 1:
+                from ltp_sglang_tpu.utils import round_up
+
+                self.latent_k_row = round_up(
+                    self.kv_lora_rank + self.qk_rope, 128 * tp
+                )
             return self.latent_k_row, 128
         return H * self.qk_head_dim, H * self.v_head_dim
 

@@ -180,3 +180,32 @@ def test_deepseek_v2_ep_generate_parity():
     ref = _generate(d, 1, 1, prompts, max_new=12)
     out = _generate(d, 4, 1, prompts, max_new=12)
     assert out == ref, f"dsv2 ep: {out} != {ref}"
+
+
+def test_deepseek_latent_kv_tp_sharded():
+    """On tp meshes the MLA latent cache must FEATURE-SHARD over tp (the
+    memory benefit the reference gets from hybrid DP-attention) — and
+    outputs must still match single-device exactly."""
+    import tempfile as _tempfile
+
+    from tiny_configs import write_tiny_model_dir
+    from test_models_parity import TINY_DEEPSEEK_V2_CFG
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = _tempfile.mkdtemp(prefix="dsv2_tp_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+    sp = {"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True}
+    prompt = [1, 5, 7, 9, 100, 200, 31]
+
+    ref = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    ref_out = ref.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+
+    eng = Engine(ServerArgs(model_path=d, dtype="float32", tp_size=4,
+                            max_total_tokens=2048, max_running_requests=8))
+    spec = eng.model_runner.k_cache.sharding.spec
+    assert "tp" in [s for s in spec if s is not None], spec
+    out = eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
+    assert out == ref_out, (out, ref_out)
