@@ -61,6 +61,21 @@ async def run(args):
         async with session.get(url + "/get_server_info") as r:
             assert r.status == 200
 
+        if args.warmup:
+            # Run the SAME shape profile once unmeasured so every jit bucket
+            # (extend B/E/C, decode windows per B) compiles before timing.
+            wtasks = [
+                asyncio.create_task(one_request(
+                    session, url,
+                    [int(x) for x in rng.integers(5, 1000, size=args.input_len)],
+                    args.output_len,
+                ))
+                for _ in range(args.num_prompts)
+            ]
+            await asyncio.gather(*wtasks)
+            async with session.post(url + "/flush_cache") as r:
+                pass
+
         tasks = []
         t_start = time.perf_counter()
         for i in range(args.num_prompts):
@@ -107,6 +122,8 @@ def main():
     p.add_argument("--input-len", type=int, default=128)
     p.add_argument("--output-len", type=int, default=64)
     p.add_argument("--request-rate", type=float, default=float("inf"))
+    p.add_argument("--warmup", action="store_true",
+                   help="run the same load once unmeasured (compile buckets)")
     asyncio.run(run(p.parse_args()))
 
 
