@@ -114,6 +114,9 @@ class ServerArgs:
     enable_metrics: bool = False
     decode_log_interval: int = 40
     enable_nan_detection: bool = False
+    # Precompile the bucket ladder before accepting traffic (the reference's
+    # startup CUDA-graph capture analog). Slower start, no first-hit stalls.
+    warmup_buckets: bool = False
 
     # LoRA
     lora_paths: Optional[List[str]] = None

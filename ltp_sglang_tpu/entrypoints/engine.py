@@ -647,6 +647,45 @@ class Engine:
             _shutil.copy(src_cfg, _os.path.join(out_dir, "config.json"))
         return n
 
+    def warmup(self, max_batch: Optional[int] = None,
+               prompt_lens=(64, 512)) -> int:
+        """Precompile the serving bucket ladder (the reference captures CUDA
+        graphs for every batch size at startup; here each (B, E, C) bucket
+        is one jit compile, cached persistently). Runs synthetic batches for
+        every decode-B bucket up to max_running_requests at two prompt
+        shapes. Returns the number of warmup generations run."""
+        import numpy as np
+
+        cap = max_batch or self.model_runner.max_running_requests
+        buckets = [b for b in self.server_args.decode_bs_buckets if b <= cap]
+        if cap not in buckets:
+            buckets.append(cap)
+        rng = np.random.default_rng(0)
+        n = 0
+        for plen in prompt_lens:
+            if plen >= self.model_config.context_len:
+                continue
+            for b in buckets:
+                prompts = [
+                    [int(x) for x in rng.integers(5, self.model_config.vocab_size - 10,
+                                                  size=plen)]
+                    for _ in range(b)
+                ]
+                try:
+                    self.generate(
+                        input_ids=prompts,
+                        sampling_params={
+                            "max_new_tokens": 2 * self.server_args.decode_window_size,
+                            "temperature": 0.0, "ignore_eos": True,
+                        },
+                    )
+                    n += 1
+                except Exception as e:  # noqa: BLE001 — warmup is best-effort
+                    logger.warning("warmup batch b=%d plen=%d failed: %s", b, plen, e)
+                self.flush_cache()
+        logger.info("warmup complete: %d bucket generations", n)
+        return n
+
     def flush_cache(self) -> bool:
         return self.scheduler.flush_cache()
 

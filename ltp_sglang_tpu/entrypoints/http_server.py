@@ -47,8 +47,8 @@ class EngineLoopThread:
         self.inbox: queue.Queue = queue.Queue()
         self._shutdown = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
-        # rid -> asyncio-safe outbox queue
-        self.outboxes: Dict[str, queue.Queue] = {}
+        # rid -> (asyncio.Queue, owning event loop)
+        self.outboxes: Dict[str, Any] = {}
         self.engine.scheduler.on_output = self._on_output
         self.last_step_time = time.time()
 
@@ -58,9 +58,14 @@ class EngineLoopThread:
     def stop(self):
         self._shutdown.set()
 
-    def submit(self, req: Req) -> queue.Queue:
-        out: queue.Queue = queue.Queue()
-        self.outboxes[req.rid] = out
+    def submit(self, req: Req) -> "asyncio.Queue":
+        """Called from an async handler: outputs hop engine-thread ->
+        event loop via call_soon_threadsafe into an asyncio.Queue. (The old
+        blocking-queue + run_in_executor relay parked one executor thread
+        per in-flight stream: at 64 concurrent requests the default pool of
+        ~32 starved, inflating measured TTFT/ITL ~10x.)"""
+        out: asyncio.Queue = asyncio.Queue()
+        self.outboxes[req.rid] = (out, asyncio.get_running_loop())
         self.inbox.put(req)
         return out
 
@@ -68,9 +73,10 @@ class EngineLoopThread:
         self.inbox.put(("abort", rid))
 
     def _on_output(self, req: Req):
-        out = self.outboxes.get(req.rid)
-        if out is None:
+        entry = self.outboxes.get(req.rid)
+        if entry is None:
             return
+        out, aio_loop = entry
         payload = {
             "rid": req.rid,
             "output_ids": list(req.output_ids),
@@ -83,7 +89,10 @@ class EngineLoopThread:
             payload["embedding"] = req.embedding
         if req.token_ids_logprob:
             payload["token_ids_logprobs"] = list(req.output_token_ids_logprobs)
-        out.put_nowait(payload)
+        try:
+            aio_loop.call_soon_threadsafe(out.put_nowait, payload)
+        except RuntimeError:
+            pass  # client loop already closed
         if req.finished():
             self.outboxes.pop(req.rid, None)
 
@@ -238,30 +247,32 @@ class HttpServer:
         )
         req.is_embedding = True
         out_q = self.loop_thread.submit(req)
-        loop = asyncio.get_event_loop()
         deadline = time.time() + timeout
         while time.time() < deadline:
             try:
-                last = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                last = await asyncio.wait_for(
+                    out_q.get(), timeout=deadline - time.time()
+                )
                 if last["finished"]:
                     return last
-            except queue.Empty:
-                continue
+            except asyncio.TimeoutError:
+                break
         return None
 
     async def _generate_one(self, body: Dict[str, Any], timeout: float = 600.0):
         req = self._make_req(body)
         out_q = self.loop_thread.submit(req)
-        loop = asyncio.get_event_loop()
         deadline = time.time() + timeout
         last = None
         while time.time() < deadline:
             try:
-                last = await loop.run_in_executor(None, out_q.get, True, 1.0)
+                last = await asyncio.wait_for(
+                    out_q.get(), timeout=deadline - time.time()
+                )
                 if last["finished"]:
                     return last
-            except queue.Empty:
-                continue
+            except asyncio.TimeoutError:
+                break
         return last
 
     async def generate(self, request):
@@ -293,12 +304,8 @@ class HttpServer:
                 headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
             )
             await resp.prepare(request)
-            loop = asyncio.get_event_loop()
             while True:
-                try:
-                    out = await loop.run_in_executor(None, out_q.get, True, 1.0)
-                except queue.Empty:
-                    continue
+                out = await out_q.get()
                 payload = self._format_native(out)
                 await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
                 if out["finished"]:
@@ -321,12 +328,9 @@ class HttpServer:
         out_q = self.loop_thread.submit(req)
         loop = asyncio.get_event_loop()
         while True:
-            try:
-                out = await loop.run_in_executor(None, out_q.get, True, 1.0)
-                if out["finished"]:
-                    break
-            except queue.Empty:
-                continue
+            out = await out_q.get()
+            if out["finished"]:
+                break
         if out["output_ids"]:
             # dispatch() gathers KV under the loop lock: keep it off the
             # event loop thread.
@@ -340,33 +344,26 @@ class HttpServer:
         """Decode-role /generate: preallocate + receive the prefill KV, then
         stream/return the continuation (first token included)."""
         req = self._make_req(body)
-        out_q: queue.Queue = queue.Queue()
-        self.loop_thread.outboxes[req.rid] = out_q
+        out_q: asyncio.Queue = asyncio.Queue()
+        self.loop_thread.outboxes[req.rid] = (out_q, asyncio.get_running_loop())
         self.engine.pd_decode.submit(
             req,
             int(body["bootstrap_room"]),
             body.get("bootstrap_host", "127.0.0.1"),
             int(body["bootstrap_port"]),
         )
-        loop = asyncio.get_event_loop()
         if not body.get("stream", False):
             while True:
-                try:
-                    out = await loop.run_in_executor(None, out_q.get, True, 1.0)
-                    if out["finished"]:
-                        return web.json_response(self._format_native(out))
-                except queue.Empty:
-                    continue
+                out = await out_q.get()
+                if out["finished"]:
+                    return web.json_response(self._format_native(out))
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream",
                      "Cache-Control": "no-cache"}
         )
         await resp.prepare(request)
         while True:
-            try:
-                out = await loop.run_in_executor(None, out_q.get, True, 1.0)
-            except queue.Empty:
-                continue
+            out = await out_q.get()
             await resp.write(
                 f"data: {json.dumps(self._format_native(out))}\n\n".encode()
             )
@@ -707,13 +704,9 @@ class HttpServer:
                          "Cache-Control": "no-cache"}
             )
             await resp.prepare(request)
-            loop = asyncio.get_event_loop()
             sent = 0
             while True:
-                try:
-                    out = await loop.run_in_executor(None, out_q.get, True, 1.0)
-                except queue.Empty:
-                    continue
+                out = await out_q.get()
                 text = out["decoded_text"]
                 delta, sent = text[sent:], len(text)
                 chunk = {
@@ -917,16 +910,12 @@ class HttpServer:
         )
         await resp.prepare(request)
         await resp.write(chunk({"role": "assistant", "content": ""}))
-        loop = asyncio.get_event_loop()
         sent = 0
         finish = "stop"
         tool_idx = 0
         usage = None
         while True:
-            try:
-                out = await loop.run_in_executor(None, out_q.get, True, 1.0)
-            except queue.Empty:
-                continue
+            out = await out_q.get()
             text = out["decoded_text"]
             delta, sent = text[sent:], len(text)
             if out["finished"]:
@@ -1006,6 +995,9 @@ def _openai_finish_reason(fr: Optional[Dict]) -> str:
 
 def launch_server(server_args: ServerArgs):
     engine = Engine(server_args)
+    if server_args.warmup_buckets:
+        logger.info("warming serving buckets (this compiles the jit ladder)...")
+        engine.warmup()
     server = HttpServer(engine)
     server.loop_thread.start()
     logger.info("serving on http://%s:%d", server_args.host, server_args.port)
