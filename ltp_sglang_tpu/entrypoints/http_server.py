@@ -141,9 +141,30 @@ class HttpServer:
     def __init__(self, engine: Engine):
         self.engine = engine
         self.loop_thread = EngineLoopThread(engine)
-        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        middlewares = []
+        if engine.server_args.api_key:
+            middlewares.append(self._auth_middleware(engine.server_args.api_key))
+        self.app = web.Application(
+            client_max_size=64 * 1024 * 1024, middlewares=middlewares
+        )
         self._add_routes()
         self.start_time = time.time()
+
+    @staticmethod
+    def _auth_middleware(api_key: str):
+        """Bearer-token gate (reference --api-key): /health stays open for
+        probes; everything else requires the key."""
+        @web.middleware
+        async def auth(request, handler):
+            if request.path != "/health":
+                tok = request.headers.get("Authorization", "")
+                if tok != f"Bearer {api_key}":
+                    return web.json_response(
+                        {"error": "invalid or missing API key"}, status=401
+                    )
+            return await handler(request)
+
+        return auth
 
     def _add_routes(self):
         r = self.app.router
@@ -304,12 +325,19 @@ class HttpServer:
                 headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
             )
             await resp.prepare(request)
-            while True:
-                out = await out_q.get()
-                payload = self._format_native(out)
-                await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
-                if out["finished"]:
-                    break
+            try:
+                while True:
+                    out = await out_q.get()
+                    payload = self._format_native(out)
+                    await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+                    if out["finished"]:
+                        break
+            except (ConnectionResetError, asyncio.CancelledError):
+                # Client went away mid-stream: stop generating for it
+                # (otherwise the request keeps burning decode slots).
+                self.loop_thread.abort(req.rid)
+                self.loop_thread.outboxes.pop(req.rid, None)
+                raise
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
             return resp

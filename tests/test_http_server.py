@@ -296,3 +296,40 @@ def test_openai_completions_stream(client):
         assert finishes[-1] in ("stop", "length")
 
     loop.run_until_complete(go())
+
+
+def test_api_key_auth():
+    import tempfile as _tf
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+
+    d = _tf.mkdtemp(prefix="auth_llama_")
+    write_tiny_model_dir(d, with_weights=False)
+    engine = Engine(ServerArgs(
+        model_path=d, load_format="dummy", dtype="float32",
+        max_total_tokens=1024, max_running_requests=4, api_key="sk-test-42",
+    ))
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def go():
+        c = TestClient(TestServer(server.app))
+        await c.start_server()
+        r = await c.get("/health")  # probes stay open
+        assert r.status == 200
+        r = await c.post("/generate", json={"input_ids": [1, 2],
+                                            "sampling_params": {"max_new_tokens": 1}})
+        assert r.status == 401
+        r = await c.post("/generate",
+                         json={"input_ids": [1, 2],
+                               "sampling_params": {"max_new_tokens": 2}},
+                         headers={"Authorization": "Bearer sk-test-42"})
+        assert r.status == 200
+        await c.close()
+
+    loop.run_until_complete(go())
+    server.loop_thread.stop()
