@@ -133,8 +133,14 @@ def apply_rope(
     cos_sin_cache: jnp.ndarray,
     is_neox_style: bool = True,
     rotary_dim: Optional[int] = None,
+    style: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q: [..., T, H, D], k: [..., T, Hkv, D], positions: [..., T]."""
+    """q: [..., T, H, D], k: [..., T, Hkv, D], positions: [..., T].
+
+    style: "neox" (rotate-half pairs (j, j+rot/2), freq j) or "gptj"
+    (interleaved pairs (2j, 2j+1), freq j — glm/glm4/cohere/gpt-j)."""
+    if style is None:
+        style = "neox" if is_neox_style else "gptj"
     rot_dim = cos_sin_cache.shape[-1]
     cos, sin = jnp.split(cos_sin_cache[positions], 2, axis=-1)  # [..., T, rot/2]
     cos = cos[..., None, :]  # broadcast over heads
@@ -143,12 +149,12 @@ def apply_rope(
     def rotate(x):
         x_rot = x[..., :rot_dim]
         x_pass = x[..., rot_dim:]
-        if is_neox_style:
+        if style == "neox":
             x1, x2 = jnp.split(x_rot, 2, axis=-1)
             o1 = x1 * cos - x2 * sin
             o2 = x2 * cos + x1 * sin
             out = jnp.concatenate([o1, o2], axis=-1)
-        else:
+        else:  # gptj
             x1 = x_rot[..., ::2]
             x2 = x_rot[..., 1::2]
             o1 = x1 * cos - x2 * sin

@@ -118,6 +118,19 @@ class LlamaForCausalLM:
         # Subclass hooks: gemma scales embeddings; starcoder2-style models
         # use LayerNorm instead of RMSNorm (override norm()).
         self.embed_multiplier = 1.0
+        # --- family knobs (reference models/{olmo,olmo2,granite,cohere,glm4,
+        # smollm3}.py are all llama bodies modulo these) ---
+        self.clip_qkv = None  # olmo: clamp q/k/v post-projection
+        self.qk_norm_full = False  # olmo2: RMS over the FULL q/k width pre-rope
+        self.qk_norm_fn = None  # cohere: callable(x[B,..,H,D], w) pre-rope
+        # Block-norm placement: "pre" (llama), "post_out" (olmo2: norm on the
+        # block OUTPUT, no pre-norm), "sandwich" (glm4: pre-norm AND output
+        # norm), "parallel" (cohere: one pre-norm feeds attn+mlp, summed).
+        self.norm_style = "pre"
+        self.residual_multiplier = 1.0  # granite
+        self.logits_multiplier = 1.0  # cohere logit_scale / granite 1/scaling
+        self.rope_style = "neox"  # "gptj" (cohere) | "glm" (layers/rotary.py)
+        self.rope_layer_on = None  # smollm3: [L] 0/1 rope toggle per layer
         self.cos_sin_cache = build_cos_sin_cache(
             config.head_dim,
             config.context_len,
@@ -422,6 +435,46 @@ class LlamaForCausalLM:
         q_s = (q.astype(jnp.float32) * ks).astype(q.dtype)
         return k_q, v_q, q_s, vs
 
+    # --------------------------------------------- block-residual scaffolding
+    def _combine_attn(self, h, attn_in, lp, lin, attn):
+        """o_proj + norm_style-specific residual. Returns (h, mlp_input,
+        attn_res) — attn_res is only consumed by the 'parallel' style."""
+        attn_res = lin("o_proj", attn)
+        rm = self.residual_multiplier
+        if self.norm_style == "post_out":
+            attn_res = self.norm(attn_res, lp["post_attention_layernorm"])
+        elif self.norm_style == "sandwich":
+            attn_res = self.norm(attn_res, lp["post_self_attn_layernorm"])
+        if self.norm_style != "parallel":
+            h = h + (attn_res if rm == 1.0 else attn_res * jnp.asarray(rm, h.dtype))
+        if self.norm_style == "post_out":
+            normed = h
+        elif self.norm_style == "parallel":
+            normed = attn_in
+        else:
+            normed = self.norm(h, lp["post_attention_layernorm"])
+        return h, normed, attn_res
+
+    def _window_mlp(self, lp, lin, normed, tok_valid, quant_stacked):
+        if quant_stacked is not None and "gate_up_proj" in quant_stacked:
+            gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
+            return lin("down_proj", jax.nn.silu(gate) * up)
+        if quant_stacked is not None and "gate_proj" in quant_stacked:
+            gate = lin("gate_proj", normed)
+            up = lin("up_proj", normed)
+            return lin("down_proj", jax.nn.silu(gate) * up)
+        return self.mlp(lp, normed, tok_valid)
+
+    def _combine_mlp(self, h, lp, mlp_out, attn_res=None):
+        rm = self.residual_multiplier
+        if self.norm_style == "post_out":
+            mlp_out = self.norm(mlp_out, lp["post_feedforward_layernorm"])
+        elif self.norm_style == "sandwich":
+            mlp_out = self.norm(mlp_out, lp["post_mlp_layernorm"])
+        if self.norm_style == "parallel":
+            return h + attn_res + mlp_out
+        return h + (mlp_out if rm == 1.0 else mlp_out * jnp.asarray(rm, h.dtype))
+
     # ------------------------------------------------- decode-window forward
     def forward_window_token(
         self,
@@ -458,11 +511,20 @@ class LlamaForCausalLM:
         cos = cos[:, None, :]
         sin = sin[:, None, :]
 
-        def rope1(x):  # x: [B, H, D] neox-style
+        def rope1(x):  # x: [B, H, D]; neox or interleaved per rope_is_neox
             x_rot = x[..., :rot]
             x_pass = x[..., rot:]
-            x1, x2 = jnp.split(x_rot, 2, axis=-1)
-            o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+            if self.rope_style == "neox":
+                x1, x2 = jnp.split(x_rot, 2, axis=-1)
+                o = jnp.concatenate(
+                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                )
+            else:  # gptj interleaved
+                x1 = x_rot[..., ::2]
+                x2 = x_rot[..., 1::2]
+                o = jnp.stack(
+                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                ).reshape(x_rot.shape)
             if x_pass.shape[-1]:
                 o = jnp.concatenate([o, x_pass], axis=-1)
             return o.astype(x.dtype)
@@ -486,7 +548,11 @@ class LlamaForCausalLM:
                     )
                 return apply_linear(lp[name], x, self.quant_group_size)
 
-            normed = self.norm(h, lp["input_layernorm"])
+            if self.norm_style == "post_out":
+                normed = h
+            else:
+                normed = self.norm(h, lp["input_layernorm"])
+            attn_in = normed
             if quant_stacked is not None and "qkv_proj" in quant_stacked:
                 y = lin("qkv_proj", normed)
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -494,14 +560,28 @@ class LlamaForCausalLM:
                 q = lin("q_proj", normed)
                 k = lin("k_proj", normed)
                 v = lin("v_proj", normed)
+            if self.clip_qkv is not None:
+                c = jnp.asarray(self.clip_qkv, q.dtype)
+                q, k, v = jnp.clip(q, -c, c), jnp.clip(k, -c, c), jnp.clip(v, -c, c)
+            if self.qk_norm_full:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q = q.reshape(B, Hq, D)
             k = k.reshape(B, Hkv, D)
             v = v.reshape(B, Hkv, D)
             if self.has_qk_norm:
                 q = rms_norm(q, lp["q_norm"], self.rms_eps)
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
-            q = rope1(q)
-            k = rope1(k)
+            if self.qk_norm_fn is not None:
+                q = self.qk_norm_fn(q, lp["q_norm"])
+                k = self.qk_norm_fn(k, lp["k_norm"])
+            if self.rope_layer_on is not None:
+                rope_on = self.rope_layer_on[li]
+                q = jnp.where(rope_on, rope1(q), q)
+                k = jnp.where(rope_on, rope1(k), k)
+            else:
+                q = rope1(q)
+                k = rope1(k)
 
             k_st, v_st, q_att, vsc = self._kv_quantize(lp, wk.dtype, k, v, q)
             wk = jax.lax.dynamic_update_slice(
@@ -540,18 +620,10 @@ class LlamaForCausalLM:
             if vsc is not None:
                 out = out * vsc
             attn = out.reshape(B, Hq * D).astype(h.dtype)
-            h = h + lin("o_proj", attn)
-
-            normed = self.norm(h, lp["post_attention_layernorm"])
-            if quant_stacked is not None and "gate_up_proj" in quant_stacked:
-                gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
-                h = h + lin("down_proj", jax.nn.silu(gate) * up)
-            elif quant_stacked is not None and "gate_proj" in quant_stacked:
-                gate = lin("gate_proj", normed)
-                up = lin("up_proj", normed)
-                h = h + lin("down_proj", jax.nn.silu(gate) * up)
-            else:
-                h = h + self.mlp(lp, normed, prefix_len > 0)
+            h, normed2, attn_res = self._combine_attn(h, attn_in, lp, lin, attn)
+            mlp_out = self._window_mlp(lp, lin, normed2, prefix_len > 0,
+                                       quant_stacked)
+            h = self._combine_mlp(h, lp, mlp_out, attn_res)
             return (h, wk, wv), None
 
         L = cfg.num_layers
@@ -571,6 +643,8 @@ class LlamaForCausalLM:
                 "bd,dv->bv", hidden, params["lm_head"]["kernel"],
                 preferred_element_type=jnp.float32,
             )
+        if self.logits_multiplier != 1.0:
+            logits = logits * jnp.float32(self.logits_multiplier)
         return logits, win_k, win_v
 
     def forward_window_token_paged(
@@ -608,8 +682,17 @@ class LlamaForCausalLM:
         def rope1(x):
             x_rot = x[..., :rot]
             x_pass = x[..., rot:]
-            x1, x2 = jnp.split(x_rot, 2, axis=-1)
-            o = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+            if self.rope_style == "neox":
+                x1, x2 = jnp.split(x_rot, 2, axis=-1)
+                o = jnp.concatenate(
+                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                )
+            else:  # gptj interleaved
+                x1 = x_rot[..., ::2]
+                x2 = x_rot[..., 1::2]
+                o = jnp.stack(
+                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                ).reshape(x_rot.shape)
             if x_pass.shape[-1]:
                 o = jnp.concatenate([o, x_pass], axis=-1)
             return o.astype(x.dtype)
@@ -627,7 +710,11 @@ class LlamaForCausalLM:
                     )
                 return apply_linear(lp[name], x, self.quant_group_size)
 
-            normed = self.norm(h, lp["input_layernorm"])
+            if self.norm_style == "post_out":
+                normed = h
+            else:
+                normed = self.norm(h, lp["input_layernorm"])
+            attn_in = normed
             if quant_stacked is not None and "qkv_proj" in quant_stacked:
                 y = lin("qkv_proj", normed)
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
@@ -635,14 +722,28 @@ class LlamaForCausalLM:
                 q = lin("q_proj", normed)
                 k = lin("k_proj", normed)
                 v = lin("v_proj", normed)
+            if self.clip_qkv is not None:
+                c = jnp.asarray(self.clip_qkv, q.dtype)
+                q, k, v = jnp.clip(q, -c, c), jnp.clip(k, -c, c), jnp.clip(v, -c, c)
+            if self.qk_norm_full:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q = q.reshape(B, Hq, D)
             k = k.reshape(B, Hkv, D)
             v = v.reshape(B, Hkv, D)
             if self.has_qk_norm:
                 q = rms_norm(q, lp["q_norm"], self.rms_eps)
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
-            q = rope1(q)
-            k = rope1(k)
+            if self.qk_norm_fn is not None:
+                q = self.qk_norm_fn(q, lp["q_norm"])
+                k = self.qk_norm_fn(k, lp["k_norm"])
+            if self.rope_layer_on is not None:
+                rope_on = self.rope_layer_on[li]
+                q = jnp.where(rope_on, rope1(q), q)
+                k = jnp.where(rope_on, rope1(k), k)
+            else:
+                q = rope1(q)
+                k = rope1(k)
 
             k_st, v_st, q_att, vsc = self._kv_quantize(lp, kc.dtype, k, v, q)
             kc, vc = self.kv_write(
@@ -656,18 +757,10 @@ class LlamaForCausalLM:
             if vsc is not None:
                 attn = attn.astype(jnp.float32) * vsc
             attn = attn.reshape(B, Hq * D).astype(h.dtype)
-            h = h + lin("o_proj", attn)
-
-            normed = self.norm(h, lp["post_attention_layernorm"])
-            if quant_stacked is not None and "gate_up_proj" in quant_stacked:
-                gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
-                h = h + lin("down_proj", jax.nn.silu(gate) * up)
-            elif quant_stacked is not None and "gate_proj" in quant_stacked:
-                gate = lin("gate_proj", normed)
-                up = lin("up_proj", normed)
-                h = h + lin("down_proj", jax.nn.silu(gate) * up)
-            else:
-                h = h + self.mlp(lp, normed, seq_lens > 0)
+            h, normed2, attn_res = self._combine_attn(h, attn_in, lp, lin, attn)
+            mlp_out = self._window_mlp(lp, lin, normed2, seq_lens > 0,
+                                       quant_stacked)
+            h = self._combine_mlp(h, lp, mlp_out, attn_res)
             return (h, kc, vc), None
 
         L = cfg.num_layers
@@ -687,6 +780,8 @@ class LlamaForCausalLM:
                 "bd,dv->bv", hidden, params["lm_head"]["kernel"],
                 preferred_element_type=jnp.float32,
             )
+        if self.logits_multiplier != 1.0:
+            logits = logits * jnp.float32(self.logits_multiplier)
         return logits, k_cache, v_cache
 
     # ---------------------------------------------------------------- forward
@@ -768,8 +863,14 @@ class LlamaForCausalLM:
                     y = y + delta.reshape(y.shape)
                 return y
 
-            # Self-attention
-            normed = self.norm(h, lp["input_layernorm"])
+            # Self-attention. Norm placement per self.norm_style:
+            #   pre/sandwich/parallel: pre-norm feeds the block;
+            #   post_out (olmo2): the block reads h directly.
+            if self.norm_style == "post_out":
+                normed = h
+            else:
+                normed = self.norm(h, lp["input_layernorm"])
+            attn_in = normed
             gs = self.quant_group_size
             if quant_stacked is not None and "qkv_proj" in quant_stacked:
                 y = apply_linear(quant_stacked["qkv_proj"], normed, gs, li=li)
@@ -790,13 +891,35 @@ class LlamaForCausalLM:
                 q = lin("q_proj", normed)
                 k = lin("k_proj", normed)
                 v = lin("v_proj", normed)
+            if self.clip_qkv is not None:
+                c = jnp.asarray(self.clip_qkv, q.dtype)
+                q, k, v = jnp.clip(q, -c, c), jnp.clip(k, -c, c), jnp.clip(v, -c, c)
+            if self.qk_norm_full:
+                # olmo2: RMS over the full projection width, before reshape.
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
             if self.has_qk_norm:
                 q = rms_norm(q, lp["q_norm"], self.rms_eps)
                 k = rms_norm(k, lp["k_norm"], self.rms_eps)
-            q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
+            if self.qk_norm_fn is not None:
+                q = self.qk_norm_fn(q, lp["q_norm"])
+                k = self.qk_norm_fn(k, lp["k_norm"])
+            if self.rope_layer_on is not None:
+                rope_on = self.rope_layer_on[li]
+                qr, kr = apply_rope(
+                    q, k, step.positions, self.cos_sin_cache,
+                    style=self.rope_style,
+                )
+                q = jnp.where(rope_on, qr, q)
+                k = jnp.where(rope_on, kr, k)
+            else:
+                q, k = apply_rope(
+                    q, k, step.positions, self.cos_sin_cache,
+                    style=self.rope_style,
+                )
 
             # Write new KV into the paged cache (pads land in garbage slot 0),
             # then attend over the gathered pages (SURVEY §7.5a). fp8 caches
@@ -846,10 +969,22 @@ class LlamaForCausalLM:
                 )
             if vsc is not None:
                 attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
-            h = h + lin("o_proj", attn_out.reshape(B, E, Hq * D))
+            attn_res = lin("o_proj", attn_out.reshape(B, E, Hq * D))
+            rm = self.residual_multiplier
+            if self.norm_style == "post_out":
+                attn_res = self.norm(attn_res, lp["post_attention_layernorm"])
+            elif self.norm_style == "sandwich":
+                attn_res = self.norm(attn_res, lp["post_self_attn_layernorm"])
+            if self.norm_style != "parallel":
+                h = h + (attn_res if rm == 1.0 else attn_res * jnp.asarray(rm, h.dtype))
 
             # MLP (subclasses override mlp() — MoE models route here)
-            normed = self.norm(h, lp["post_attention_layernorm"])
+            if self.norm_style == "post_out":
+                normed = h
+            elif self.norm_style == "parallel":
+                normed = attn_in
+            else:
+                normed = self.norm(h, lp["post_attention_layernorm"])
             if quant_stacked is not None and "gate_up_proj" in quant_stacked:
                 gu = apply_linear(quant_stacked["gate_up_proj"], normed, gs, li=li)
                 gate, up = jnp.split(gu, 2, axis=-1)
@@ -866,21 +1001,31 @@ class LlamaForCausalLM:
                             xt, lora_ids_tok, ll["up_proj"]["A"],
                             ll["up_proj"]["B"], lora_scaling,
                         ).reshape(up.shape)
-                h = h + lin("down_proj", jax.nn.silu(gate) * up)
-                return (h, kc, vc), None
-            has_gate = "gate_proj" in lp or (
-                quant_stacked is not None and "gate_proj" in quant_stacked
-            )
-            if has_gate and (lora_layers is not None or quant_stacked is not None):
-                gate = lin("gate_proj", normed)
-                up = lin("up_proj", normed)
-                h = h + lin("down_proj", jax.nn.silu(gate) * up)
+                mlp_out = lin("down_proj", jax.nn.silu(gate) * up)
             else:
-                tok_valid = (
-                    jnp.arange(E, dtype=jnp.int32)[None, :]
-                    < step.extend_lens[:, None]
+                has_gate = "gate_proj" in lp or (
+                    quant_stacked is not None and "gate_proj" in quant_stacked
                 )
-                h = h + self.mlp(lp, normed, tok_valid)
+                if has_gate and (
+                    lora_layers is not None or quant_stacked is not None
+                ):
+                    gate = lin("gate_proj", normed)
+                    up = lin("up_proj", normed)
+                    mlp_out = lin("down_proj", jax.nn.silu(gate) * up)
+                else:
+                    tok_valid = (
+                        jnp.arange(E, dtype=jnp.int32)[None, :]
+                        < step.extend_lens[:, None]
+                    )
+                    mlp_out = self.mlp(lp, normed, tok_valid)
+            if self.norm_style == "post_out":
+                mlp_out = self.norm(mlp_out, lp["post_feedforward_layernorm"])
+            elif self.norm_style == "sandwich":
+                mlp_out = self.norm(mlp_out, lp["post_mlp_layernorm"])
+            if self.norm_style == "parallel":
+                h = h + attn_res + mlp_out
+            else:
+                h = h + (mlp_out if rm == 1.0 else mlp_out * jnp.asarray(rm, h.dtype))
             return (h, kc, vc), None
 
         # Local layer count: under pipeline parallelism (shard_map over
@@ -918,15 +1063,19 @@ class LlamaForCausalLM:
                 hidden, last_idx[:, None, None], axis=1
             )[:, 0]  # [B, Dm]
         if self.tie_word_embeddings:
-            return jnp.einsum(
+            logits = jnp.einsum(
                 "...d,vd->...v",
                 hidden,
                 params["embed"]["weight"],
                 preferred_element_type=jnp.float32,
             )
-        return jnp.einsum(
-            "...d,dv->...v",
-            hidden,
-            params["lm_head"]["kernel"],
-            preferred_element_type=jnp.float32,
-        )
+        else:
+            logits = jnp.einsum(
+                "...d,dv->...v",
+                hidden,
+                params["lm_head"]["kernel"],
+                preferred_element_type=jnp.float32,
+            )
+        if self.logits_multiplier != 1.0:
+            logits = logits * jnp.float32(self.logits_multiplier)
+        return logits

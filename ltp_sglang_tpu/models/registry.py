@@ -36,6 +36,19 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlavaLlamaForCausalLM": (
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),
+    "OlmoForCausalLM": ("ltp_sglang_tpu.models.olmo", "OlmoForCausalLM"),
+    "Olmo2ForCausalLM": ("ltp_sglang_tpu.models.olmo", "Olmo2ForCausalLM"),
+    "GraniteForCausalLM": ("ltp_sglang_tpu.models.granite", "GraniteForCausalLM"),
+    "CohereForCausalLM": ("ltp_sglang_tpu.models.cohere", "CohereForCausalLM"),
+    "GlmForCausalLM": ("ltp_sglang_tpu.models.glm4", "GlmForCausalLM"),
+    "Glm4ForCausalLM": ("ltp_sglang_tpu.models.glm4", "Glm4ForCausalLM"),
+    "SmolLM3ForCausalLM": ("ltp_sglang_tpu.models.smollm3", "SmolLM3ForCausalLM"),
+    "NemotronForCausalLM": (
+        "ltp_sglang_tpu.models.nemotron", "NemotronForCausalLM"
+    ),
+    "StableLmForCausalLM": (
+        "ltp_sglang_tpu.models.stablelm", "StableLmForCausalLM"
+    ),
 }
 
 

@@ -7,17 +7,42 @@ import numpy as np
 import pytest
 
 from tiny_configs import (
+    TINY_COHERE_CFG,
+    TINY_GLM4_CFG,
+    TINY_GLM_CFG,
+    TINY_GRANITE_CFG,
     TINY_MISTRAL_CFG,
+    TINY_NEMOTRON_CFG,
+    TINY_OLMO2_CFG,
+    TINY_OLMO_CFG,
     TINY_QWEN2_CFG,
     TINY_QWEN3_CFG,
+    TINY_SMOLLM3_CFG,
+    TINY_STABLELM_CFG,
     write_tiny_model_dir,
 )
 
 
 @pytest.mark.parametrize(
     "cfg",
-    [TINY_QWEN2_CFG, TINY_QWEN3_CFG, TINY_MISTRAL_CFG],
-    ids=["qwen2", "qwen3", "mistral"],
+    [
+        TINY_QWEN2_CFG,
+        TINY_QWEN3_CFG,
+        TINY_MISTRAL_CFG,
+        TINY_OLMO_CFG,
+        TINY_OLMO2_CFG,
+        TINY_GRANITE_CFG,
+        TINY_COHERE_CFG,
+        TINY_GLM_CFG,
+        TINY_GLM4_CFG,
+        TINY_SMOLLM3_CFG,
+        TINY_NEMOTRON_CFG,
+        TINY_STABLELM_CFG,
+    ],
+    ids=[
+        "qwen2", "qwen3", "mistral", "olmo", "olmo2", "granite", "cohere",
+        "glm", "glm4", "smollm3", "nemotron", "stablelm",
+    ],
 )
 def test_greedy_parity(cfg):
     import torch
@@ -32,8 +57,13 @@ def test_greedy_parity(cfg):
     hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
     prompt = [1, 5, 7, 9, 100, 200, 31, 42]
     with torch.no_grad():
+        # Explicit attention_mask: some configs default pad_token_id to a
+        # token present in the prompt, and HF generate would mask it out.
         ref = hf.generate(
-            torch.tensor([prompt]), max_new_tokens=16, do_sample=False
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=16,
+            do_sample=False,
         )[0].tolist()[len(prompt):]
 
     eng = Engine(
