@@ -72,15 +72,44 @@ class ModelConfig:
                     merged[k] = v
             hf = merged
             self.hf_config = merged
+        # Classic-config attribute aliases (gpt2/gptj/bigcode: n_embd/n_head/
+        # n_layer/n_inner/n_positions; mpt: d_model/n_heads/n_layers/
+        # max_seq_len; opt: ffn_dim; bloom: n_layer/n_head). The reference
+        # gets these through HF attribute_map; we read raw config.json.
+        _aliases = {
+            "n_embd": "hidden_size",
+            "d_model": "hidden_size",
+            "n_layer": "num_hidden_layers",
+            "n_layers": "num_hidden_layers",
+            "n_head": "num_attention_heads",
+            "n_heads": "num_attention_heads",
+            "n_positions": "max_position_embeddings",
+            "max_seq_len": "max_position_embeddings",
+            "n_inner": "intermediate_size",
+            "ffn_dim": "intermediate_size",
+        }
+        for src, dst in _aliases.items():
+            if hf.get(src) is not None and hf.get(dst) is None:
+                hf[dst] = hf[src]
         self.vocab_size = hf.get("vocab_size", 32000)
         self.hidden_size = hf.get("hidden_size", 0)
         self.num_layers = hf.get("num_hidden_layers", hf.get("num_layers", 0))
         self.num_attention_heads = hf.get("num_attention_heads", 0)
         self.num_kv_heads = hf.get("num_key_value_heads", self.num_attention_heads)
+        if hf.get("multi_query") and not hf.get("new_decoder_architecture"):
+            # falcon-7b / gpt_bigcode MQA: one shared KV head (falcon
+            # serializes num_kv_heads == num_heads but only reads it in the
+            # new_decoder_architecture path).
+            self.num_kv_heads = 1
         self.head_dim = hf.get("head_dim") or (
             self.hidden_size // max(self.num_attention_heads, 1)
         )
-        self.intermediate_size = hf.get("intermediate_size", 0)
+        self.intermediate_size = hf.get("intermediate_size") or 0
+        if not self.intermediate_size:
+            # gpt2 (n_inner None), bloom, falcon: 4·hidden; mpt: expansion_ratio
+            self.intermediate_size = int(
+                self.hidden_size * hf.get("expansion_ratio", 4)
+            )
         self.sliding_window = hf.get("sliding_window")
         if hf.get("use_sliding_window") is False:  # qwen2-style gate
             self.sliding_window = None

@@ -131,6 +131,9 @@ class LlamaForCausalLM:
         self.logits_multiplier = 1.0  # cohere logit_scale / granite 1/scaling
         self.rope_style = "neox"  # "gptj" (cohere) | "glm" (layers/rotary.py)
         self.rope_layer_on = None  # smollm3: [L] 0/1 rope toggle per layer
+        self.pos_embed_mode = None  # "learned" (gpt2) | "learned_opt" (+2)
+        self.lm_head_bias = False  # gptj/phi: bias on the output head
+        self.alibi_slopes = None  # [Hq] f32 (bloom/mpt); XLA attention only
         self.cos_sin_cache = build_cos_sin_cache(
             config.head_dim,
             config.context_len,
@@ -438,19 +441,24 @@ class LlamaForCausalLM:
     # --------------------------------------------- block-residual scaffolding
     def _combine_attn(self, h, attn_in, lp, lin, attn):
         """o_proj + norm_style-specific residual. Returns (h, mlp_input,
-        attn_res) — attn_res is only consumed by the 'parallel' style."""
+        attn_res) — attn_res is only consumed by the parallel styles."""
         attn_res = lin("o_proj", attn)
         rm = self.residual_multiplier
         if self.norm_style == "post_out":
             attn_res = self.norm(attn_res, lp["post_attention_layernorm"])
         elif self.norm_style == "sandwich":
             attn_res = self.norm(attn_res, lp["post_self_attn_layernorm"])
-        if self.norm_style != "parallel":
+        parallel = self.norm_style in ("parallel", "parallel_dual")
+        if not parallel:
             h = h + (attn_res if rm == 1.0 else attn_res * jnp.asarray(rm, h.dtype))
         if self.norm_style == "post_out":
             normed = h
         elif self.norm_style == "parallel":
-            normed = attn_in
+            normed = attn_in  # gptj/phi/cohere: one norm feeds both blocks
+        elif self.norm_style == "parallel_dual":
+            # gpt-neox use_parallel_residual: mlp reads its own pre-norm of
+            # the ORIGINAL h (not h+attn).
+            normed = self.norm(h, lp["post_attention_layernorm"])
         else:
             normed = self.norm(h, lp["post_attention_layernorm"])
         return h, normed, attn_res
@@ -471,7 +479,7 @@ class LlamaForCausalLM:
             mlp_out = self.norm(mlp_out, lp["post_feedforward_layernorm"])
         elif self.norm_style == "sandwich":
             mlp_out = self.norm(mlp_out, lp["post_mlp_layernorm"])
-        if self.norm_style == "parallel":
+        if self.norm_style in ("parallel", "parallel_dual"):
             return h + attn_res + mlp_out
         return h + (mlp_out if rm == 1.0 else mlp_out * jnp.asarray(rm, h.dtype))
 
@@ -504,6 +512,9 @@ class LlamaForCausalLM:
         hidden = params["embed"]["weight"][tok]  # [B, Dm]
         if self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
+        if self.pos_embed_mode is not None:
+            off = 2 if self.pos_embed_mode == "learned_opt" else 0
+            hidden = hidden + params["pos_embed"]["weight"][pos + off]
         # Single-position rope (avoids [B, 1, ...] singleton relayouts).
         rot = self.cos_sin_cache.shape[-1]
         cs = self.cos_sin_cache[pos]  # [B, rot]
@@ -643,6 +654,8 @@ class LlamaForCausalLM:
                 "bd,dv->bv", hidden, params["lm_head"]["kernel"],
                 preferred_element_type=jnp.float32,
             )
+        if self.lm_head_bias:
+            logits = logits + params["lm_head"]["bias"].astype(jnp.float32)
         if self.logits_multiplier != 1.0:
             logits = logits * jnp.float32(self.logits_multiplier)
         return logits, win_k, win_v
@@ -673,6 +686,9 @@ class LlamaForCausalLM:
         hidden = params["embed"]["weight"][tok]  # [B, Dm]
         if self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
+        if self.pos_embed_mode is not None:
+            off = 2 if self.pos_embed_mode == "learned_opt" else 0
+            hidden = hidden + params["pos_embed"]["weight"][pos + off]
         rot = self.cos_sin_cache.shape[-1]
         cs = self.cos_sin_cache[pos]
         cos, sin = jnp.split(cs, 2, axis=-1)
@@ -780,6 +796,8 @@ class LlamaForCausalLM:
                 "bd,dv->bv", hidden, params["lm_head"]["kernel"],
                 preferred_element_type=jnp.float32,
             )
+        if self.lm_head_bias:
+            logits = logits + params["lm_head"]["bias"].astype(jnp.float32)
         if self.logits_multiplier != 1.0:
             logits = logits * jnp.float32(self.logits_multiplier)
         return logits, k_cache, v_cache
@@ -818,6 +836,12 @@ class LlamaForCausalLM:
             hidden = params["embed"]["weight"][step.input_ids]  # [B, E, Dm]
         if input_embeds is None and self.embed_multiplier != 1.0:
             hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
+        if input_embeds is None and self.pos_embed_mode is not None:
+            off = 2 if self.pos_embed_mode == "learned_opt" else 0
+            hidden = hidden + params["pos_embed"]["weight"][step.positions + off]
+        if input_embeds is None and getattr(self, "embed_norm", False):
+            # bloom: LayerNorm over the embeddings before the first block.
+            hidden = self.norm(hidden, params["embed_norm"])
         if step.mm_embeds is not None:
             # VLM embedding injection: placeholder positions (ids are image
             # hashes >= vocab; the gather above clamps harmlessly) take the
@@ -933,6 +957,7 @@ class LlamaForCausalLM:
             )
             if (
                 self.extend_attn is not None
+                and self.alibi_slopes is None
                 and step.pages is not None
                 and step.spec_mask is None
                 and step.kv_indices.shape[1] >= 2048
@@ -966,6 +991,11 @@ class LlamaForCausalLM:
                     self.sm_scale,
                     sliding_window=self.sliding_window,
                     tree_mask=step.spec_mask,
+                    **(
+                        {"alibi_slopes": self.alibi_slopes}
+                        if self.alibi_slopes is not None
+                        else {}
+                    ),
                 )
             if vsc is not None:
                 attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
@@ -975,7 +1005,7 @@ class LlamaForCausalLM:
                 attn_res = self.norm(attn_res, lp["post_attention_layernorm"])
             elif self.norm_style == "sandwich":
                 attn_res = self.norm(attn_res, lp["post_self_attn_layernorm"])
-            if self.norm_style != "parallel":
+            if self.norm_style not in ("parallel", "parallel_dual"):
                 h = h + (attn_res if rm == 1.0 else attn_res * jnp.asarray(rm, h.dtype))
 
             # MLP (subclasses override mlp() — MoE models route here)
@@ -1022,7 +1052,7 @@ class LlamaForCausalLM:
                 mlp_out = self.norm(mlp_out, lp["post_feedforward_layernorm"])
             elif self.norm_style == "sandwich":
                 mlp_out = self.norm(mlp_out, lp["post_mlp_layernorm"])
-            if self.norm_style == "parallel":
+            if self.norm_style in ("parallel", "parallel_dual"):
                 h = h + attn_res + mlp_out
             else:
                 h = h + (mlp_out if rm == 1.0 else mlp_out * jnp.asarray(rm, h.dtype))
@@ -1076,6 +1106,8 @@ class LlamaForCausalLM:
                 params["lm_head"]["kernel"],
                 preferred_element_type=jnp.float32,
             )
+        if self.lm_head_bias:
+            logits = logits + params["lm_head"]["bias"].astype(jnp.float32)
         if self.logits_multiplier != 1.0:
             logits = logits * jnp.float32(self.logits_multiplier)
         return logits

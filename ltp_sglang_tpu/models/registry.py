@@ -49,6 +49,27 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "StableLmForCausalLM": (
         "ltp_sglang_tpu.models.stablelm", "StableLmForCausalLM"
     ),
+    "GPT2LMHeadModel": ("ltp_sglang_tpu.models.gpt_classics", "GPT2LMHeadModel"),
+    "GPTJForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "GPTJForCausalLM"),
+    "GPTNeoXForCausalLM": (
+        "ltp_sglang_tpu.models.gpt_classics", "GPTNeoXForCausalLM"
+    ),
+    "OPTForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "OPTForCausalLM"),
+    "PhiForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "PhiForCausalLM"),
+    "BloomForCausalLM": (
+        "ltp_sglang_tpu.models.gpt_classics", "BloomForCausalLM"
+    ),
+    "FalconForCausalLM": (
+        "ltp_sglang_tpu.models.gpt_classics", "FalconForCausalLM"
+    ),
+    "RWForCausalLM": (
+        "ltp_sglang_tpu.models.gpt_classics", "FalconForCausalLM"
+    ),
+    "GPTBigCodeForCausalLM": (
+        "ltp_sglang_tpu.models.gpt_classics", "GPTBigCodeForCausalLM"
+    ),
+    "MptForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
+    "MPTForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
 }
 
 

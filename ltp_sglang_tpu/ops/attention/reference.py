@@ -33,6 +33,7 @@ def ref_paged_attention(
     logit_cap: float = 0.0,
     sliding_window: int = 0,  # 0 = disabled
     tree_mask: jnp.ndarray = None,  # [B, E, E] bool: spec-tree visibility
+    alibi_slopes: jnp.ndarray = None,  # [Hq] f32 (bloom/mpt); bias slope·k_pos
 ) -> jnp.ndarray:  # [B, E, Hq, Dv]
     # NOTE the caller gathers pages with a SINGLE fused indexing expression
     # `cache[layer, kv_indices]` — slicing the layer first (`cache[layer]`)
@@ -56,6 +57,13 @@ def ref_paged_attention(
 
     if logit_cap > 0:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
+
+    if alibi_slopes is not None:
+        # ALiBi (bloom/mpt): bias = slope_h · key_position. Softmax rows are
+        # shift-invariant, so slope·j ≡ -slope·(i - j) for causal rows.
+        kpos = jnp.arange(C, dtype=jnp.float32)[None, None, None, None, :]
+        slopes = alibi_slopes.reshape(1, Hkv, group, 1, 1).astype(jnp.float32)
+        scores = scores + slopes * kpos
 
     # Causal + length mask: query i (absolute pos p_i = q_pos_start + i) sees
     # kv j iff j <= p_i and j < seq_len.

@@ -7,7 +7,16 @@ import numpy as np
 import pytest
 
 from tiny_configs import (
+    TINY_BLOOM_CFG,
     TINY_COHERE_CFG,
+    TINY_FALCON_CFG,
+    TINY_GPT2_CFG,
+    TINY_GPTJ_CFG,
+    TINY_GPT_BIGCODE_CFG,
+    TINY_GPT_NEOX_CFG,
+    TINY_MPT_CFG,
+    TINY_OPT_CFG,
+    TINY_PHI_CFG,
     TINY_GLM4_CFG,
     TINY_GLM_CFG,
     TINY_GRANITE_CFG,
@@ -38,10 +47,21 @@ from tiny_configs import (
         TINY_SMOLLM3_CFG,
         TINY_NEMOTRON_CFG,
         TINY_STABLELM_CFG,
+        TINY_GPT2_CFG,
+        TINY_GPTJ_CFG,
+        TINY_GPT_NEOX_CFG,
+        TINY_OPT_CFG,
+        TINY_PHI_CFG,
+        TINY_BLOOM_CFG,
+        TINY_FALCON_CFG,
+        TINY_GPT_BIGCODE_CFG,
+        TINY_MPT_CFG,
     ],
     ids=[
         "qwen2", "qwen3", "mistral", "olmo", "olmo2", "granite", "cohere",
         "glm", "glm4", "smollm3", "nemotron", "stablelm",
+        "gpt2", "gptj", "gpt_neox", "opt", "phi", "bloom", "falcon",
+        "gpt_bigcode", "mpt",
     ],
 )
 def test_greedy_parity(cfg):

@@ -117,6 +117,165 @@ TINY_STABLELM_CFG = {
 }
 
 
+TINY_GPT2_CFG = {
+    "architectures": ["GPT2LMHeadModel"],
+    "model_type": "gpt2",
+    "vocab_size": 512,
+    "n_positions": 512,
+    "n_embd": 128,
+    "n_layer": 2,
+    "n_head": 4,
+    "n_inner": 256,
+    "activation_function": "gelu_new",
+    "layer_norm_epsilon": 1e-5,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+TINY_GPTJ_CFG = {
+    "architectures": ["GPTJForCausalLM"],
+    "model_type": "gptj",
+    "vocab_size": 512,
+    "n_positions": 512,
+    "n_embd": 128,
+    "n_layer": 2,
+    "n_head": 4,
+    "rotary_dim": 16,
+    "n_inner": 256,
+    "activation_function": "gelu_new",
+    "layer_norm_epsilon": 1e-5,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+TINY_GPT_NEOX_CFG = {
+    "architectures": ["GPTNeoXForCausalLM"],
+    "model_type": "gpt_neox",
+    "vocab_size": 512,
+    "hidden_size": 128,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "intermediate_size": 256,
+    "rotary_pct": 0.25,
+    "rotary_emb_base": 10000,
+    "use_parallel_residual": True,
+    "layer_norm_eps": 1e-5,
+    "max_position_embeddings": 512,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+TINY_OPT_CFG = {
+    "architectures": ["OPTForCausalLM"],
+    "model_type": "opt",
+    "vocab_size": 512,
+    "hidden_size": 128,
+    "num_hidden_layers": 2,
+    "ffn_dim": 256,
+    "num_attention_heads": 4,
+    "max_position_embeddings": 512,
+    "word_embed_proj_dim": 128,
+    "do_layer_norm_before": True,
+    "activation_function": "relu",
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "pad_token_id": 2,
+    "torch_dtype": "float32",
+}
+
+TINY_PHI_CFG = {
+    "architectures": ["PhiForCausalLM"],
+    "model_type": "phi",
+    "vocab_size": 512,
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 4,
+    "partial_rotary_factor": 0.5,
+    "layer_norm_eps": 1e-5,
+    "max_position_embeddings": 512,
+    "rope_theta": 10000.0,
+    "hidden_act": "gelu_new",
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+TINY_BLOOM_CFG = {
+    "architectures": ["BloomForCausalLM"],
+    "model_type": "bloom",
+    "vocab_size": 512,
+    "hidden_size": 128,
+    "n_layer": 2,
+    "n_head": 4,
+    "layer_norm_epsilon": 1e-5,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "pad_token_id": 3,
+    "torch_dtype": "float32",
+}
+
+TINY_FALCON_CFG = {
+    "architectures": ["FalconForCausalLM"],
+    "model_type": "falcon",
+    "vocab_size": 512,
+    "hidden_size": 128,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "multi_query": True,
+    "parallel_attn": True,
+    "bias": False,
+    "new_decoder_architecture": False,
+    "alibi": False,
+    "rope_theta": 10000.0,
+    "max_position_embeddings": 512,
+    "layer_norm_epsilon": 1e-5,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+TINY_GPT_BIGCODE_CFG = {
+    "architectures": ["GPTBigCodeForCausalLM"],
+    "model_type": "gpt_bigcode",
+    "vocab_size": 512,
+    "n_positions": 512,
+    "n_embd": 128,
+    "n_layer": 2,
+    "n_head": 4,
+    "n_inner": 256,
+    "multi_query": True,
+    "activation_function": "gelu_pytorch_tanh",
+    "layer_norm_epsilon": 1e-5,
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+TINY_MPT_CFG = {
+    "architectures": ["MptForCausalLM"],
+    "model_type": "mpt",
+    "vocab_size": 512,
+    "d_model": 128,
+    "n_heads": 4,
+    "n_layers": 2,
+    "expansion_ratio": 2,
+    "max_seq_len": 512,
+    "no_bias": True,
+    "attn_config": {"alibi": True, "alibi_bias_max": 8},
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "torch_dtype": "float32",
+}
+
+
 def write_tiny_tokenizer(tmpdir, vocab_size=512):
     """Build a from-scratch BPE tokenizer (no network) covering ASCII +
     digits; eos=</s> id matches TINY_LLAMA_CFG's eos_token_id=2."""
