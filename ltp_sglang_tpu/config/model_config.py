@@ -91,11 +91,19 @@ class ModelConfig:
         for src, dst in _aliases.items():
             if hf.get(src) is not None and hf.get(dst) is None:
                 hf[dst] = hf[src]
+        if any(
+            ("Classification" in a or "RewardModel" in a or "EmbeddingModel" in a)
+            for a in self.architectures
+        ):
+            self.is_generation = False
         self.vocab_size = hf.get("vocab_size", 32000)
         self.hidden_size = hf.get("hidden_size", 0)
         self.num_layers = hf.get("num_hidden_layers", hf.get("num_layers", 0))
         self.num_attention_heads = hf.get("num_attention_heads", 0)
         self.num_kv_heads = hf.get("num_key_value_heads", self.num_attention_heads)
+        ac = hf.get("attn_config")
+        if isinstance(ac, dict) and ac.get("kv_n_heads"):  # dbrx nesting
+            self.num_kv_heads = ac["kv_n_heads"]
         if hf.get("multi_query") and not hf.get("new_decoder_architecture"):
             # falcon-7b / gpt_bigcode MQA: one shared KV head (falcon
             # serializes num_kv_heads == num_heads but only reads it in the

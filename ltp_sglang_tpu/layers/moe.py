@@ -32,7 +32,17 @@ def moe_topk(
     layer_tag: Optional[jnp.ndarray] = None,  # scalar MoE-layer id (EPLB)
 ):
     """Returns (weights [T, k] f32, indices [T, k] i32). Mirrors
-    layers/moe/topk.py semantics."""
+    layers/moe/topk.py semantics. scoring="topk_softmax" selects top-k on
+    the RAW logits and softmaxes only the selected (granitemoe)."""
+    if scoring == "topk_softmax":
+        top_logits, idx = jax.lax.top_k(router_logits.astype(jnp.float32), top_k)
+        w = jax.nn.softmax(top_logits, axis=-1)
+        from ltp_sglang_tpu.eplb.expert_distribution import recorder
+
+        recorder.record_in_program(
+            idx, router_logits.shape[-1], valid=valid, layer_tag=layer_tag
+        )
+        return (w * routed_scaling_factor).astype(jnp.float32), idx.astype(jnp.int32)
     if scoring == "sigmoid":
         scores = jax.nn.sigmoid(router_logits.astype(jnp.float32))
     else:

@@ -776,6 +776,15 @@ class ModelRunner:
                 pooled = jnp.take_along_axis(
                     hidden, last_idx[:, None, None], axis=1
                 )[:, 0].astype(jnp.float32)
+            if "score" in params:
+                # Classification/reward head (models/classification.py):
+                # applied post-pooling (equivalent for last-token pooling).
+                sc = params["score"]
+                if "w0" in sc:  # qwen2_rm MLP head
+                    h = jax.nn.relu(pooled @ sc["w0"] + sc["b0"])
+                    pooled = h @ sc["w2"] + sc["b2"]
+                else:
+                    pooled = pooled @ sc["kernel"]
             return pooled, k_cache, v_cache, table
 
         return jax.jit(embed_fn, donate_argnums=(1, 2, 3))

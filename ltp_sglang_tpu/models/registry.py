@@ -70,6 +70,20 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     ),
     "MptForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
     "MPTForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
+    "OlmoeForCausalLM": ("ltp_sglang_tpu.models.olmoe", "OlmoeForCausalLM"),
+    "GraniteMoeForCausalLM": (
+        "ltp_sglang_tpu.models.granitemoe", "GraniteMoeForCausalLM"
+    ),
+    "DbrxForCausalLM": ("ltp_sglang_tpu.models.dbrx", "DbrxForCausalLM"),
+    "LlamaForSequenceClassification": (
+        "ltp_sglang_tpu.models.classification", "LlamaForSequenceClassification"
+    ),
+    "Qwen2ForSequenceClassification": (
+        "ltp_sglang_tpu.models.classification", "Qwen2ForSequenceClassification"
+    ),
+    "Qwen2ForRewardModel": (
+        "ltp_sglang_tpu.models.classification", "Qwen2ForRewardModel"
+    ),
 }
 
 

@@ -145,8 +145,77 @@ TINY_QWEN3_MOE_CFG = {
 }
 
 
+TINY_OLMOE_CFG = {
+    "architectures": ["OlmoeForCausalLM"],
+    "model_type": "olmoe",
+    "hidden_size": 128,
+    "intermediate_size": 96,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "pad_token_id": 2,
+    "num_experts": 4,
+    "num_experts_per_tok": 2,
+    "norm_topk_prob": False,
+    "torch_dtype": "float32",
+}
+
+TINY_GRANITEMOE_CFG = {
+    "architectures": ["GraniteMoeForCausalLM"],
+    "model_type": "granitemoe",
+    "hidden_size": 128,
+    "intermediate_size": 96,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": True,
+    "eos_token_id": 2,
+    "num_local_experts": 4,
+    "num_experts_per_tok": 2,
+    "embedding_multiplier": 12.0,
+    "attention_multiplier": 0.0078125,
+    "residual_multiplier": 0.22,
+    "logits_scaling": 8.0,
+    "torch_dtype": "float32",
+}
+
+TINY_DBRX_CFG = {
+    "architectures": ["DbrxForCausalLM"],
+    "model_type": "dbrx",
+    "d_model": 128,
+    "n_heads": 4,
+    "n_layers": 2,
+    "max_seq_len": 512,
+    "vocab_size": 512,
+    "attn_config": {"clip_qkv": 8.0, "kv_n_heads": 2, "rope_theta": 10000.0},
+    "ffn_config": {
+        "ffn_hidden_size": 96,
+        "moe_num_experts": 4,
+        "moe_top_k": 2,
+        "moe_normalize_expert_weights": 1.0,
+    },
+    "eos_token_id": 2,
+    "bos_token_id": 1,
+    "pad_token_id": 2,
+    "torch_dtype": "float32",
+}
+
+
 @pytest.mark.parametrize(
-    "cfg", [TINY_MIXTRAL_CFG, TINY_QWEN3_MOE_CFG], ids=["mixtral", "qwen3_moe"]
+    "cfg",
+    [TINY_MIXTRAL_CFG, TINY_QWEN3_MOE_CFG, TINY_OLMOE_CFG, TINY_GRANITEMOE_CFG,
+     TINY_DBRX_CFG],
+    ids=["mixtral", "qwen3_moe", "olmoe", "granitemoe", "dbrx"],
 )
 def test_moe_greedy_parity(cfg):
     import torch
@@ -162,7 +231,10 @@ def test_moe_greedy_parity(cfg):
     prompt = [1, 5, 7, 9, 100, 200, 31, 42]
     with torch.no_grad():
         ref = hf.generate(
-            torch.tensor([prompt]), max_new_tokens=12, do_sample=False
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12,
+            do_sample=False,
         )[0].tolist()[len(prompt):]
 
     eng = Engine(
@@ -228,7 +300,10 @@ def test_deepseek_v2_greedy_parity():
     prompt = [1, 5, 7, 9, 100, 200, 31, 42]
     with torch.no_grad():
         ref = hf.generate(
-            torch.tensor([prompt]), max_new_tokens=12, do_sample=False
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12,
+            do_sample=False,
         )[0].tolist()[len(prompt):]
 
     eng = Engine(
@@ -475,3 +550,96 @@ def test_deepseek_mla_latent_cache_modes():
     assert not mha.model_runner.model.latent_cache
     out_mha = mha.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
     assert out_lat == out_mha, (out_lat, out_mha)
+
+
+def test_llama_classification_parity():
+    """Score-head parity vs HF LlamaForSequenceClassification (reference
+    models/llama_classification.py path: pooled last token -> score)."""
+    import torch
+    from transformers import AutoConfig, AutoModelForSequenceClassification
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from tiny_configs import TINY_LLAMA_CFG
+
+    cfg = dict(TINY_LLAMA_CFG)
+    cfg["architectures"] = ["LlamaForSequenceClassification"]
+    cfg["num_labels"] = 3
+    cfg["pad_token_id"] = 0
+    d = tempfile.mkdtemp(prefix="tiny_llama_cls_")
+    import json, os
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    hf_cfg = AutoConfig.for_model(
+        **{k: v for k, v in cfg.items() if k != "architectures"}
+    )
+    hf_cfg.num_labels = 3
+    torch.manual_seed(0)
+    hf = AutoModelForSequenceClassification.from_config(hf_cfg).to(
+        torch.float32).eval()
+    hf.save_pretrained(d, safe_serialization=True)
+
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+        ).logits[0].numpy()
+
+    eng = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    out = eng.encode(input_ids=prompt)
+    got = np.asarray(out["embedding"], dtype=np.float32)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_qwen2_reward_model():
+    """Qwen2ForRewardModel (MLP score head) loads hand-written weights and
+    produces the torch-computed scalar (reference models/qwen2_rm.py)."""
+    import json, os
+    import torch
+    from safetensors.torch import save_file
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from tiny_configs import TINY_QWEN2_CFG, write_tiny_model_dir
+
+    # Base qwen2 trunk weights from HF, plus a hand-rolled score MLP.
+    d = tempfile.mkdtemp(prefix="tiny_qwen2_rm_")
+    write_tiny_model_dir(d, cfg=TINY_QWEN2_CFG)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    sd = {k: v.clone() for k, v in hf.state_dict().items()
+          if not k.startswith("lm_head")}
+    torch.manual_seed(7)
+    Dm = TINY_QWEN2_CFG["hidden_size"]
+    w0 = torch.randn(Dm, Dm) * 0.05
+    b0 = torch.randn(Dm) * 0.05
+    w2 = torch.randn(1, Dm) * 0.05
+    b2 = torch.randn(1) * 0.05
+    sd["score.0.weight"], sd["score.0.bias"] = w0, b0
+    sd["score.2.weight"], sd["score.2.bias"] = w2, b2
+    for f in os.listdir(d):
+        if f.endswith(".safetensors"):
+            os.remove(os.path.join(d, f))
+    save_file({k: v.contiguous() for k, v in sd.items()},
+              os.path.join(d, "model.safetensors"))
+    cfg = json.load(open(os.path.join(d, "config.json")))
+    cfg["architectures"] = ["Qwen2ForRewardModel"]
+    json.dump(cfg, open(os.path.join(d, "config.json"), "w"))
+
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        h = hf.model(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+        ).last_hidden_state[0, -1]
+        ref = (torch.relu(h @ w0.T + b0) @ w2.T + b2).numpy()
+
+    eng = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    out = eng.encode(input_ids=prompt)
+    got = np.asarray(out["embedding"], dtype=np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
