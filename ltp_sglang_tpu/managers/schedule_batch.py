@@ -299,7 +299,10 @@ class ScheduleBatch:
             if prefix_len > 0:
                 pool.req_to_token[req.req_pool_idx, :prefix_len] = req.prefix_indices
 
-            if page_size == 1:
+            if getattr(alloc, "ring", 0):
+                # All-SWA ring mode: slot is a pure function of (req, pos).
+                slots = alloc.slots_for(req.req_pool_idx, prefix_len, extend_len)
+            elif page_size == 1:
                 slots = self.alloc_token_slots(extend_len)
             else:
                 last_slot = (
@@ -334,12 +337,15 @@ class ScheduleBatch:
 
         input_ids_list, cache_locs_list, prefix_lens, seq_lens = [], [], [], []
         n = len(self.reqs)
-        if page_size == 1:
+        ring = getattr(alloc, "ring", 0)
+        if page_size == 1 and not ring:
             slots = self.alloc_token_slots(n)
             assert slots is not None, "KV pool exhausted in decode (retract first)"
         for i, req in enumerate(self.reqs):
             seq_len = req.seqlen()  # includes the new token's position
-            if page_size == 1:
+            if ring:
+                slot = alloc.slots_for(req.req_pool_idx, seq_len - 1, 1)[0]
+            elif page_size == 1:
                 slot = slots[i]
             else:
                 last_slot = int(pool.req_to_token[req.req_pool_idx, seq_len - 2])
@@ -367,7 +373,14 @@ class ScheduleBatch:
         alloc = self.token_to_kv_pool_allocator
         n = len(self.reqs)
 
-        if alloc.page_size == 1:
+        if getattr(alloc, "ring", 0):
+            slots = np.stack(
+                [
+                    alloc.slots_for(req.req_pool_idx, req.seqlen() - 1, K)
+                    for req in self.reqs
+                ]
+            )
+        elif alloc.page_size == 1:
             flat = self.alloc_token_slots(n * K)
             assert flat is not None, "KV pool exhausted for decode window"
             slots = np.asarray(flat, dtype=np.int32).reshape(n, K)

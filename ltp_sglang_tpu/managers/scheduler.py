@@ -78,12 +78,14 @@ class Scheduler:
         self.req_to_token_pool = model_runner.req_to_token_pool
         self.token_to_kv_pool_allocator = model_runner.token_to_kv_pool_allocator
 
-        if server_args.disable_radix_cache or model_runner.swa_enabled:
+        if (server_args.disable_radix_cache or model_runner.swa_enabled
+                or getattr(model_runner, "ring_size", 0)):
             # SWA rings are per-request: a radix prefix hit would skip the
             # recompute that fills the new request's ring, leaving windowed
             # layers without KV (the reference's SWARadixCache instead
             # tracks per-layer-kind validity; ChunkCache keeps correctness).
-            if model_runner.swa_enabled and not server_args.disable_radix_cache:
+            if ((model_runner.swa_enabled or getattr(model_runner, "ring_size", 0))
+                    and not server_args.disable_radix_cache):
                 logger.info("SWA memory pool active: using ChunkCache "
                             "(cross-request prefix reuse disabled)")
             self.tree_cache = ChunkCache(
@@ -355,7 +357,14 @@ class Scheduler:
         C = bucketize(seq_end, self.server_args.context_buckets)
         alloc = self.token_to_kv_pool_allocator
         pool = self.req_to_token_pool
-        if alloc.page_size == 1:
+        if getattr(alloc, "ring", 0):
+            slots = np.stack(
+                [
+                    alloc.slots_for(r.req_pool_idx, int(wb.seq0[i]) + K - 1, K)
+                    for i, r in enumerate(reqs)
+                ]
+            )
+        elif alloc.page_size == 1:
             flat = alloc.alloc(n * K)
             if flat is None:
                 return None
@@ -470,7 +479,14 @@ class Scheduler:
             return None
         if seq_end > self.server_args.context_buckets[-1]:
             return None
-        if alloc.page_size == 1:
+        if getattr(alloc, "ring", 0):
+            slots = np.stack(
+                [
+                    alloc.slots_for(r.req_pool_idx, int(seq0[i]) - 1, K)
+                    for i, r in enumerate(reqs)
+                ]
+            )
+        elif alloc.page_size == 1:
             flat = alloc.alloc(n * K)
             if flat is None:
                 return None
@@ -726,7 +742,8 @@ class Scheduler:
     def _spec_eligible(self, batch: ScheduleBatch) -> bool:
         if self.spec_worker is None:
             return False
-        if self.server_args.page_size != 1 or self.runner.swa_enabled:
+        if (self.server_args.page_size != 1 or self.runner.swa_enabled
+                or getattr(self.runner, "ring_size", 0)):
             return False
         k = self.spec_worker.k
         # Tree mode verifies V tokens per round (chain: K+1).

@@ -232,3 +232,52 @@ class PagedTokenToKVPoolAllocator(BaseTokenToKVPoolAllocator):
     def restore_state(self, state):
         self.free_pages = state.free_pages
         self._issued = state.issued
+
+
+class RingKVAllocator(BaseTokenToKVPoolAllocator):
+    """All-SWA models (mistral/qwen2-with-window): every layer slides, so KV
+    lives in fixed PER-REQUEST RING regions — slot(req, pos) =
+    (req_row + 1) * ring + pos % ring, with slots [0, ring) as the garbage
+    region (pads write slot 0). No free list: a position's slot is reclaimed
+    implicitly when the ring wraps, and the sliding-window attention mask
+    excludes wrapped (overwritten) positions. ring >= window + the largest
+    extend chunk guarantees no in-window collision (the tightest read is the
+    first query of a chunk looking back W while the chunk writes ext more).
+
+    Reference analog: SWAKVPool + SWATokenToKVPoolAllocator
+    (mem_cache/memory_pool.py:420, allocator.py:163) collapsed to the
+    all-sliding case.
+    """
+
+    def __init__(self, ring: int, max_reqs: int):
+        super().__init__((max_reqs + 1) * ring, 1)
+        self.ring = ring
+        self.max_reqs = max_reqs
+
+    def clear(self):
+        pass
+
+    def available_size(self) -> int:
+        # Capacity is per-request by construction; report the pool size so
+        # admission budgets never starve on this axis (request slots and
+        # context length are the real limits).
+        return self.size
+
+    def slots_for(self, req_row: int, start_pos: int, n: int) -> np.ndarray:
+        base = (req_row + 1) * self.ring
+        return (base + (np.arange(start_pos, start_pos + n) % self.ring)).astype(
+            np.int32
+        )
+
+    def alloc(self, need_size: int):
+        raise RuntimeError("RingKVAllocator has no anonymous slots; "
+                           "use slots_for(req_row, pos, n)")
+
+    def free(self, indices):
+        pass
+
+    def backup_state(self):
+        return None
+
+    def restore_state(self, state):
+        pass

@@ -34,6 +34,7 @@ from ltp_sglang_tpu.config.model_config import ModelConfig
 from ltp_sglang_tpu.config.server_args import ServerArgs
 from ltp_sglang_tpu.mem_cache.allocator import (
     PagedTokenToKVPoolAllocator,
+    RingKVAllocator,
     TokenToKVPoolAllocator,
 )
 from ltp_sglang_tpu.mem_cache.req_to_token import ReqToTokenPool
@@ -443,10 +444,53 @@ class ModelRunner:
             max_reqs = min(
                 max(self.max_total_num_tokens // max(cfg.context_len, 1), 1) * 4, 512
             )
+        # ALL-SWA ring mode (mistral-class models: every layer slides):
+        # per-request ring regions replace the global slot pool so KV memory
+        # is ~window-sized per request instead of context-length-sized
+        # (mem_cache/allocator.py RingKVAllocator; the hybrid per-layer ring
+        # pool below covers gemma2-class interleaved models instead).
+        self.ring_size = 0
+        W = int(getattr(self.model, "sliding_window", 0) or 0)
+        from ltp_sglang_tpu.config.model_config import AttentionArch
+
+        if (
+            0 < W < cfg.context_len
+            and getattr(self.model, "layer_windows", None) is None
+            and not args.disable_swa_memory_pool
+            and cfg.attention_arch == AttentionArch.MHA
+        ):
+            from ltp_sglang_tpu.utils import bucketize
+
+            chunk = args.chunked_prefill_size
+            buckets = args.prefill_token_buckets
+            ext_cap = (
+                bucketize(min(chunk, buckets[-1]), buckets)
+                if chunk and chunk > 0
+                else buckets[-1]
+            )
+            self.ring_size = min(W + ext_cap, cfg.context_len)
+            # Ring slots are position-mod addressed; paging doesn't apply.
+            args.page_size = page_size = 1
+            if args.max_running_requests is None:
+                max_reqs = min(
+                    max_reqs,
+                    max(self.max_total_num_tokens // self.ring_size, 1),
+                )
+                self.max_running_requests = max_reqs
+            self.max_total_num_tokens = (max_reqs + 1) * self.ring_size
+            logger.info(
+                "All-SWA ring mode: window=%d ring=%d x %d reqs "
+                "(KV pool %d slots)",
+                W, self.ring_size, max_reqs, self.max_total_num_tokens,
+            )
         self.max_running_requests = max_reqs
 
         self.req_to_token_pool = ReqToTokenPool(max_reqs, cfg.context_len)
-        if page_size == 1:
+        if self.ring_size:
+            self.token_to_kv_pool_allocator = RingKVAllocator(
+                self.ring_size, max_reqs
+            )
+        elif page_size == 1:
             self.token_to_kv_pool_allocator = TokenToKVPoolAllocator(
                 self.max_total_num_tokens
             )
