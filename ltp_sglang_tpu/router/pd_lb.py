@@ -26,6 +26,16 @@ from aiohttp import web
 logger = logging.getLogger(__name__)
 
 
+def _prompt_bytes(body: dict) -> bytes:
+    if isinstance(body.get("text"), str):
+        return body["text"].encode("utf-8", "ignore")
+    ids = body.get("input_ids")
+    if isinstance(ids, list):
+        return ",".join(map(str, ids[:256])).encode()
+    prompt = body.get("prompt")
+    return str(prompt)[:512].encode("utf-8", "ignore") if prompt else b""
+
+
 class PDPair:
     def __init__(self, prefill_url: str, decode_url: str,
                  bootstrap_port: Optional[int] = None):
@@ -44,6 +54,21 @@ class PDLoadBalancer:
         self.prefill = [PDPair(p, "", bp) for p, bp in zip(prefill_urls, ports)]
         self.decode_urls = [d.rstrip("/") for d in decode_urls]
         self._rr = itertools.count()
+        # C++ router core for cache-aware PD pairing
+        # (csrc/router_core.cpp rc_select_pair; prefill ids 0..P-1, decode
+        # ids P..P+D-1). Falls back to round-robin when g++ is unavailable.
+        self.core = None
+        try:
+            from ltp_sglang_tpu.router.router_core import RouterCore
+
+            self.core = RouterCore()
+            self._p_ids = list(range(len(self.prefill)))
+            self._d_ids = [len(self.prefill) + i
+                           for i in range(len(self.decode_urls))]
+            for wid in self._p_ids + self._d_ids:
+                self.core.add_worker(wid)
+        except Exception as e:
+            logger.warning("C++ router core unavailable (%s); round-robin", e)
         self.app = web.Application(client_max_size=64 * 1024 * 1024)
         self.app.router.add_post("/generate", self.generate)
         self.app.router.add_get("/health", self.health)
@@ -68,17 +93,29 @@ class PDLoadBalancer:
                 logger.warning("bootstrap discovery failed for %s: %s",
                                pair.prefill_url, e)
 
-    def _pick(self) -> Tuple[PDPair, str]:
+    def _pick(self, body: Optional[dict] = None):
+        """Returns (pair, decode_url, (p_id, d_id) or None)."""
+        if self.core is not None and body is not None:
+            key = _prompt_bytes(body)
+            sel = self.core.select_pair(key, self._p_ids, self._d_ids)
+            if sel is not None:
+                p_id, d_id = sel
+                self.core.insert(key, p_id)
+                self.core.load_add(p_id, 1)
+                self.core.load_add(d_id, 1)
+                return (self.prefill[p_id],
+                        self.decode_urls[d_id - len(self.prefill)],
+                        (p_id, d_id))
         i = next(self._rr)
         return (self.prefill[i % len(self.prefill)],
-                self.decode_urls[i % len(self.decode_urls)])
+                self.decode_urls[i % len(self.decode_urls)], None)
 
     async def generate(self, request):
         try:
             body = await request.json()
         except Exception:
             return web.json_response({"error": "invalid JSON body"}, status=400)
-        pair, decode_url = self._pick()
+        pair, decode_url, pd_ids = self._pick(body)
         if pair.bootstrap_port is None:
             await self._startup(None)
             if pair.bootstrap_port is None:
@@ -122,6 +159,9 @@ class PDLoadBalancer:
             ) as r:
                 return web.json_response(await r.json(), status=r.status)
         finally:
+            if self.core is not None and pd_ids is not None:
+                self.core.load_add(pd_ids[0], -1)
+                self.core.load_add(pd_ids[1], -1)
             try:
                 status, pout = await prefill_task
                 if status != 200:

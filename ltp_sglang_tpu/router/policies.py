@@ -92,15 +92,62 @@ class _PrefixTree:
 
 class CacheAwarePolicy(BasePolicy):
     """Longest-prefix affinity with load-based fallback
-    (sgl-router/src/policies/cache_aware.rs)."""
+    (sgl-router/src/policies/cache_aware.rs).
+
+    Hot path runs in the C++ router core (csrc/router_core.cpp: byte-radix
+    tree + load table, LRU-bounded) via ctypes; the Python tree below is the
+    no-toolchain fallback."""
 
     def __init__(self, min_match: int = 16, balance_abs_threshold: int = 32):
-        self.tree = _PrefixTree()
         self.min_match = min_match
         self.balance_abs_threshold = balance_abs_threshold
+        self.tree = None
+        self.core = None
+        try:
+            from ltp_sglang_tpu.router.router_core import RouterCore
+
+            self.core = RouterCore()
+            self._ids: Dict[str, int] = {}
+            self._last_load: Dict[str, int] = {}
+        except Exception as e:  # no g++ / build failure
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "C++ router core unavailable (%s); using Python tree", e
+            )
+            self.tree = _PrefixTree()
+
+    # --- C++-core bookkeeping -------------------------------------------
+    def _wid(self, w: Worker) -> int:
+        wid = self._ids.get(w.url)
+        if wid is None:
+            wid = len(self._ids)
+            self._ids[w.url] = wid
+            self.core.add_worker(wid)
+            self._last_load[w.url] = 0
+        return wid
+
+    def _sync(self, workers):
+        for w in workers:
+            wid = self._wid(w)
+            self.core.set_health(wid, w.healthy)
+            delta = w.inflight - self._last_load[w.url]
+            if delta:
+                self.core.load_add(wid, delta)
+                self._last_load[w.url] = w.inflight
 
     def select(self, workers, prompt_key):
         alive = {w.url: w for w in workers if w.healthy}
+        if self.core is not None:
+            self._sync(workers)
+            wid = self.core.select(
+                prompt_key.encode("utf-8", "ignore"),
+                self.min_match, self.balance_abs_threshold,
+            )
+            by_id = {self._ids[w.url]: w for w in workers if w.url in self._ids}
+            if wid >= 0 and wid in by_id and by_id[wid].healthy:
+                return by_id[wid]
+            return min(alive.values(), key=lambda w: w.inflight)
         match_len, url = self.tree.best_match(prompt_key)
         least = min(alive.values(), key=lambda w: w.inflight)
         if url is not None and url in alive and match_len >= self.min_match:
@@ -111,7 +158,12 @@ class CacheAwarePolicy(BasePolicy):
         return least
 
     def note_routed(self, worker, prompt_key):
-        self.tree.insert(prompt_key, worker.url)
+        if self.core is not None:
+            self.core.insert(
+                prompt_key.encode("utf-8", "ignore"), self._wid(worker)
+            )
+        else:
+            self.tree.insert(prompt_key, worker.url)
 
 
 POLICIES = {
