@@ -248,6 +248,20 @@ class ModelRunner:
             kv_write_impl=kv_write_impl,
         )
         self.model.mesh_ctx = mesh_ctx
+        if (
+            server_args.enable_dp_attention
+            and mesh_ctx is not None
+            and mesh_ctx.dp_size > 1
+        ):
+            # Hybrid DP-attention: MLP weights shard over the dp x tp union
+            # (llama.param_specs mlp_tp); attention stays dp-replicated with
+            # tp-sharded heads. Mirrors reference dp_attention.py semantics
+            # with XLA inserting the dp gather/scatter.
+            self.model.dp_attention_mlp = True
+            logger.info(
+                "DP-attention: MLP tensor-parallel over dp x tp = %d devices",
+                mesh_ctx.dp_size * mesh_ctx.tp_size,
+            )
         if self.pp_size > 1 and not getattr(self.model, "supports_pp", False):
             raise NotImplementedError(
                 f"{type(self.model).__name__} does not support pipeline "

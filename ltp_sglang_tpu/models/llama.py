@@ -134,6 +134,14 @@ class LlamaForCausalLM:
         self.pos_embed_mode = None  # "learned" (gpt2) | "learned_opt" (+2)
         self.lm_head_bias = False  # gptj/phi: bias on the output head
         self.alibi_slopes = None  # [Hq] f32 (bloom/mpt); XLA attention only
+        # DP-attention (reference layers/dp_attention.py:62-366): attention
+        # runs data-parallel over the "dp" groups (tp-sharded heads inside a
+        # group) while the MLP is tensor-parallel over the UNION dp x tp —
+        # expressed here as MLP weights sharded on the flattened ("dp","tp")
+        # axis (param_specs below); XLA inserts the dp gather/scatter the
+        # reference issues manually. Set by ModelRunner from
+        # --enable-dp-attention.
+        self.dp_attention_mlp = False
         self.cos_sin_cache = build_cos_sin_cache(
             config.head_dim,
             config.context_len,
@@ -215,7 +223,9 @@ class LlamaForCausalLM:
 
     def param_specs(self) -> Dict[str, Any]:
         """PartitionSpecs over mesh axes ("dp", "tp"): head/ffn dims sharded on
-        tp (the ColumnParallel/RowParallel translation, layers/linear.py)."""
+        tp (the ColumnParallel/RowParallel translation, layers/linear.py).
+        With dp_attention_mlp the MLP shards over the union ("dp","tp")."""
+        mlp_tp = ("dp", "tp") if self.dp_attention_mlp else "tp"
         layer_specs = {
             "input_layernorm": P(None, None),
             "post_attention_layernorm": P(None, None),
@@ -225,9 +235,9 @@ class LlamaForCausalLM:
             "k_proj": {"kernel": P(None, None, "tp")},
             "v_proj": {"kernel": P(None, None, "tp")},
             "o_proj": {"kernel": P(None, "tp", None)},
-            "gate_proj": {"kernel": P(None, None, "tp")},
-            "up_proj": {"kernel": P(None, None, "tp")},
-            "down_proj": {"kernel": P(None, "tp", None)},
+            "gate_proj": {"kernel": P(None, None, mlp_tp)},
+            "up_proj": {"kernel": P(None, None, mlp_tp)},
+            "down_proj": {"kernel": P(None, mlp_tp, None)},
         }
         if self.has_bias:
             layer_specs["q_proj"]["bias"] = P(None, "tp")

@@ -209,3 +209,32 @@ def test_deepseek_latent_kv_tp_sharded():
     assert "tp" in [s for s in spec if s is not None], spec
     out = eng.generate(input_ids=prompt, sampling_params=sp)["output_ids"]
     assert out == ref_out, (out, ref_out)
+
+
+def test_dp_attention_parity_and_sharding(model_dir, single_dev_out):
+    """--enable-dp-attention: MLP weights shard over the dp x tp union
+    (reference layers/dp_attention.py hybrid mode) with unchanged outputs."""
+    from jax.sharding import PartitionSpec as P
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(
+        ServerArgs(
+            model_path=model_dir, dtype="float32", tp_size=2, dp_size=2,
+            enable_dp_attention=True,
+            max_total_tokens=2048, max_running_requests=8,
+        )
+    )
+    runner = eng.model_runner
+    gate = runner.params["layers"]["gate_proj"]["kernel"]
+    spec = gate.sharding.spec
+    assert tuple(spec) == (None, None, ("dp", "tp")), spec
+    # attention weights stay dp-replicated / tp-sharded
+    q = runner.params["layers"]["q_proj"]["kernel"]
+    assert tuple(q.sharding.spec) == (None, None, "tp")
+    outs = eng.generate(
+        input_ids=PROMPTS,
+        sampling_params={"max_new_tokens": 24, "temperature": 0.0},
+    )
+    assert [o["output_ids"] for o in outs] == single_dev_out
