@@ -625,8 +625,8 @@ class Engine:
     def dump_expert_distribution_record(self):
         return self.eplb.dump_record()
 
-    def rebalance_experts(self):
-        return self.eplb.rebalance()
+    def rebalance_experts(self, ep_size=None, n_redundant: int = 0):
+        return self.eplb.rebalance(ep_size=ep_size, n_redundant=n_redundant)
 
     def save_sharded_checkpoint(self, out_dir: str,
                                 max_shard_bytes: int = 4 << 30) -> int:

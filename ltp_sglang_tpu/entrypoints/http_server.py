@@ -449,7 +449,14 @@ class HttpServer:
         )
 
     async def eplb_rebalance(self, request):
-        stats = self.engine.rebalance_experts()
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        stats = self.engine.rebalance_experts(
+            ep_size=body.get("ep_size"),
+            n_redundant=int(body.get("n_redundant", 0) or 0),
+        )
         return web.json_response({"success": stats is not None, "stats": stats})
 
     async def abort_request(self, request):

@@ -56,6 +56,87 @@ def rebalance_experts(counts: np.ndarray, ep_size: int) -> Tuple[np.ndarray, Dic
     return perm, stats
 
 
+def rebalance_experts_redundant(
+    counts: np.ndarray, ep_size: int, n_redundant: int
+) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Replicated placement (reference eplb/eplb_algorithms/deepseek.py
+    semantics, redesigned for the stacked-weight TPU layout): the
+    `n_redundant` hottest experts per layer get a second physical slot,
+    their load splits across the two replicas, and all E+R physical slots
+    are LPT-packed onto ranks.
+
+    counts [L, E] -> (replica_table [L, E, 2] logical -> its physical
+    slots, phys_to_logical [L, E+R], stats). Experts with one replica
+    repeat that slot in both table columns, so a per-token `% 2` pick is
+    uniform over replicas without branching.
+    """
+    L, E = counts.shape
+    R = int(n_redundant)
+    assert 0 < R <= E, (R, E)
+    e_phys = E + R
+    assert e_phys % ep_size == 0, (e_phys, ep_size)
+    cap = e_phys // ep_size
+    table = np.zeros((L, E, 2), np.int64)
+    p2l = np.zeros((L, e_phys), np.int64)
+    imb_before = np.zeros(L)
+    imb_after = np.zeros(L)
+    for li in range(L):
+        c = counts[li].astype(np.float64)
+        n_rep = np.ones(E)
+        n_rep[np.argsort(-c)[:R]] = 2.0
+        # Physical items: (logical id, per-replica load), hottest first.
+        items = []
+        for e in range(E):
+            for _ in range(int(n_rep[e])):
+                items.append((e, c[e] / n_rep[e]))
+        items.sort(key=lambda t: -t[1])
+        load = np.zeros(ep_size)
+        used = np.zeros(ep_size, np.int64)
+        slots: Dict[int, list] = {e: [] for e in range(E)}
+        for e, w in items:
+            free = np.flatnonzero(used < cap)
+            r = free[np.argmin(load[free])]
+            p = r * cap + used[r]
+            used[r] += 1
+            load[r] += w
+            slots[e].append(p)
+            p2l[li, p] = e
+        for e in range(E):
+            s = slots[e]
+            table[li, e, 0] = s[0]
+            table[li, e, 1] = s[-1]
+        mean = max(c.sum() / ep_size, 1e-9)
+        pad = (-E) % ep_size  # naive contiguous layout, zero-padded
+        cp = np.concatenate([c, np.zeros(pad)])
+        imb_before[li] = cp.reshape(ep_size, -1).sum(1).max() / mean
+        imb_after[li] = load.max() / mean
+    stats = {
+        "imbalance_before": float(imb_before.mean()),
+        "imbalance_after": float(imb_after.mean()),
+        "n_redundant": R,
+    }
+    return table, p2l, stats
+
+
+def _phys_to_logical_from_leaf(perm_leaf, n_layers: int, E: int) -> np.ndarray:
+    """Recover physical slot -> logical expert for the CURRENT weight stack
+    from the installed routing leaf (1-D perm, 2-D replica table per layer,
+    or None == identity)."""
+    if perm_leaf is None:
+        return np.tile(np.arange(E, dtype=np.int64), (n_layers, 1))
+    leaf = np.asarray(perm_leaf)
+    if leaf.ndim == 2:  # [L, E] permutation: logical -> physical
+        return np.argsort(leaf, axis=1)
+    # [L, E, 2] replica table.
+    e_phys = int(leaf.max()) + 1
+    p2l = np.zeros((n_layers, e_phys), np.int64)
+    for li in range(n_layers):
+        for e in range(leaf.shape[1]):
+            p2l[li, leaf[li, e, 0]] = e
+            p2l[li, leaf[li, e, 1]] = e
+    return p2l
+
+
 class EPLBManager:
     def __init__(self, engine):
         self.engine = engine
@@ -121,9 +202,13 @@ class EPLBManager:
 
         return recorder.dump()
 
-    def rebalance(self, ep_size: Optional[int] = None) -> Optional[Dict]:
+    def rebalance(self, ep_size: Optional[int] = None,
+                  n_redundant: int = 0) -> Optional[Dict]:
         """Compute + apply a placement from the recorded distribution.
-        Returns the balance stats, or None if nothing to do."""
+        `n_redundant > 0` replicates the hottest experts onto that many
+        extra physical slots (the stacked expert weights grow to E+R rows;
+        E+R must divide ep_size). Returns the balance stats, or None if
+        nothing to do."""
         import jax.numpy as jnp
 
         counts = self.dump_record()
@@ -133,23 +218,34 @@ class EPLBManager:
         mesh_ctx = self.runner.mesh_ctx
         if ep_size is None:
             ep_size = mesh_ctx.tp_size if mesh_ctx is not None else 1
-        E = counts.shape[1]
-        if ep_size <= 1 or E % ep_size:
+        n_layers, E = counts.shape
+        if ep_size <= 1 or (E + n_redundant) % ep_size:
             return None
         with self.engine._loop_lock:  # params swap races with steps
-            # Counts are recorded on LOGICAL expert ids (moe_topk runs before
-            # the perm map), so `perm` is the logical -> physical placement.
-            perm, stats = rebalance_experts(counts, ep_size)
             layers = self._moe_layers()
-            old_perm = layers.get("expert_perm")
-            perm_logical = perm
-            # Weight rows currently sit at the OLD physical slots; the new
-            # row p' holds logical perm_inv[p'], found at old_perm[that].
-            perm_inv = np.argsort(perm, axis=1)  # physical -> logical
-            if old_perm is not None:
-                inv = np.take_along_axis(np.asarray(old_perm), perm_inv, axis=1)
+            old_leaf = layers.get("expert_perm")
+            # Physical slot -> logical expert of the CURRENT weight rows;
+            # `first_slot[l, e]` is a row currently holding logical e.
+            old_p2l = _phys_to_logical_from_leaf(old_leaf, n_layers, E)
+            order = np.argsort(old_p2l, axis=1, kind="stable")
+            first_slot = np.zeros((n_layers, E), np.int64)
+            for li in range(n_layers):
+                srt = old_p2l[li][order[li]]
+                first_slot[li] = order[li][np.searchsorted(srt, np.arange(E))]
+            # Counts are recorded on LOGICAL expert ids (moe_topk runs before
+            # the placement map), so placements are logical -> physical.
+            if n_redundant > 0:
+                table, new_p2l, stats = rebalance_experts_redundant(
+                    counts, ep_size, n_redundant
+                )
+                new_leaf = jnp.asarray(table, jnp.int32)
             else:
-                inv = perm_inv
+                perm, stats = rebalance_experts(counts, ep_size)
+                new_p2l = np.argsort(perm, axis=1)
+                new_leaf = jnp.asarray(perm, jnp.int32)
+            # New physical row p holds logical new_p2l[p], whose weights
+            # currently live at row first_slot[new_p2l[p]].
+            inv = np.take_along_axis(first_slot, new_p2l, axis=1)
             for leaf in ("experts_gate", "experts_up", "experts_down",
                          "experts_gate_up"):
                 if leaf not in layers:
@@ -159,12 +255,11 @@ class EPLBManager:
                     inv.shape + (1,) * (w.ndim - 2)
                 )
                 layers[leaf] = jnp.take_along_axis(w, idx, axis=1)
-            layers["expert_perm"] = self._replicated(
-                jnp.asarray(perm_logical, jnp.int32)
-            )
+            layers["expert_perm"] = self._replicated(new_leaf)
             self.runner._step_cache.clear()  # params pytree structure changed
         logger.info(
-            "EPLB rebalance applied: imbalance %.3f -> %.3f (ep=%d)",
+            "EPLB rebalance applied: imbalance %.3f -> %.3f (ep=%d, +%d)",
             stats["imbalance_before"], stats["imbalance_after"], ep_size,
+            n_redundant,
         )
         return stats

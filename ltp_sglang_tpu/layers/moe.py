@@ -188,10 +188,19 @@ def moe_ffn_auto(
     """Pick EP (shard_map over the tp axis) on multi-device pure-TP meshes
     whose expert count divides; otherwise the single-program grouped GEMM.
 
-    `expert_perm` [E] int32: EPLB logical -> physical slot map
-    (eplb/eplb_manager.py); weights are stored in physical order."""
+    `expert_perm` is the EPLB logical -> physical slot map
+    (eplb/eplb_manager.py); weights are stored in physical order. Either
+    [E] int32 (pure permutation) or [E, 2] (redundant replication: each
+    logical expert lists its physical replicas, single-replica experts
+    repeat one slot) — tokens then spread over replicas by flat (token, k)
+    parity, which halves a hot expert's per-slot load without branching."""
     if expert_perm is not None:
-        indices = expert_perm[indices]
+        if expert_perm.ndim == 2:
+            t, k = indices.shape
+            pick = (jnp.arange(t * k, dtype=jnp.int32) % 2).reshape(t, k)
+            indices = expert_perm[indices, pick]
+        else:
+            indices = expert_perm[indices]
     if (
         mesh_ctx is not None
         and not mesh_ctx.is_single_device

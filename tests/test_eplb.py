@@ -114,3 +114,58 @@ def test_rebalance_invariance_ep(moe_dir):
     assert eng.rebalance_experts() is not None
     out2 = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
     assert [o["output_ids"] for o in out2] == base_ids
+
+
+def test_redundant_placement_algorithm():
+    from ltp_sglang_tpu.eplb.eplb_manager import rebalance_experts_redundant
+
+    # One extremely hot expert: replication should split its load across
+    # two ranks, beating any pure permutation.
+    counts = np.ones((2, 6), np.int64)
+    counts[:, 0] = 1200
+    table, p2l, stats = rebalance_experts_redundant(
+        counts, ep_size=4, n_redundant=2
+    )
+    assert table.shape == (2, 6, 2) and p2l.shape == (2, 8)
+    for li in range(2):
+        # Every physical slot maps back to a valid logical expert and every
+        # logical expert owns the slots the table claims.
+        for e in range(6):
+            assert p2l[li, table[li, e, 0]] == e
+            assert p2l[li, table[li, e, 1]] == e
+        # The hot expert got two DISTINCT replicas on distinct ranks.
+        r0, r1 = table[li, 0, 0] // 2, table[li, 0, 1] // 2
+        assert table[li, 0, 0] != table[li, 0, 1]
+        assert r0 != r1
+    assert stats["imbalance_after"] < stats["imbalance_before"]
+
+
+def test_rebalance_redundant_invariance_ep(moe_dir):
+    """Replicated placement on the virtual EP mesh: weight rows are exact
+    copies, so greedy outputs must stay bit-identical; the expert stacks
+    grow to E + n_redundant rows."""
+    eng = _engine(moe_dir, tp=4)
+    base = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    base_ids = [o["output_ids"] for o in base]
+
+    eng.start_expert_distribution_record()
+    eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    eng.stop_expert_distribution_record()
+    stats = eng.rebalance_experts(n_redundant=4)
+    assert stats is not None and stats["n_redundant"] == 4
+    layers = eng.model_runner.params["layers"]
+    assert layers["experts_gate"].shape[1] == 12  # 8 logical + 4 redundant
+    assert np.asarray(layers["expert_perm"]).shape[-1] == 2
+
+    out = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    assert [o["output_ids"] for o in out] == base_ids
+
+    # Composing: a redundant placement followed by a plain permutation
+    # shrinks back to E rows and still matches.
+    eng.start_expert_distribution_record()
+    eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    eng.stop_expert_distribution_record()
+    assert eng.rebalance_experts() is not None
+    assert eng.model_runner.params["layers"]["experts_gate"].shape[1] == 8
+    out2 = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    assert [o["output_ids"] for o in out2] == base_ids
