@@ -153,10 +153,17 @@ class EPLBManager:
         return None
 
     def _moe_meta(self) -> Optional[Tuple[int, int]]:
+        """(n_moe_layers, n_LOGICAL_experts). Counts are recorded on router
+        top-k indices, which are logical ids (moe_topk runs before the
+        placement map) — so after a redundant placement the weight stacks
+        have E+R physical rows but the recorder must still be E wide."""
         layers = self._moe_layers()
         if layers is None:
             return None
         w = layers["experts_gate"]
+        leaf = layers.get("expert_perm")
+        if leaf is not None and getattr(leaf, "ndim", 0) >= 2:
+            return w.shape[0], leaf.shape[1]
         return w.shape[0], w.shape[1]
 
     def start_record(self) -> bool:

@@ -65,9 +65,16 @@ class ExpertDistributionRecorder:
         with self._lock:
             if self._counts is None:
                 return
-            self._counts[int(layer) % self.num_moe_layers] += np.asarray(
-                counts, np.int64
-            )
+            c = np.asarray(counts, np.int64)
+            row = self._counts[int(layer) % self.num_moe_layers]
+            if c.shape != row.shape:
+                # A raising host callback aborts the whole multi-device
+                # runtime — never let a width mismatch (e.g. a stale program
+                # traced against a different expert count) become fatal.
+                n = min(c.shape[0], row.shape[0])
+                row[:n] += c[:n]
+                return
+            row += c
 
     def record_in_program(self, indices, num_experts: int, valid=None,
                           layer_tag=None):
