@@ -172,6 +172,13 @@ class Engine:
                 continue
             if not busy:
                 continue
+            if not self._loop_lock.locked():
+                # Nothing is driving the serving loop (every driver —
+                # Engine.generate and EngineLoopThread — steps under
+                # _loop_lock). Queued requests with no active pump are an
+                # abandoned engine, not a hung device call; exiting the
+                # process here would kill an otherwise healthy host.
+                continue
             if time.time() - sched.last_progress_time <= t:
                 continue
             path = self._write_crash_dump("watchdog_timeout")

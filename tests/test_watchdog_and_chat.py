@@ -111,13 +111,16 @@ def test_watchdog_fires_and_dumps(tmp_path):
         watchdog_timeout=0.3, watchdog_action="log",
         crash_dump_folder=str(tmp_path),
     ))
-    # Simulate a hung device step: scheduler looks busy but the heartbeat
-    # never advances.
+    # Simulate a hung device step: scheduler looks busy, the heartbeat
+    # never advances, and the serving loop lock is held (a real hang blocks
+    # inside generate()/EngineLoopThread, which step under _loop_lock —
+    # without a held lock the watchdog treats it as an abandoned engine).
     eng.scheduler.has_unfinished_requests = lambda: True
     eng.scheduler.last_progress_time = time.time() - 100
     deadline = time.time() + 5
-    while not eng.watchdog_fired and time.time() < deadline:
-        time.sleep(0.05)
+    with eng._loop_lock:
+        while not eng.watchdog_fired and time.time() < deadline:
+            time.sleep(0.05)
     assert eng.watchdog_fired
     dumps = [f for f in os.listdir(tmp_path) if f.startswith("ltp_crash_dump")]
     assert dumps
