@@ -62,6 +62,9 @@ class ServerArgs:
     # Hybrid SWA memory pool (per-request KV rings for sliding-window
     # layers); reference --disable-hybrid-swa-memory.
     disable_swa_memory_pool: bool = False
+    # Ring-snapshot regions backing cross-request SWA prefix reuse
+    # (mem_cache/swa_radix_cache.py); 0 disables the SWA radix cache.
+    swa_snapshot_slots: int = 16
     radix_cache_backend: str = "python"  # python | cpp (ctypes C++ tree)
     # Hierarchical KV cache: device tier + host-RAM write-back tier.
     enable_hierarchical_cache: bool = False

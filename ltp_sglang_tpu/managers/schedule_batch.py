@@ -173,7 +173,12 @@ class Req:
             from ltp_sglang_tpu.mem_cache.radix_cache import radix_key
 
             # Cap matching at len-1 so at least one token is computed.
-            match = tree_cache.match_prefix(radix_key(self.fill_ids[:-1], self.lora_id))
+            key = radix_key(self.fill_ids[:-1], self.lora_id)
+            if hasattr(tree_cache, "attach_snap"):  # SWA-aware cache
+                match = tree_cache.match_prefix(key, req=self)
+                tree_cache.attach_snap(self, match.swa_snap_node)
+            else:
+                match = tree_cache.match_prefix(key)
             self.prefix_indices = match.device_indices
             self.last_node = match.last_node
         # With the radix cache disabled, prefix_indices set by
@@ -297,7 +302,21 @@ class ScheduleBatch:
 
             # Write prefix slots into this request's row.
             if prefix_len > 0:
-                pool.req_to_token[req.req_pool_idx, :prefix_len] = req.prefix_indices
+                if getattr(alloc, "ring", 0):
+                    # All-SWA: matched prefix slots are positional for THIS
+                    # row (a radix match returns the donor's slots; the ring
+                    # CONTENT arrives via the snapshot copy below).
+                    pool.req_to_token[req.req_pool_idx, :prefix_len] = (
+                        alloc.slots_for(req.req_pool_idx, 0, prefix_len)
+                    )
+                else:
+                    pool.req_to_token[req.req_pool_idx, :prefix_len] = (
+                        req.prefix_indices
+                    )
+            # Cross-request SWA reuse: copy the matched ring snapshot into
+            # this request's ring before its first extend program runs.
+            if getattr(req, "swa_snap_node", None) is not None:
+                self.tree_cache.load_snapshot(req)
 
             if getattr(alloc, "ring", 0):
                 # All-SWA ring mode: slot is a pure function of (req, pos).
@@ -501,6 +520,8 @@ class ScheduleBatch:
                     self.tree_cache.dec_lock_ref(req.last_node)
                 self.tree_cache.evict(len(kv))
 
+            if hasattr(self.tree_cache, "release_snap_pin"):
+                self.tree_cache.release_snap_pin(req)
             req.reset_for_retract()
             self.reqs.pop(idx)
             sorted_indices = sorted(

@@ -78,19 +78,30 @@ class Scheduler:
         self.req_to_token_pool = model_runner.req_to_token_pool
         self.token_to_kv_pool_allocator = model_runner.token_to_kv_pool_allocator
 
-        if (server_args.disable_radix_cache or model_runner.swa_enabled
-                or getattr(model_runner, "ring_size", 0)):
-            # SWA rings are per-request: a radix prefix hit would skip the
-            # recompute that fills the new request's ring, leaving windowed
-            # layers without KV (the reference's SWARadixCache instead
-            # tracks per-layer-kind validity; ChunkCache keeps correctness).
-            if ((model_runner.swa_enabled or getattr(model_runner, "ring_size", 0))
-                    and not server_args.disable_radix_cache):
-                logger.info("SWA memory pool active: using ChunkCache "
-                            "(cross-request prefix reuse disabled)")
+        swa_mode = (model_runner.swa_enabled
+                    or bool(getattr(model_runner, "ring_size", 0)))
+        if (server_args.disable_radix_cache
+                or (swa_mode and (server_args.page_size != 1
+                                  or model_runner.swa_snap_count <= 0))):
+            if swa_mode and not server_args.disable_radix_cache:
+                logger.info("SWA memory pool active without snapshot arena: "
+                            "using ChunkCache (no cross-request prefix reuse)")
             self.tree_cache = ChunkCache(
                 self.req_to_token_pool,
                 self.token_to_kv_pool_allocator,
+                page_size=server_args.page_size,
+            )
+        elif swa_mode:
+            # SWA rings are per-request; prefix reuse works by copying a
+            # finished request's ring snapshot into the new request's ring
+            # (reference SWARadixCache tracks per-layer-kind validity the
+            # same way via tombstones; mem_cache/swa_radix_cache.py).
+            from ltp_sglang_tpu.mem_cache.swa_radix_cache import SWARadixCache
+
+            self.tree_cache = SWARadixCache(
+                self.req_to_token_pool,
+                self.token_to_kv_pool_allocator,
+                model_runner,
                 page_size=server_args.page_size,
             )
         elif server_args.enable_hierarchical_cache:
@@ -229,6 +240,8 @@ class Scheduler:
         if req in self.waiting_queue:
             self.waiting_queue.remove(req)
             req.finished_reason = FINISH_ABORT()
+            if hasattr(self.tree_cache, "release_snap_pin"):
+                self.tree_cache.release_snap_pin(req)
             self._emit_output(req)
         else:
             # Running: mark; it will be filtered after the current step.
@@ -258,6 +271,8 @@ class Scheduler:
                     req.req_pool_idx = None
             except Exception:
                 pass
+            if hasattr(self.tree_cache, "release_snap_pin"):
+                self.tree_cache.release_snap_pin(req)
             self._emit_output(req)
         self._rid_to_req.clear()
         self.waiting_queue.clear()

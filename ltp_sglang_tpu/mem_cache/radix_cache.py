@@ -35,6 +35,13 @@ class TreeNode:
         self.last_access_time = time.monotonic()
         self.id = TreeNode.counter
         TreeNode.counter += 1
+        # SWA snapshot bookkeeping (mem_cache/swa_radix_cache.py): id of a
+        # ring-arena region holding this node's last-window KV, the sequence
+        # length the snapshot was taken at, and a pin held between a prefix
+        # match and the snapshot load into the new request's ring.
+        self.swa_snap: Optional[int] = None
+        self.swa_snap_len: int = 0
+        self.swa_pin: int = 0
 
     def __lt__(self, other: "TreeNode"):
         return self.last_access_time < other.last_access_time
@@ -53,6 +60,9 @@ def _key_match(key0: List[int], key1: List[int]) -> int:
 class MatchResult:
     device_indices: np.ndarray  # matched kv slots
     last_node: TreeNode
+    # SWA prefix reuse: node whose ring snapshot must be copied into the new
+    # request's ring region before its first extend (None = no copy needed).
+    swa_snap_node: Optional[TreeNode] = None
 
 
 def radix_key(tokens, lora_id: int = 0):

@@ -498,6 +498,18 @@ class ModelRunner:
                 W, self.ring_size, max_reqs, self.max_total_num_tokens,
             )
         self.max_running_requests = max_reqs
+        # SWA snapshot arena (mem_cache/swa_radix_cache.py): extra ring
+        # regions appended to the pool hold finished requests' last-window
+        # KV for cross-request prefix reuse. Filled in for the hybrid pool
+        # below; set here for the all-SWA case.
+        self.swa_snap_count = 0
+        self.swa_window = 0
+        self.swa_ring = 0
+        self._swa_copy_fn = None
+        if self.ring_size and args.swa_snapshot_slots > 0:
+            self.swa_snap_count = int(args.swa_snapshot_slots)
+            self.swa_window = W
+            self.swa_ring = self.ring_size
 
         self.req_to_token_pool = ReqToTokenPool(max_reqs, cfg.context_len)
         if self.ring_size:
@@ -528,6 +540,10 @@ class ModelRunner:
             S = (self.max_total_num_tokens // page_size + 1) * page_size
         else:
             S = self.max_total_num_tokens + 1
+        if self.ring_size and self.swa_snap_count:
+            # All-SWA snapshot regions live past the allocatable rings:
+            # snapshot s occupies slots [(max_reqs+1+s)*ring, +ring).
+            S += self.swa_snap_count * self.ring_size
         Hkv, D = cfg.num_kv_heads, cfg.head_dim
         # Models with asymmetric K/V rows (MLA) override kv_row_elems.
         if hasattr(self.model, "kv_row_elems"):
@@ -605,7 +621,14 @@ class ModelRunner:
                 "sub_index": jnp.asarray(sub),
                 "ring": ring,
             }
-            S_swa = (max_reqs + 1) * ring
+            # Snapshot regions sit between the request rows and the dump
+            # ring (which gemma2 computes as the LAST row from the array
+            # shape): rows [max_reqs, max_reqs + n_snap) are snapshots.
+            if self.server_args.swa_snapshot_slots > 0:
+                self.swa_snap_count = int(self.server_args.swa_snapshot_slots)
+                self.swa_window = W
+                self.swa_ring = ring
+            S_swa = (max_reqs + 1 + self.swa_snap_count) * ring
             self.k_swa = jnp.zeros((n_swa, S_swa, rk, lnk), dtype=self.kv_dtype,
                                    device=k_sharding)
             self.v_swa = jnp.zeros((n_swa, S_swa, rv, lnv), dtype=self.kv_dtype,
@@ -632,6 +655,54 @@ class ModelRunner:
         logger.info(
             "KV pool: %d tokens x %d layers x %d kv heads x %d dims (%s), %d req slots",
             self.max_total_num_tokens, L, Hkv, D, str(self.kv_dtype), max_reqs,
+        )
+
+    # -------------------------------------------------- SWA ring snapshots
+    # Cross-request SWA prefix reuse (mem_cache/swa_radix_cache.py): ring
+    # regions are copied verbatim between rows — slot-within-ring is
+    # pos % ring, row-independent, so copied positions land exactly where
+    # the sliding-window mask expects them.
+    def _swa_region_base(self, region_row: int) -> int:
+        if self.ring_size:  # all-SWA: +1 garbage region at slots [0, ring)
+            return (region_row + 1) * self.swa_ring
+        return region_row * self.swa_ring  # hybrid pool: dump ring is LAST
+
+    def _swa_copy(self, src_base: int, dst_base: int):
+        if self._swa_copy_fn is None:
+            import functools
+
+            ring = self.swa_ring
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def cp(k, v, src, dst):
+                kb = jax.lax.dynamic_slice_in_dim(k, src, ring, axis=1)
+                vb = jax.lax.dynamic_slice_in_dim(v, src, ring, axis=1)
+                return (
+                    jax.lax.dynamic_update_slice_in_dim(k, kb, dst, axis=1),
+                    jax.lax.dynamic_update_slice_in_dim(v, vb, dst, axis=1),
+                )
+
+            self._swa_copy_fn = cp
+        src, dst = np.int32(src_base), np.int32(dst_base)
+        if self.ring_size:
+            self.k_cache, self.v_cache = self._swa_copy_fn(
+                self.k_cache, self.v_cache, src, dst
+            )
+        else:
+            self.k_swa, self.v_swa = self._swa_copy_fn(
+                self.k_swa, self.v_swa, src, dst
+            )
+
+    def swa_snapshot_save(self, req_row: int, snap_idx: int):
+        self._swa_copy(
+            self._swa_region_base(req_row),
+            self._swa_region_base(self.max_running_requests + snap_idx),
+        )
+
+    def swa_snapshot_load(self, snap_idx: int, req_row: int):
+        self._swa_copy(
+            self._swa_region_base(self.max_running_requests + snap_idx),
+            self._swa_region_base(req_row),
         )
 
     def _lora_weights(self):
