@@ -14,10 +14,13 @@ cache (the engine's start/stop endpoints clear it), matching the reference's
 
 from __future__ import annotations
 
+import logging
 import threading
 from typing import Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class ExpertDistributionRecorder:
@@ -70,7 +73,17 @@ class ExpertDistributionRecorder:
             if c.shape != row.shape:
                 # A raising host callback aborts the whole multi-device
                 # runtime — never let a width mismatch (e.g. a stale program
-                # traced against a different expert count) become fatal.
+                # traced against a different expert count) become fatal. But
+                # silently dropped counts skew the next rebalance, so warn
+                # (rate-limited) with both shapes so persistent mismatches
+                # are visible.
+                self._mismatch_warns = getattr(self, "_mismatch_warns", 0) + 1
+                if self._mismatch_warns <= 3 or self._mismatch_warns % 1000 == 0:
+                    logger.warning(
+                        "expert-distribution width mismatch #%d: recorded %s "
+                        "vs table row %s; excess counts dropped",
+                        self._mismatch_warns, c.shape, row.shape,
+                    )
                 n = min(c.shape[0], row.shape[0])
                 row[:n] += c[:n]
                 return

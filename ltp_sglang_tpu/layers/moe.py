@@ -15,7 +15,8 @@ XLA's job). Single-controller single-chip path below is the base.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import os
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +108,214 @@ def moe_ffn(
     gathered = out_sorted[inv].reshape(T, k, Dm)
     out = jnp.sum(gathered * weights[:, :, None], axis=1)
     return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# True expert-parallel token dispatch (reference DeepEP,
+# layers/moe/token_dispatcher/deepep.py:262-494): each chip owns a T/ep slice
+# of the tokens, sends every (token, k) pair to the chip owning its expert
+# over ICI, runs the local grouped GEMM on what arrives, and sends results
+# back. Per-chip routing work and combine bandwidth shrink with ep_size —
+# unlike the replicated-compute fallback (moe_ffn_ep below), whose combine is
+# a full [T, Dm] psum.
+#
+# Transport is pluggable because XLA:CPU does not implement the
+# ragged-all-to-all HLO: on TPU the data plane is jax.lax.ragged_all_to_all
+# (exact sizes over ICI); on CPU meshes (tests, dryrun) a dense
+# fixed-capacity lax.all_to_all emulates it with IDENTICAL plan/offset math
+# and buffer layouts, so everything but the primitive call is covered by the
+# virtual-mesh tests. Split-phase (dispatch / experts / combine) so
+# two-batch overlap can interleave a2a with compute later (SURVEY B.4).
+
+
+class _EpPlan(NamedTuple):
+    """Per-chip a2a plan. S[d, j] = rows chip d sends chip j."""
+
+    order: jnp.ndarray  # [P] local pair permutation (sorted by dest chip)
+    send_sizes: jnp.ndarray  # [ep] rows this chip sends to each peer
+    input_offsets: jnp.ndarray  # [ep] chunk starts in the sorted send buffer
+    recv_sizes: jnp.ndarray  # [ep] rows received from each peer
+    recv_offsets: jnp.ndarray  # [ep] arrival offsets (sender-major layout)
+    fwd_out_offsets: jnp.ndarray  # [ep] where my chunk lands at each receiver
+    rev_out_offsets: jnp.ndarray  # [ep] where returns land at each sender
+
+
+def _exclusive_cumsum(v, axis=0):
+    c = jnp.cumsum(v, axis=axis)
+    z = jnp.zeros_like(jnp.take(c, jnp.array([0]), axis=axis))
+    return jnp.concatenate([z, jax.lax.slice_in_dim(c, 0, v.shape[axis] - 1, axis=axis)], axis=axis)
+
+
+def _ep_make_plan(dest, ep: int, axis: str) -> _EpPlan:
+    """dest: [P] destination chip of each local (token, k) pair."""
+    send_sizes = (
+        (dest[None, :] == jnp.arange(ep, dtype=dest.dtype)[:, None])
+        .sum(axis=1)
+        .astype(jnp.int32)
+    )
+    order = jnp.argsort(dest)  # stable: preserves pair order within a chunk
+    input_offsets = _exclusive_cumsum(send_sizes)
+    S = jax.lax.all_gather(send_sizes, axis)  # [ep, ep]
+    me = jax.lax.axis_index(axis)
+    recv_sizes = S[:, me]
+    recv_offsets = _exclusive_cumsum(recv_sizes)
+    # Receiver j places my chunk after every earlier sender's chunk for j.
+    fwd_out_offsets = _exclusive_cumsum(S, axis=0)[me]
+    # Sender d expects its returning rows at its own input_offsets[me].
+    rev_out_offsets = _exclusive_cumsum(S, axis=1)[:, me]
+    return _EpPlan(order, send_sizes, input_offsets, recv_sizes, recv_offsets,
+                   fwd_out_offsets, rev_out_offsets)
+
+
+def _use_ragged_a2a() -> bool:
+    mode = os.environ.get("LTP_EP_TRANSPORT", "auto")
+    if mode == "ragged":
+        return True
+    if mode == "dense":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _a2a_rows(rows, src_offsets, src_sizes, dst_offsets, dst_sizes, out_cap,
+              chunk_cap, fill, axis, ep):
+    """Send rows[src_offsets[j] : +src_sizes[j]] to peer j; peer-d chunks land
+    at exclusive-cumsum(dst_sizes)[d] in a fresh [out_cap, ...] buffer whose
+    untouched rows hold `fill`."""
+    if _use_ragged_a2a():
+        buf = jnp.full((out_cap,) + rows.shape[1:], fill, rows.dtype)
+        return jax.lax.ragged_all_to_all(
+            rows, buf, src_offsets, src_sizes, dst_offsets, dst_sizes,
+            axis_name=axis,
+        )
+    # Dense emulation: [ep, chunk_cap, ...] chunk matrix through lax.all_to_all.
+    n = rows.shape[0]
+    i_idx = jnp.arange(chunk_cap, dtype=jnp.int32)
+    gidx = jnp.clip(src_offsets[:, None] + i_idx[None, :], 0, n - 1)
+    valid = i_idx[None, :] < src_sizes[:, None]
+    shape = (ep, chunk_cap) + (1,) * (rows.ndim - 1)
+    chunks = jnp.where(valid.reshape(shape), rows[gidx], fill)
+    arrived = jax.lax.all_to_all(chunks, axis, split_axis=0, concat_axis=0)
+    # Compact sender-major chunks into the arrival-order buffer.
+    dst_off = _exclusive_cumsum(dst_sizes)
+    c = jnp.arange(out_cap, dtype=jnp.int32)
+    d = jnp.clip(
+        jnp.searchsorted(dst_off, c, side="right").astype(jnp.int32) - 1, 0, ep - 1
+    )
+    i = jnp.clip(c - dst_off[d], 0, chunk_cap - 1)
+    ok = c < dst_sizes.sum()
+    return jnp.where(
+        ok.reshape((out_cap,) + (1,) * (rows.ndim - 1)), arrived[d, i], fill
+    )
+
+
+def _ep_dispatch(x_, idx_, Eloc: int, axis: str, ep: int):
+    """Phase 1 (DeepEP dispatch_a/b analog): route local pairs to expert
+    owners. Returns (x_recv [C, Dm], local_ids_recv [C], plan); C = ep * P
+    covers the worst case (every global pair routed here). Pad rows carry
+    local id Eloc so they sort last and join no ragged_dot group."""
+    P_ = idx_.size
+    C = ep * P_
+    flat = idx_.reshape(-1).astype(jnp.int32)
+    dest = flat // Eloc
+    plan = _ep_make_plan(dest, ep, axis)
+    x_send = x_[plan.order // idx_.shape[1]]
+    ids_send = (flat - dest * Eloc)[plan.order]
+    x_recv = _a2a_rows(
+        x_send, plan.input_offsets, plan.send_sizes, plan.fwd_out_offsets,
+        plan.recv_sizes, C, P_, jnp.zeros((), x_.dtype), axis, ep,
+    )
+    ids_recv = _a2a_rows(
+        ids_send, plan.input_offsets, plan.send_sizes, plan.fwd_out_offsets,
+        plan.recv_sizes, C, P_, jnp.int32(Eloc), axis, ep,
+    )
+    return x_recv, ids_recv, plan
+
+
+def _ep_experts(x_recv, ids_recv, gate_w, up_w, down_w):
+    """Phase 2: sort arrivals by local expert, grouped GEMM, unsort back to
+    arrival order. Rows past the real count are pad (id Eloc): they sort
+    last, fall outside every group, and are never returned."""
+    Eloc = gate_w.shape[0]
+    lorder = jnp.argsort(ids_recv)
+    xs = x_recv[lorder]
+    group_sizes = (
+        (ids_recv[None, :] == jnp.arange(Eloc, dtype=ids_recv.dtype)[:, None])
+        .sum(axis=1)
+        .astype(jnp.int32)
+    )
+    dtype = x_recv.dtype
+    gate = jax.lax.ragged_dot(
+        xs, gate_w.astype(dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    up = jax.lax.ragged_dot(
+        xs, up_w.astype(dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    act = (jax.nn.silu(gate) * up).astype(dtype)
+    out_sorted = jax.lax.ragged_dot(
+        act, down_w.astype(dtype), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    return out_sorted[jnp.argsort(lorder)].astype(dtype)
+
+
+def moe_ffn_ep_a2a(
+    x: jnp.ndarray,  # [T, Dm] replicated
+    weights: jnp.ndarray,  # [T, k]
+    indices: jnp.ndarray,  # [T, k] physical expert ids
+    gate_w: jnp.ndarray,  # [E, Dm, I] expert dim sharded over `axis`
+    up_w: jnp.ndarray,
+    down_w: jnp.ndarray,
+    mesh,
+    axis: str = "tp",
+    return_stats: bool = False,
+):
+    """Expert-parallel MoE FFN with real token all-to-all (DeepEP analog,
+    layers/moe/token_dispatcher/deepep.py:262-494 / ep_moe/layer.py:63).
+
+    Each chip takes its T/ep token slice, ships each (token, k) pair to the
+    expert's owner, computes locally, ships results back and combines. With
+    `return_stats`, also returns per-chip received-pair counts [ep] so tests
+    can assert the dispatch spreads ~T*k/ep work per chip."""
+    T, Dm = x.shape
+    k = indices.shape[1]
+    ep = mesh.shape[axis]
+    pad = (-T) % ep
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        weights = jnp.pad(weights, ((0, pad), (0, 0)))  # zero weight: no-op
+        indices = jnp.pad(indices, ((0, pad), (0, 0)))
+
+    def inner(x_, w_, idx_, gw, uw, dw):
+        Eloc = gw.shape[0]
+        x_recv, ids_recv, plan = _ep_dispatch(x_, idx_, Eloc, axis, ep)
+        out_rows = _ep_experts(x_recv, ids_recv, gw, uw, dw)
+        ret = _a2a_rows(
+            out_rows, plan.recv_offsets, plan.recv_sizes, plan.rev_out_offsets,
+            plan.send_sizes, idx_.size, idx_.size,
+            jnp.zeros((), out_rows.dtype), axis, ep,
+        )
+        out_pairs = ret[jnp.argsort(plan.order)].reshape(x_.shape[0], k, Dm)
+        yl = jnp.sum(out_pairs * w_[:, :, None], axis=1).astype(x_.dtype)
+        n_recv = plan.recv_sizes.sum()[None]
+        return yl, n_recv
+
+    from jax.sharding import PartitionSpec as P
+
+    sh = P(axis)
+    exp = P(axis)
+    y, n_recv = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, exp, exp, exp),
+        out_specs=(sh, P(axis)),
+        check_vma=False,
+    )(x, weights, indices, gate_w, up_w, down_w)
+    y = y[:T]
+    if return_stats:
+        return y, n_recv
+    return y
 
 
 def moe_ffn_ep(
@@ -208,7 +417,12 @@ def moe_ffn_auto(
         and mesh_ctx.tp_size > 1
         and gate_w.shape[0] % mesh_ctx.tp_size == 0
     ):
-        return moe_ffn_ep(
+        if os.environ.get("LTP_EP_REPLICATED") == "1":
+            # Fallback: replicated-compute EP (no token a2a) for A/B runs.
+            return moe_ffn_ep(
+                x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis
+            )
+        return moe_ffn_ep_a2a(
             x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis
         )
     return moe_ffn(x, weights, indices, gate_w, up_w, down_w)

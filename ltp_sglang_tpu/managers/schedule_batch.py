@@ -179,6 +179,15 @@ class Req:
                 tree_cache.attach_snap(self, match.swa_snap_node)
             else:
                 match = tree_cache.match_prefix(key)
+            if self.lock_ref_held and match.last_node is not self.last_node:
+                # The re-match moved to a different node (e.g. a donor with
+                # the same prefix finished mid-flight, deepening the match).
+                # Hand the lock off: release the old node and let
+                # prepare_for_extend re-lock the new one — otherwise the new
+                # path is evictable while this request reads it, and finish
+                # would dec_lock a node that was never inc_locked.
+                tree_cache.dec_lock_ref(self.last_node)
+                self.lock_ref_held = False
             self.prefix_indices = match.device_indices
             self.last_node = match.last_node
         # With the radix cache disabled, prefix_indices set by

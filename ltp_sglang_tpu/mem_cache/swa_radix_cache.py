@@ -82,14 +82,17 @@ class SWARadixCache(RadixCache):
         L = len(base.device_indices)
         # A chunked request re-matching mid-flight still owns its row: its own
         # ring already holds positions [C - ring, C), so its computed prefix
-        # needs no snapshot (and must never shrink below C).
+        # needs no snapshot (and must never shrink below C). In positional
+        # (all-SWA) mode nothing is ever inserted into the tree for an
+        # in-flight request, so the base match may be SHORTER than the owned
+        # prefix — never clamp own_len to L (doing so wiped prefix_indices
+        # every round and re-ran the same first chunk forever).
+        # Ownership = the request still holds a row (is_chunked is NOT a
+        # usable signal here: the scheduler decrements it to 0 when each
+        # chunk's result is processed, before the next round's re-match).
         own_len = 0
-        if (
-            req is not None
-            and getattr(req, "req_pool_idx", None) is not None
-            and getattr(req, "is_chunked", 0)
-        ):
-            own_len = min(L, len(req.prefix_indices))
+        if req is not None and getattr(req, "req_pool_idx", None) is not None:
+            own_len = len(req.prefix_indices)
         best_len, snap_node = own_len, None
         if L > 0:
             d_len, d_node = self._best_snapshot(base.last_node, L)
@@ -97,6 +100,15 @@ class SWARadixCache(RadixCache):
                 best_len, snap_node = d_len, d_node
         if best_len <= 0:
             return MatchResult(np.empty((0,), dtype=np.int32), self.root_node)
+        if own_len > 0 and L < own_len:
+            # The request's own computed prefix is the best available but
+            # absent from the tree (positional mode, or the donor span was
+            # evicted). _best_snapshot can't beat own_len when L < own_len
+            # (usable <= L), so return the request's own req_to_token slots
+            # and keep its current last_node — lock accounting undisturbed.
+            kv = self.req_to_token_pool.req_to_token[req.req_pool_idx, :own_len]
+            node = req.last_node if req.last_node is not None else self.root_node
+            return MatchResult(np.asarray(kv, dtype=np.int32).copy(), node)
         node = self._node_at_depth(base.last_node, L, best_len)
         # NOTE: the snapshot is only pinned when the caller claims it via
         # attach_snap(req, match.swa_snap_node) — match alone holds nothing.

@@ -507,7 +507,10 @@ class ModelRunner:
         self.swa_ring = 0
         self._swa_copy_fn = None
         if self.ring_size and args.swa_snapshot_slots > 0:
-            self.swa_snap_count = int(args.swa_snapshot_slots)
+            # The snapshot arena sits outside the profiled budget; clamp it
+            # to the request-ring count so it can at most double the pool on
+            # memory-tight (small max_running_requests) configs.
+            self.swa_snap_count = min(int(args.swa_snapshot_slots), max_reqs)
             self.swa_window = W
             self.swa_ring = self.ring_size
 
@@ -625,7 +628,11 @@ class ModelRunner:
             # ring (which gemma2 computes as the LAST row from the array
             # shape): rows [max_reqs, max_reqs + n_snap) are snapshots.
             if self.server_args.swa_snapshot_slots > 0:
-                self.swa_snap_count = int(self.server_args.swa_snapshot_slots)
+                # Clamped to the request count: the arena is outside the
+                # profiled memory budget (see init_memory_pool).
+                self.swa_snap_count = min(
+                    int(self.server_args.swa_snapshot_slots), max_reqs
+                )
                 self.swa_window = W
                 self.swa_ring = ring
             S_swa = (max_reqs + 1 + self.swa_snap_count) * ring

@@ -169,6 +169,64 @@ def test_moe_ffn_ep_matches_dense():
     np.testing.assert_allclose(np.asarray(ref), np.asarray(ep), rtol=1e-5, atol=1e-5)
 
 
+def test_moe_ffn_ep_a2a_matches_dense_and_spreads_work():
+    """Real EP dispatch (ragged a2a; dense transport on CPU): parity with the
+    single-program grouped GEMM, and per-chip routed-pair counts ~ T*k/ep
+    under uniform routing (the scaling property the replicated fallback
+    lacks). Ref: layers/moe/token_dispatcher/deepep.py:262-494."""
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.layers.moe import moe_ffn, moe_ffn_ep_a2a
+    from ltp_sglang_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(3)
+    T, Dm, I, E, k = 64, 16, 32, 16, 2
+    x = jnp.asarray(rng.standard_normal((T, Dm)), jnp.float32)
+    w = jnp.asarray(rng.random((T, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, size=(T, k)), jnp.int32)
+    gw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.1, jnp.float32)
+    uw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.1, jnp.float32)
+    dw = jnp.asarray(rng.standard_normal((E, I, Dm)) * 0.1, jnp.float32)
+
+    ref = moe_ffn(x, w, idx, gw, uw, dw)
+    mesh_ctx = create_mesh(tp_size=8, dp_size=1)
+    got, nrecv = moe_ffn_ep_a2a(
+        x, w, idx, gw, uw, dw, mesh_ctx.mesh, "tp", return_stats=True
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+    counts = np.asarray(nrecv)
+    # Every pair lands somewhere (T divides ep here: no pad pairs) ...
+    assert counts.sum() == T * k, counts
+    # ... and no chip hoards the work: uniform routing over E=16 experts,
+    # 2 experts/chip -> expectation 16/chip; allow generous binomial spread.
+    assert counts.max() <= 3 * T * k // 8, counts
+    assert counts.min() >= 1, counts
+
+
+def test_moe_ffn_ep_a2a_ragged_T():
+    """T not divisible by ep: pad pairs carry zero combine weight."""
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.layers.moe import moe_ffn, moe_ffn_ep_a2a
+    from ltp_sglang_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(4)
+    T, Dm, I, E, k = 13, 8, 16, 8, 3
+    x = jnp.asarray(rng.standard_normal((T, Dm)), jnp.float32)
+    w = jnp.asarray(rng.random((T, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, E, size=(T, k)), jnp.int32)
+    gw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.1, jnp.float32)
+    uw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.1, jnp.float32)
+    dw = jnp.asarray(rng.standard_normal((E, I, Dm)) * 0.1, jnp.float32)
+
+    ref = moe_ffn(x, w, idx, gw, uw, dw)
+    mesh_ctx = create_mesh(tp_size=8, dp_size=1)
+    got = moe_ffn_ep_a2a(x, w, idx, gw, uw, dw, mesh_ctx.mesh, "tp")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_deepseek_v2_ep_generate_parity():
     """DeepSeek-V2 tiny model: tp=4 EP engine (experts sharded over tp,
     shard_map all-to-all-free combine) matches the single-device output."""

@@ -40,7 +40,10 @@ def test_ring_pool_sizing_and_wraparound_parity():
     assert isinstance(runner.token_to_kv_pool_allocator, RingKVAllocator)
     # pool is (R+1)*ring slots, far below max_total_tokens * anything
     assert runner.max_total_num_tokens == (4 + 1) * 80
-    assert runner.k_cache.shape[1] <= (4 + 1) * 80 + 1
+    # Snapshot arena is clamped to the request count so a memory-tight
+    # config can at most double the pool.
+    assert runner.swa_snap_count <= 4
+    assert runner.k_cache.shape[1] <= (4 + 1 + runner.swa_snap_count) * 80 + 1
 
     hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
     prompt = [1, 5, 7, 9, 100, 200, 31, 42] * 4  # 32 tokens
@@ -80,3 +83,36 @@ def test_ring_mode_concurrent_requests():
     )
     for got, want in zip(batch, solo):
         assert got["output_ids"] == want
+
+
+def test_ring_mode_chunked_prefill_parity():
+    """Prompt longer than chunked_prefill_size on an all-SWA model.
+
+    Regression: positional-mode re-matches returned L=0 and clamped the
+    owned prefix to it, so the first chunk recomputed forever (livelock).
+    """
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    d = tempfile.mkdtemp(prefix="tiny_mistral_ring3_")
+    cfg = dict(TINY_MISTRAL_CFG)
+    cfg["sliding_window"] = 16
+    write_tiny_model_dir(d, cfg=cfg)
+    eng = _engine(d)
+    assert eng.model_runner.ring_size > 0
+
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 250, size=150)]  # >2 chunks of 64
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=24,
+            do_sample=False,
+        )[0].tolist()[len(prompt):]
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 24, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref
