@@ -114,6 +114,65 @@ async def run(args):
     print(json.dumps(report, indent=2))
 
 
+def run_bench_against_engine(model_path, prompts, gen_len, page_size, window,
+                             reps=2, max_total_tokens=8192,
+                             max_running_requests=64, port=0):
+    """Launch the aiohttp server in-process over a dummy-weights engine and
+    drive all `prompts` concurrently with streaming on; returns the best-rep
+    OUTPUT tok/s over the whole load (incl. prefill time — the serving-path
+    number, reference bench_serving output_throughput). Used by bench.py for
+    the http_tok_per_s field."""
+    import threading
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+    from aiohttp import web
+
+    eng = Engine(ServerArgs(
+        model_path=model_path, load_format="dummy", dtype="bfloat16",
+        page_size=page_size, decode_window_size=window,
+        max_total_tokens=max_total_tokens,
+        max_running_requests=max_running_requests,
+        schedule_policy="fcfs",
+    ))
+    server = HttpServer(eng)
+    server.loop_thread.start()
+
+    async def drive():
+        runner = web.AppRunner(server.app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", port)
+        await site.start()
+        real_port = runner.addresses[0][1]
+        url = f"http://127.0.0.1:{real_port}"
+        best = 0.0
+        async with aiohttp.ClientSession(
+            timeout=aiohttp.ClientTimeout(total=None)
+        ) as session:
+            for rep in range(reps + 1):  # rep 0 = unmeasured warmup
+                t0 = time.perf_counter()
+                tasks = [
+                    asyncio.create_task(one_request(session, url, p, gen_len))
+                    for p in prompts
+                ]
+                results = await asyncio.gather(*tasks)
+                wall = time.perf_counter() - t0
+                async with session.post(url + "/flush_cache"):
+                    pass
+                if rep == 0:
+                    continue
+                total_out = sum(r["tokens"] for r in results)
+                best = max(best, total_out / wall)
+        await runner.cleanup()
+        return best
+
+    try:
+        return asyncio.run(drive())
+    finally:
+        server.loop_thread.stop()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--host", default="127.0.0.1")

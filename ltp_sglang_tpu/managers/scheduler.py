@@ -763,9 +763,24 @@ class Scheduler:
         k = self.spec_worker.k
         # Tree mode verifies V tokens per round (chain: K+1).
         need = max(k + 1, getattr(self.spec_worker, "num_verify", 0))
+        # Chain workers accept under sampling (target-only rejection
+        # sampling, speculative/spec_sampling.py) as long as the processed
+        # distribution fits the top-64 candidate window; the top-k tree
+        # worker is greedy-only (ordered sibling-exclusion accept is a
+        # follow-up — reference speculative_sampling.cu does implement it).
+        tree_mode = getattr(self.spec_worker, "kind", "") == "eagle_tree"
+        from ltp_sglang_tpu.ops.sampling import TOP_K_WINDOW
+
         for r in batch.reqs:
             sp = r.sampling_params
-            if not sp.is_greedy or r.grammar is not None or r.return_logprob:
+            if tree_mode and not sp.is_greedy:
+                return False
+            if not sp.is_greedy and (
+                sp.effective_top_k() <= 0
+                or sp.effective_top_k() > TOP_K_WINDOW
+            ):
+                return False
+            if r.grammar is not None or r.return_logprob:
                 return False
             if r.lora_id != 0:
                 return False
@@ -842,9 +857,24 @@ class Scheduler:
         rb.draft_req[:n] = [r.spec_draft_req_idx for r in batch.reqs]
 
         self.runner._flush_dirty_rows()
-        preds, accepted = sw.run_round(rb)
+        preds, accepted = sw.run_round(rb, self._spec_sampling_info(batch, B))
         batch.spec_round_data = (preds, accepted, t_slots, d_slots, K)
         return BatchResult(batch, preds, ForwardMode.DECODE, window_k=0)
+
+    def _spec_sampling_info(self, batch: ScheduleBatch, B: int):
+        """Padded SamplingBatchInfo for a spec round (pad rows are greedy)."""
+        si = SamplingBatchInfo.from_reqs(batch.reqs, self.model_config.vocab_size)
+        n = len(batch.reqs)
+        if si.is_all_greedy:
+            return None  # argmax fast path
+        if B > n:
+            pad = B - n
+            si.temperatures = np.concatenate(
+                [si.temperatures, np.ones((pad,), np.float32)])
+            si.top_ps = np.concatenate([si.top_ps, np.ones((pad,), np.float32)])
+            si.top_ks = np.concatenate([si.top_ks, np.ones((pad,), np.int32)])
+            si.min_ps = np.concatenate([si.min_ps, np.zeros((pad,), np.float32)])
+        return si
 
     def _run_spec_round_eagle(self, batch: ScheduleBatch) -> BatchResult:
         """EAGLE round: like the standalone round but with K+1 draft slots
@@ -911,7 +941,9 @@ class Scheduler:
         rb.draft_req[:n] = [r.spec_draft_req_idx for r in batch.reqs]
 
         self.runner._flush_dirty_rows()
-        preds, accepted, h_next = sw.run_round(rb)
+        preds, accepted, h_next = sw.run_round(
+            rb, self._spec_sampling_info(batch, B)
+        )
         batch.spec_round_data = (preds, accepted, t_slots, d_slots, K, h_next)
         return BatchResult(batch, preds, ForwardMode.DECODE, window_k=0)
 

@@ -227,7 +227,7 @@ class EagleWorker:
         return jax.jit(fn, donate_argnums=(2, 3, 4))
 
     # ------------------------------------------------------------- spec round
-    def _build_round_fn(self, B, K, C):
+    def _build_round_fn(self, B, K, C, sampled: bool = False):
         t_model = self.runner.model
         head = self.draft.model
         table_merge = self._table_merge
@@ -245,7 +245,8 @@ class EagleWorker:
             )
 
         def round_fn(tp, dp, t_kc, t_vc, t_tbl, d_kc, d_vc, d_tbl,
-                     input_ids, h_prev, seq0, t_slots, d_slots, t_req, d_req):
+                     input_ids, h_prev, seq0, t_slots, d_slots, t_req, d_req,
+                     temperatures, top_ps, top_ks, min_ps, step_idx):
             from ltp_sglang_tpu.layers.norm import rms_norm
 
             cols = jnp.arange(C, dtype=jnp.int32)[None, :]
@@ -302,13 +303,36 @@ class EagleWorker:
             hid_t, t_kc, t_vc = t_model.forward(
                 tp, step, t_kc, t_vc, return_hidden=True
             )  # [B, K+1, Dm]
-            preds = jnp.argmax(lm_logits(tp, hid_t), axis=-1).astype(jnp.int32)
+            ver_logits = lm_logits(tp, hid_t)  # [B, K+1, V]
             t_tbl = table_merge(
                 t_tbl, t_req, jnp.maximum(seq0 - 1, 0), t_slots, K + 1
             )
 
-            match = preds[:, :K] == drafts
-            accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            if sampled:
+                # Target-only rejection-sampling accept (preds[:, t<accepted]
+                # are the drafts, so the draft-KV refresh below — which only
+                # consumes ver_ids for t <= accepted — stays exact).
+                from ltp_sglang_tpu.speculative.spec_sampling import (
+                    spec_accept_chain,
+                    spec_accept_chain_free,
+                )
+
+                rkey = jax.random.fold_in(self.runner._rng_key, step_idx)
+                if sampled == "free":
+                    preds, accepted = spec_accept_chain_free(
+                        ver_logits, drafts, temperatures, top_ks, rkey
+                    )
+                else:
+                    preds, accepted = spec_accept_chain(
+                        ver_logits, drafts, temperatures, top_ps, top_ks,
+                        min_ps, rkey,
+                    )
+            else:
+                preds = jnp.argmax(ver_logits, axis=-1).astype(jnp.int32)
+                match = preds[:, :K] == drafts
+                accepted = jnp.sum(
+                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+                )
 
             # ---- draft KV refresh for accepted positions (t = 1..K writes
             # position s+t-1 at slot t; masked to the garbage slot beyond).
@@ -336,17 +360,31 @@ class EagleWorker:
 
         return jax.jit(round_fn, donate_argnums=(2, 3, 4, 5, 6, 7))
 
-    def run_round(self, rb: EagleRoundBatch):
+    def run_round(self, rb: EagleRoundBatch, sampling_info=None):
         B, K1 = rb.target_slots.shape
         K = K1 - 1
-        key = ("eagle_round", B, K, rb.kv_bucket)
+        sampled = (
+            sampling_info.sampler_kind
+            if sampling_info is not None and not sampling_info.is_all_greedy
+            else False
+        )
+        key = ("eagle_round", B, K, rb.kv_bucket, sampled)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._build_round_fn(B, K, rb.kv_bucket)
+            fn = self._build_round_fn(B, K, rb.kv_bucket, sampled=sampled)
             self._fn_cache[key] = fn
-            logger.info("compiling eagle round fn B=%d K=%d C=%d", B, K, rb.kv_bucket)
+            logger.info("compiling eagle round fn B=%d K=%d C=%d sampled=%s",
+                        B, K, rb.kv_bucket, sampled)
         r = self.runner
         d = self.draft
+        if sampling_info is not None:
+            si_arrays = (sampling_info.temperatures, sampling_info.top_ps,
+                         sampling_info.top_ks, sampling_info.min_ps)
+        else:
+            ones = np.ones((B,), np.float32)
+            si_arrays = (ones, ones, np.ones((B,), np.int32),
+                         np.zeros((B,), np.float32))
+        self._step_counter = getattr(self, "_step_counter", 0) + 1
         (preds, accepted, h_next, r.k_cache, r.v_cache, r.req_table,
          d.k_cache, d.v_cache, d.req_table) = fn(
             r.params, d.params,
@@ -354,6 +392,7 @@ class EagleWorker:
             d.k_cache, d.v_cache, d.req_table,
             rb.input_ids, rb.h_prev, rb.seq0, rb.target_slots, rb.draft_slots,
             rb.target_req, rb.draft_req,
+            *si_arrays, np.int32(self._step_counter),
         )
         preds = np.asarray(preds)[: rb.batch_size]
         accepted = np.asarray(accepted)[: rb.batch_size]

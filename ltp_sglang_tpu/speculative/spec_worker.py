@@ -181,7 +181,7 @@ class SpecWorker:
         return jax.jit(fn, donate_argnums=(1, 2, 3))
 
     # ------------------------------------------------------------- spec round
-    def _build_round_fn(self, B, K, C, ret_lp: bool = False):
+    def _build_round_fn(self, B, K, C, sampled: bool = False):
         t_model = self.runner.model
         d_model = self.draft.model
         table_merge = self._table_merge
@@ -195,6 +195,8 @@ class SpecWorker:
             t_slots,  # [B, K+1]
             d_slots,  # [B, K]
             t_req, d_req,  # [B]
+            temperatures, top_ps, top_ks, min_ps,  # [B] (sampled accept)
+            step_idx,  # int32 scalar (rng fold)
         ):
             # ---- draft K chain steps (own table maintained in-loop).
             d_base = d_tbl[d_req, :C]
@@ -243,35 +245,75 @@ class SpecWorker:
                 jnp.full((B,), K + 1, jnp.int32), t_kv_idx,
             )
             logits, t_kc, t_vc = t_model.forward(tp, step, t_kc, t_vc, all_logits=True)
-            preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K+1]
             t_tbl = table_merge(t_tbl, t_req, jnp.maximum(seq0 - 1, 0), t_slots, K + 1)
 
-            # ---- accept longest agreeing prefix + bonus token.
-            match = preds[:, :K] == drafts  # [B, K]
-            accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            if sampled:
+                # ---- target-only rejection-sampling accept (preserves the
+                # per-request processed target distribution exactly;
+                # speculative/spec_sampling.py). "free" = unrestricted
+                # temperature sampling (full-vocab); "window" = top-k/p/min-p
+                # within the top-64 candidate window.
+                from ltp_sglang_tpu.speculative.spec_sampling import (
+                    spec_accept_chain,
+                    spec_accept_chain_free,
+                )
+
+                rkey = jax.random.fold_in(self.runner._rng_key, step_idx)
+                if sampled == "free":
+                    preds, accepted = spec_accept_chain_free(
+                        logits, drafts, temperatures, top_ks, rkey
+                    )
+                else:
+                    preds, accepted = spec_accept_chain(
+                        logits, drafts, temperatures, top_ps, top_ks, min_ps,
+                        rkey,
+                    )
+            else:
+                # ---- greedy: accept longest agreeing prefix + bonus token.
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K+1]
+                match = preds[:, :K] == drafts  # [B, K]
+                accepted = jnp.sum(
+                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+                )
             # committed tokens this round: preds[0..accepted] (accepted+1 of them)
             return preds, accepted, t_kc, t_vc, t_tbl, d_kc, d_vc, d_tbl
 
         return jax.jit(round_fn, donate_argnums=(2, 3, 4, 5, 6, 7))
 
-    def run_round(self, rb: SpecRoundBatch):
-        """Returns (preds [B, K+1] np, accepted [B] np)."""
+    def run_round(self, rb: SpecRoundBatch, sampling_info=None):
+        """Returns (preds [B, K+1] np, accepted [B] np). `sampling_info`
+        (padded temperatures/top_ps/top_ks/min_ps arrays) enables the sampled
+        accept path; None or all-greedy uses the argmax fast path."""
         B, K1 = rb.target_slots.shape
         K = K1 - 1
-        key = ("round", B, K, rb.kv_bucket)
+        sampled = (
+            sampling_info.sampler_kind
+            if sampling_info is not None and not sampling_info.is_all_greedy
+            else False
+        )
+        key = ("round", B, K, rb.kv_bucket, sampled)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._build_round_fn(B, K, rb.kv_bucket)
+            fn = self._build_round_fn(B, K, rb.kv_bucket, sampled=sampled)
             self._fn_cache[key] = fn
-            logger.info("compiling spec round fn B=%d K=%d C=%d", B, K, rb.kv_bucket)
+            logger.info("compiling spec round fn B=%d K=%d C=%d sampled=%s",
+                        B, K, rb.kv_bucket, sampled)
         r = self.runner
         d = self.draft
+        if sampling_info is not None:
+            si_arrays = (sampling_info.temperatures, sampling_info.top_ps,
+                         sampling_info.top_ks, sampling_info.min_ps)
+        else:
+            ones = np.ones((B,), np.float32)
+            si_arrays = (ones, ones, np.ones((B,), np.int32), np.zeros((B,), np.float32))
+        self._step_counter = getattr(self, "_step_counter", 0) + 1
         preds, accepted, r.k_cache, r.v_cache, r.req_table, d.k_cache, d.v_cache, d.req_table = fn(
             r.params, d.params,
             r.k_cache, r.v_cache, r.req_table,
             d.k_cache, d.v_cache, d.req_table,
             rb.input_ids, rb.seq0, rb.target_slots, rb.draft_slots,
             rb.target_req, rb.draft_req,
+            *si_arrays, np.int32(self._step_counter),
         )
         preds = np.asarray(preds)[: rb.batch_size]
         accepted = np.asarray(accepted)[: rb.batch_size]

@@ -63,11 +63,118 @@ def test_spec_with_eos_and_reuse(model_dir):
     assert a["output_ids"] == r["output_ids"]
 
 
-def test_spec_fallback_for_sampling(model_dir):
-    # Non-greedy requests must fall back to the normal decode path.
+def test_spec_sampled_goes_through_spec_path(model_dir):
+    # Non-greedy requests now use the sampled accept (target-only rejection
+    # sampling) instead of disabling speculation.
     spec = make_engine(model_dir, spec=True)
     out = spec.generate(
         input_ids=[1, 2, 3],
-        sampling_params={"max_new_tokens": 8, "temperature": 1.0, "top_k": 40},
+        sampling_params={"max_new_tokens": 16, "temperature": 1.0, "top_k": 40},
     )
-    assert len(out["output_ids"]) == 8
+    assert len(out["output_ids"]) == 16
+    sw = spec.scheduler.spec_worker
+    assert sw.num_rounds > 0, "sampled request did not enter the spec path"
+    # With a tiny random model p is near-flat, so accept prob = p(argmax) is
+    # small — the round still always commits >= 1 token. With top_k=2 the
+    # renormalized p(argmax) >= 0.5, so acceptances must show up.
+    r0 = sw.num_rounds
+    out_k2 = spec.generate(
+        input_ids=[7, 8, 9],
+        sampling_params={"max_new_tokens": 24, "temperature": 1.0, "top_k": 2},
+    )
+    assert len(out_k2["output_ids"]) == 24
+    committed = 24
+    rounds = sw.num_rounds - r0
+    assert rounds < committed, (rounds, committed)  # some drafts accepted
+    # Unrestricted sampling also eligible (free accept variant).
+    out2 = spec.generate(
+        input_ids=[4, 5, 6],
+        sampling_params={"max_new_tokens": 8, "temperature": 0.8},
+    )
+    assert len(out2["output_ids"]) == 8
+
+
+def _empirical(counts, V):
+    h = np.bincount(counts, minlength=V).astype(np.float64)
+    return h / h.sum()
+
+
+def test_spec_accept_chain_rejection_sampling_invariant():
+    """The committed-token distribution must equal ancestral sampling from
+    the processed target distribution p — the rejection-sampling invariant
+    (reference kernel: tree_speculative_sampling_target_only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.speculative.spec_sampling import (
+        spec_accept_chain,
+        spec_accept_chain_free,
+    )
+
+    rng = np.random.default_rng(0)
+    V, K, N = 8, 2, 4000
+    B = 8  # N * B total trials
+    logits_row = rng.standard_normal((K + 1, V)).astype(np.float32) * 1.5
+    logits = jnp.asarray(np.broadcast_to(logits_row, (B, K + 1, V)).copy())
+    # Deterministic draft: pick a mid-probability token so both accept and
+    # reject branches are exercised.
+    p_full = np.exp(logits_row - logits_row.max(-1, keepdims=True))
+    p_full /= p_full.sum(-1, keepdims=True)
+    drafts_row = np.argsort(p_full[:K], axis=-1)[:, -2]  # 2nd most likely
+    drafts = jnp.asarray(np.broadcast_to(drafts_row, (B, K)).copy(), jnp.int32)
+
+    temps = jnp.ones((B,), jnp.float32)
+    top_ps = jnp.ones((B,), jnp.float32)
+    top_ks = jnp.full((B,), V, jnp.int32)
+    min_ps = jnp.zeros((B,), jnp.float32)
+
+    fn = jax.jit(spec_accept_chain)
+    fn_free = jax.jit(spec_accept_chain_free)
+    first, second_given_acc0 = [], []
+    first_free = []
+    for i in range(N):
+        key = jax.random.PRNGKey(i)
+        preds, acc = fn(logits, drafts, temps, top_ps, top_ks, min_ps, key)
+        preds, acc = np.asarray(preds), np.asarray(acc)
+        first.extend(preds[:, 0].tolist())
+        for b in range(B):
+            if acc[b] >= 1:  # position 0 accepted -> token 1 committed
+                second_given_acc0.append(int(preds[b, 1]))
+        pf, af = fn_free(logits, drafts, temps, top_ks, jax.random.PRNGKey(10_000 + i))
+        first_free.extend(np.asarray(pf)[:, 0].tolist())
+
+    # Committed token at position 0 ~ p_0 (both accept variants).
+    emp = _empirical(np.asarray(first), V)
+    np.testing.assert_allclose(emp, p_full[0], atol=0.012)
+    emp_free = _empirical(np.asarray(first_free), V)
+    np.testing.assert_allclose(emp_free, p_full[0], atol=0.012)
+    # Conditioned on accepting d_0, position-1 commits ~ p_1.
+    emp2 = _empirical(np.asarray(second_given_acc0), V)
+    np.testing.assert_allclose(emp2, p_full[1], atol=0.02)
+
+
+def test_spec_accept_chain_greedy_rows_exact():
+    """top_k == 1 rows must reproduce the argmax-match accept exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.speculative.spec_sampling import spec_accept_chain
+
+    rng = np.random.default_rng(3)
+    B, K, V = 4, 3, 16
+    logits = jnp.asarray(rng.standard_normal((B, K + 1, V)), jnp.float32)
+    am = np.argmax(np.asarray(logits), axis=-1)
+    drafts = am[:, :K].copy()
+    drafts[1, 1] = (drafts[1, 1] + 1) % V  # force a rejection in row 1
+    preds, acc = jax.jit(spec_accept_chain)(
+        logits, jnp.asarray(drafts, jnp.int32),
+        jnp.ones((B,), jnp.float32), jnp.ones((B,), jnp.float32),
+        jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    preds, acc = np.asarray(preds), np.asarray(acc)
+    assert list(acc) == [K, 1, K, K], acc
+    # Committed tokens equal the argmax chain everywhere.
+    for b in range(B):
+        for t in range(acc[b] + 1):
+            assert preds[b, t] == am[b, t], (b, t, preds[b], am[b])
