@@ -105,6 +105,9 @@ class ServerArgs:
 
     # Structured output
     grammar_backend: str = "native"
+    # Requests whose grammar has not compiled within this many seconds are
+    # aborted (reference grammar_queue timeout, scheduler.py:2017-2081).
+    grammar_compile_timeout: float = 60.0
     tool_call_parser: str = "qwen25"  # llama3 | qwen25 | mistral | pythonic
     # Named template from chat_template.py; None = tokenizer's own template,
     # falling back to a registry match on the model path.

@@ -112,6 +112,9 @@ class Req:
         self.finished_reason: Optional[BaseFinishReason] = None
         self.grammar: Optional[Any] = None
         self.grammar_key: Optional[tuple] = None
+        # Async grammar compile (scheduler.grammar_queue).
+        self.grammar_future: Optional[Any] = None
+        self.grammar_deadline: float = 0.0
 
         # Chunked prefill bookkeeping: number of fill_ids already computed.
         self.is_chunked = 0

@@ -190,3 +190,205 @@ root ::= "yes" | "no" | "maybe " [0-9]+
         sampling_params={"max_new_tokens": 16, "temperature": 0.0, "ebnf": g},
     )
     assert re.fullmatch(r"yes|no|maybe [0-9]+", out["text"]), out["text"]
+
+
+# ------------------------- structural_tag -------------------------
+def test_structural_tag_unit():
+    from ltp_sglang_tpu.constrained.structural_tag import (
+        StructuralTagFSM,
+        StructuralTagGrammar,
+    )
+    from ltp_sglang_tpu.constrained.token_fsm import VocabTrie
+
+    toks = [
+        "hello", " world", "<fn=", "add>", '{"x":', "1", "2", "}", "</fn>",
+        "<fn", "=add>x",
+    ]
+    token_strings = toks + [None]  # last id = EOS (decodes to None)
+    eos = len(toks)
+    spec = json.dumps(
+        {
+            "type": "structural_tag",
+            "structures": [
+                {
+                    "begin": "<fn=add>",
+                    "schema": {
+                        "type": "object",
+                        "properties": {"x": {"enum": [1, 2]}},
+                        "required": ["x"],
+                    },
+                    "end": "</fn>",
+                }
+            ],
+            "triggers": ["<fn="],
+        }
+    )
+    trie = VocabTrie(token_strings)
+    fsm = StructuralTagFSM(spec, trie, len(token_strings), [eos])
+    g = StructuralTagGrammar(fsm, token_strings)
+
+    # Free text passes through.
+    assert g.accept_token(0) and g.accept_token(1)
+    mask = np.zeros(len(token_strings), dtype=bool)
+    g.fill_vocab_mask(mask)
+    assert not mask.any()  # free mode: everything allowed
+
+    # Trigger completion enters constrained mode.
+    assert g.accept_token(2)  # "<fn="
+    assert g.dfa_state is not None
+    g.fill_vocab_mask(mask)
+    assert not mask[3]        # "add>" continues begin
+    assert mask[0]            # "hello" does not
+    assert mask[eos]          # no EOS mid-structure
+
+    assert g.accept_token(3)   # add>
+    assert g.accept_token(4)   # {"x":
+    assert g.accept_token(5)   # 1
+    assert g.accept_token(7)   # }
+    assert g.accept_token(8)   # </fn> -> structure closed
+    assert g.dfa_state is None
+    assert g.accept_token(0)   # free again
+    assert g.accept_token(eos)
+    assert g.is_terminated()
+
+
+def test_structural_tag_incidental_trigger():
+    """A token that completes a trigger but then contradicts every begin is
+    free text (see structural_tag.py module docstring)."""
+    from ltp_sglang_tpu.constrained.structural_tag import (
+        StructuralTagFSM,
+        StructuralTagGrammar,
+    )
+    from ltp_sglang_tpu.constrained.token_fsm import VocabTrie
+
+    toks = ["<fn", "=add>x", "ordinary"]
+    token_strings = toks + [None]
+    eos = len(toks)
+    spec = json.dumps(
+        {
+            "type": "structural_tag",
+            "structures": [
+                {"begin": "<fn=add>", "schema": {"enum": [1]}, "end": "</fn>"}
+            ],
+            "triggers": ["<fn="],
+        }
+    )
+    trie = VocabTrie(token_strings)
+    fsm = StructuralTagFSM(spec, trie, len(token_strings), [eos])
+    g = StructuralTagGrammar(fsm, token_strings)
+    assert g.accept_token(0)      # "<fn" partial trigger
+    assert g.accept_token(1)      # "=add>x": trigger+begin then 'x' violates
+    assert g.dfa_state is None    # treated as free text
+    assert g.accept_token(2)
+    assert g.accept_token(eos)
+
+
+def test_structural_tag_e2e(engine):
+    """structural_tag request is accepted end-to-end (free text from a
+    random-weight model; the constraint machinery must not reject it)."""
+    spec = json.dumps(
+        {
+            "type": "structural_tag",
+            "structures": [
+                {"begin": "<f=a>", "schema": {"enum": [1]}, "end": "</f>"}
+            ],
+            "triggers": ["<f="],
+        }
+    )
+    out = engine.generate(
+        prompt="hi",
+        sampling_params={
+            "max_new_tokens": 8,
+            "temperature": 0.0,
+            "structural_tag": spec,
+        },
+    )
+    assert out["meta_info"]["finish_reason"]["type"] in ("stop", "length")
+
+
+def test_structural_tag_invalid_rejected(engine):
+    with pytest.raises(Exception):
+        engine.generate(
+            prompt="hi",
+            sampling_params={
+                "max_new_tokens": 4,
+                "structural_tag": json.dumps({"type": "structural_tag"}),
+            },
+        )
+
+
+# ------------------------- async grammar queue -------------------------
+def test_async_grammar_compile_does_not_stall_decode(engine):
+    """A slow grammar compile parks the request in grammar_queue while
+    unconstrained requests keep decoding (reference scheduler.py:2017-2081)."""
+    import threading
+    import time as _time
+
+    backend = engine.scheduler.grammar_backend
+    real_get = backend.get_grammar
+    slow_pattern = r"slowslowslow[0-9]+"
+
+    def slow_get(key):
+        if key[1] == slow_pattern:
+            _time.sleep(1.5)
+        return real_get(key)
+
+    backend.get_grammar = slow_get
+    try:
+        results = {}
+
+        def run_slow():
+            results["slow"] = engine.generate(
+                prompt="a",
+                sampling_params={
+                    "max_new_tokens": 16,
+                    "temperature": 0.0,
+                    "regex": slow_pattern,
+                },
+            )
+            results["slow_done_at"] = _time.time()
+
+        t = threading.Thread(target=run_slow)
+        t.start()
+        _time.sleep(0.15)  # let the slow request get parked
+        t0 = _time.time()
+        results["plain"] = engine.generate(
+            prompt="b", sampling_params={"max_new_tokens": 4, "temperature": 0.0}
+        )
+        results["plain_done_at"] = _time.time()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        # The plain request must not have waited for the 1.5 s compile.
+        assert results["plain_done_at"] - t0 < 1.2
+        assert results["plain_done_at"] < results["slow_done_at"]
+        assert results["slow"]["text"].startswith("slowslowslow"), results[
+            "slow"
+        ]["text"]
+    finally:
+        backend.get_grammar = real_get
+
+
+def test_grammar_compile_timeout_aborts(engine):
+    import time as _time
+
+    backend = engine.scheduler.grammar_backend
+    real_get = backend.get_grammar
+
+    def hang_get(key):
+        if key[1] == "hanghang":
+            _time.sleep(2.0)
+        return real_get(key)
+
+    backend.get_grammar = hang_get
+    old_timeout = engine.scheduler.grammar_compile_timeout
+    engine.scheduler.grammar_compile_timeout = 0.3
+    try:
+        out = engine.generate(
+            prompt="a",
+            sampling_params={"max_new_tokens": 4, "regex": "hanghang"},
+        )
+        fr = out["meta_info"]["finish_reason"]
+        assert fr["type"] == "abort" and "timed out" in str(fr.get("message", "")), fr
+    finally:
+        backend.get_grammar = real_get
+        engine.scheduler.grammar_compile_timeout = old_timeout
