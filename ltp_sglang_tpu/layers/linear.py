@@ -52,6 +52,12 @@ def apply_linear(p: Dict[str, Any], x: jnp.ndarray, group_size: int = 128,
                     for k, v in p.items()
                 }
             out = quantized_matmul_ref(x, p, group_size)
+    elif "w8i" in p:
+        # W8A8-INT8: int8 weights AND per-token-quantized int8 activations on
+        # the MXU's int8 path (quantization/w8a8_int8.py).
+        from ltp_sglang_tpu.layers.quantization.w8a8_int8 import int8_matmul
+
+        out = int8_matmul(x, p, li=li)
     elif "w8" in p:
         # FP8 weights (per-tensor / per-channel / block-wise scales): stream
         # fp8 from HBM, dequant fused into the matmul (quantization/fp8.py).

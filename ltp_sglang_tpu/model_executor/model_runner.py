@@ -404,7 +404,11 @@ class ModelRunner:
 
             fuse_quant_projections(self.params["layers"])
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
-            specs = self.model.param_specs()
+            from ltp_sglang_tpu.parallel.mesh import adapt_specs_to_params
+
+            specs = adapt_specs_to_params(
+                self.model.param_specs(), self.params
+            )
             if getattr(self, "pp_size", 1) > 1 and "layers" in specs:
                 from jax.sharding import PartitionSpec as P
 
@@ -1477,5 +1481,11 @@ class ModelRunner:
     def update_weights_from_params(self, params):
         """Weight hot-swap (update_weights_from_tensor analog)."""
         if self.mesh_ctx is not None and not self.mesh_ctx.is_single_device:
-            params = shard_pytree(params, self.model.param_specs(), self.mesh_ctx)
+            from ltp_sglang_tpu.parallel.mesh import adapt_specs_to_params
+
+            params = shard_pytree(
+                params,
+                adapt_specs_to_params(self.model.param_specs(), params),
+                self.mesh_ctx,
+            )
         self.params = params

@@ -101,12 +101,13 @@ class LlamaForCausalLM:
             config.quantization
             if config.quantization
             in ("awq", "awq_marlin", "gptq", "gptq_marlin", "fp8",
-                "compressed-tensors", "w8a8_fp8")
+                "compressed-tensors", "w8a8_fp8", "w8a8_int8", "int8")
             else None
         )
         # FP8 (weight fp8 + scales; layers/quantization/fp8.py) vs INT4
-        # (packed nibbles) take different param leaves.
+        # (packed nibbles) vs W8A8-INT8 take different param leaves.
         self.quant_is_fp8 = self.quant in ("fp8", "compressed-tensors", "w8a8_fp8")
+        self.quant_is_int8 = self.quant in ("w8a8_int8", "int8")
         qc = config.quant_config or {}
         self.quant_group_size = int(qc.get("group_size", 128))
         wbs = qc.get("weight_block_size")
@@ -172,6 +173,13 @@ class LlamaForCausalLM:
             if not self.quant:
                 return {"kernel": w(K, N)}
             key_box[0], sub = jax.random.split(key_box[0])
+            if self.quant_is_int8:
+                return {
+                    "w8i": jax.random.randint(
+                        sub, (K, N), -128, 128, dtype=jnp.int32
+                    ).astype(jnp.int8),
+                    "weight_scale": jnp.full((1, N), 0.0005, dtype=jnp.float32),
+                }
             if self.quant_is_fp8:
                 return {
                     "w8": (
@@ -269,6 +277,27 @@ class LlamaForCausalLM:
 
         def stack_linear(sub):
             """Dense or quantized projection -> stacked param dict."""
+            if self.quant_is_int8 and has(f"model.layers.0.{sub}.weight_scale"):
+                from ltp_sglang_tpu.layers.quantization.w8a8_int8 import (
+                    unpack_int8_to_internal,
+                )
+
+                per_layer = [
+                    unpack_int8_to_internal(
+                        np.asarray(get(f"model.layers.{i}.{sub}.weight")),
+                        np.asarray(
+                            get(f"model.layers.{i}.{sub}.weight_scale"),
+                            dtype=np.float32,
+                        ),
+                    )
+                    for i in range(L)
+                ]
+                return {
+                    "w8i": jnp.stack([d["w8i"] for d in per_layer]),
+                    "weight_scale": jnp.stack(
+                        [d["weight_scale"] for d in per_layer]
+                    ),
+                }
             if self.quant_is_fp8 and (
                 has(f"model.layers.0.{sub}.weight_scale")
                 or has(f"model.layers.0.{sub}.weight_scale_inv")

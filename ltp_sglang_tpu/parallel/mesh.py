@@ -58,6 +58,58 @@ def create_mesh(
     return MeshContext(mesh=mesh, dp_size=dp_size, tp_size=tp_size, pp_size=pp_size)
 
 
+def adapt_specs_to_params(specs, params):
+    """Align a dense spec tree with quantized param subtrees.
+
+    Models announce projection specs as {"kernel": P(layer, k, n)}; quantized
+    checkpoints replace "kernel" with packed leaves (int4: w4/scales/zeros
+    [/perm]; fp8: w8/weight_scale[_blockN]; int8: w8i/weight_scale). Each
+    packed leaf keeps the SAME logical (K, N) orientation as the kernel, so
+    the kernel's PartitionSpec carries over directly — K-sharded leaves
+    (row-parallel) divide because K/2, K/G, K/bs all share the tp factor, and
+    per-leaf divisibility still falls back to replication in shard_pytree.
+    GPTQ act-order `perm` ([L, K] of indices into the FULL K) is replicated.
+    Without this pass a quantized multi-chip load degraded to replicating
+    every weight (reference contrast: quant methods subclass the parallel
+    linears, linear.py:113-1123, so sharding is never lost there)."""
+    _QUANT_LEAVES = ("w4", "w8", "w8i")
+    # Fused projections (fuse_quant_projections) inherit their column half's
+    # spec — both are column-parallel (N-sharded), so the concat preserves it.
+    _FUSED = {"qkv_proj": "q_proj", "gate_up_proj": "gate_proj"}
+    if not isinstance(params, dict):
+        return specs
+    out = {}
+    for k, v in params.items():
+        s = specs.get(k) if isinstance(specs, dict) else None
+        if s is None and k in _FUSED and isinstance(specs, dict):
+            s = specs.get(_FUSED[k])
+        if (
+            isinstance(v, dict)
+            and any(q in v for q in _QUANT_LEAVES)
+            and isinstance(s, dict)
+            and "kernel" in s
+        ):
+            kspec = s["kernel"]
+            leaf_specs = {}
+            for leaf in v:
+                if leaf == "perm":
+                    leaf_specs[leaf] = PartitionSpec(kspec[0], None)
+                elif leaf == "weight_scale" and getattr(v[leaf], "ndim", 0) <= 1:
+                    leaf_specs[leaf] = PartitionSpec(kspec[0])
+                elif leaf == "bias":
+                    leaf_specs[leaf] = s.get(
+                        "bias", PartitionSpec(kspec[0], kspec[2])
+                    )
+                else:
+                    leaf_specs[leaf] = kspec
+            out[k] = leaf_specs
+        elif isinstance(v, dict) and isinstance(s, dict):
+            out[k] = adapt_specs_to_params(s, v)
+        else:
+            out[k] = s if s is not None else PartitionSpec()
+    return out
+
+
 def shard_pytree(params, specs, mesh_ctx: Optional[MeshContext]):
     """Place a param pytree with NamedShardings (or leave as-is if no mesh).
 
