@@ -85,6 +85,9 @@ class ServerArgs:
     pp_size: int = 1
     ep_size: int = 1
     enable_dp_attention: bool = False
+    # Request dispatch across dp-attention groups (reference
+    # data_parallel_controller.py:48-56).
+    load_balance_method: str = "shortest_queue"  # round_robin | minimum_tokens
     node_rank: int = 0
     nnodes: int = 1
     dist_init_addr: Optional[str] = None

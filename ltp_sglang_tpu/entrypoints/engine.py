@@ -88,12 +88,24 @@ class Engine:
             {min(b, W) for b in server_args.prefill_token_buckets}
         )
         self.tokenizer = _try_load_tokenizer(server_args.tokenizer_path)
-        self.scheduler = Scheduler(
-            server_args,
-            self.model_config,
-            self.model_runner,
-            on_output=self._on_output,
-        )
+        if getattr(self.model_runner, "dp_grouped", False):
+            from ltp_sglang_tpu.managers.dp_controller import (
+                DataParallelController,
+            )
+
+            self.scheduler = DataParallelController(
+                server_args,
+                self.model_config,
+                self.model_runner,
+                on_output=self._on_output,
+            )
+        else:
+            self.scheduler = Scheduler(
+                server_args,
+                self.model_config,
+                self.model_runner,
+                on_output=self._on_output,
+            )
         if self.tokenizer is not None:
             self.scheduler.detokenizer = IncrementalDecoder(self.tokenizer)
             from ltp_sglang_tpu.constrained.backend import GrammarBackend
@@ -496,6 +508,7 @@ class Engine:
         req.mm_items = mm_items
         req.lora_path = one.lora_path
         req.token_ids_logprob = one.token_ids_logprob
+        req.data_parallel_rank = getattr(one, "data_parallel_rank", None)
         if sp.regex:
             req.grammar_key = ("regex", sp.regex)
         elif sp.json_schema:

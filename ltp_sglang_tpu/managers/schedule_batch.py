@@ -129,6 +129,10 @@ class Req:
         # (np [Dm] f32), carried between rounds.
         self.spec_hidden = None
 
+        # DP-attention group pinning (GenerateReqInput.data_parallel_rank);
+        # None = controller picks by load_balance_method.
+        self.data_parallel_rank: Optional[int] = None
+
         # LoRA adapter (0 = none); resolved from lora_path at admission.
         self.lora_path = None
         self.lora_id = 0

@@ -262,6 +262,18 @@ class ModelRunner:
                 "DP-attention: MLP tensor-parallel over dp x tp = %d devices",
                 mesh_ctx.dp_size * mesh_ctx.tp_size,
             )
+        # Per-group request ownership (managers/dp_controller.py): the KV
+        # pool and req table are split into dp regions sharded over the
+        # mesh "dp" axis; each group's scheduler owns one region. Reference
+        # scheduler.py:1794-2003.
+        self.dp_grouped = bool(
+            server_args.enable_dp_attention
+            and mesh_ctx is not None
+            and mesh_ctx.dp_size > 1
+            and self.pp_size == 1
+            and not server_args.speculative_algorithm
+        )
+        self.group_tokens = self.group_slots = self.group_rows = 0
         if self.pp_size > 1 and not getattr(self.model, "supports_pp", False):
             raise NotImplementedError(
                 f"{type(self.model).__name__} does not support pipeline "
@@ -448,6 +460,14 @@ class ModelRunner:
             logger.warning("memory profiling unavailable; defaulting KV pool to 2^16 tokens")
             return 65536
 
+    def make_group_allocator(self):
+        """Fresh group-local KV allocator for one dp-attention group
+        (wrapped in dp_controller.OffsetAllocator for global slot ids)."""
+        page_size = self.server_args.page_size
+        if page_size == 1:
+            return TokenToKVPoolAllocator(self.group_tokens)
+        return PagedTokenToKVPoolAllocator(self.group_tokens, page_size)
+
     def init_memory_pool(self):
         cfg = self.model_config
         args = self.server_args
@@ -518,18 +538,39 @@ class ModelRunner:
             self.swa_window = W
             self.swa_ring = self.ring_size
 
-        self.req_to_token_pool = ReqToTokenPool(max_reqs, cfg.context_len)
+        if self.dp_grouped:
+            if self.ring_size or getattr(self.model, "layer_windows", None) is not None:
+                raise NotImplementedError(
+                    "dp-attention grouped mode does not support SWA models"
+                )
+            dp = self.mesh_ctx.dp_size
+            # Split the global budget into dp page-aligned group regions;
+            # each group's region has its own garbage slot 0.
+            tokens_g = self.max_total_num_tokens // dp // page_size * page_size
+            if page_size > 1:
+                S_loc = (tokens_g // page_size + 1) * page_size
+            else:
+                S_loc = tokens_g + 1
+            self.group_tokens = tokens_g
+            self.group_slots = S_loc
+            self.group_rows = max_reqs + 1  # + per-group dump row
+            self.req_to_token_pool = ReqToTokenPool(
+                dp * self.group_rows, cfg.context_len
+            )
+        else:
+            self.req_to_token_pool = ReqToTokenPool(max_reqs, cfg.context_len)
         if self.ring_size:
             self.token_to_kv_pool_allocator = RingKVAllocator(
                 self.ring_size, max_reqs
             )
         elif page_size == 1:
             self.token_to_kv_pool_allocator = TokenToKVPoolAllocator(
-                self.max_total_num_tokens
+                self.group_tokens if self.dp_grouped else self.max_total_num_tokens
             )
         else:
             self.token_to_kv_pool_allocator = PagedTokenToKVPoolAllocator(
-                self.max_total_num_tokens, page_size
+                self.group_tokens if self.dp_grouped else self.max_total_num_tokens,
+                page_size,
             )
 
         # Device KV cache [L, S+1, r, ln] (+1 garbage slot 0; native DMA row
@@ -543,7 +584,9 @@ class ModelRunner:
         # the Pallas kernels' page-granular DMAs (which always move P rows)
         # never read past the array for tail-page slots. Page 0 holds the
         # garbage slot; page_size == 1 keeps the original +1 row.
-        if page_size > 1:
+        if self.dp_grouped:
+            S = self.mesh_ctx.dp_size * self.group_slots
+        elif page_size > 1:
             S = (self.max_total_num_tokens // page_size + 1) * page_size
         else:
             S = self.max_total_num_tokens + 1
@@ -573,18 +616,26 @@ class ModelRunner:
                 )
             else:
                 # K and V shard independently (MLA latent mode keeps a
-                # dummy V row that must not force K replication).
+                # dummy V row that must not force K replication). In grouped
+                # DP-attention mode the slot dim also shards over "dp": each
+                # group's KV region lives only on its mesh column, so KV
+                # capacity scales with dp (managers/dp_controller.py).
+                dp_ax = "dp" if self.dp_grouped else None
                 k_sharding = self.mesh_ctx.sharding(
-                    P(None, None, "tp", None)
+                    P(None, dp_ax, "tp", None)
                     if rk % self.mesh_ctx.tp_size == 0
-                    else P(None, None, None, None)
+                    else P(None, dp_ax, None, None)
                 )
                 v_sharding = self.mesh_ctx.sharding(
-                    P(None, None, "tp", None)
+                    P(None, dp_ax, "tp", None)
                     if rv % self.mesh_ctx.tp_size == 0
-                    else P(None, None, None, None)
+                    else P(None, dp_ax, None, None)
                 )
-            table_sharding = self.mesh_ctx.replicated()
+            table_sharding = (
+                self.mesh_ctx.sharding(P("dp", None))
+                if self.dp_grouped
+                else self.mesh_ctx.replicated()
+            )
         # Hybrid SWA memory pool (reference mem_cache/memory_pool.py:420
         # SWAKVPool): sliding-window layers store KV in PER-REQUEST RING
         # buffers of ~window size instead of full-length rows — slot =
@@ -659,10 +710,15 @@ class ModelRunner:
         # the TPU worker while (8,128) / (16,128) run (measured on v5e).
         # Round the width to a multiple of 8 sublanes x 128 lanes = 1024.
         self.table_width = round_up(cfg.context_len, 1024)
-        self.req_table = jnp.zeros(
-            (max_reqs + 1, self.table_width), dtype=jnp.int32, device=table_sharding
+        n_table_rows = (
+            self.mesh_ctx.dp_size * self.group_rows
+            if self.dp_grouped
+            else max_reqs + 1
         )
-        self.dump_req_row = max_reqs
+        self.req_table = jnp.zeros(
+            (n_table_rows, self.table_width), dtype=jnp.int32, device=table_sharding
+        )
+        self.dump_req_row = n_table_rows - 1
         logger.info(
             "KV pool: %d tokens x %d layers x %d kv heads x %d dims (%s), %d req slots",
             self.max_total_num_tokens, L, Hkv, D, str(self.kv_dtype), max_reqs,
