@@ -40,6 +40,7 @@ Design notes (each learned from a measured failure):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -77,6 +78,7 @@ def _int4_matmul_kernel(
     *,
     group_size: int,
     n_subtile: int,
+    fused_scale: bool,
 ):
     k = pl.program_id(2)
 
@@ -104,14 +106,28 @@ def _int4_matmul_kernel(
 
         def half(x, xs, q, s_ref, z_ref):
             s = s_ref[0, :, ns:ns + Ns]  # [gb, Ns] f32
-            part = jnp.zeros((Mb, Ns), jnp.float32)
-            for g in range(gb):
-                mm = jnp.dot(
-                    x[:, g * geff:(g + 1) * geff],
-                    q[g * geff:(g + 1) * geff, :],
-                    preferred_element_type=jnp.float32,
+            if fused_scale:
+                # Scale the unpacked weights directly (one bf16 VPU multiply
+                # on [Kb, Ns]) so ONE full-depth MXU dot replaces gb small
+                # group dots + gb [Mb, Ns] partial-product scalings. bf16
+                # rounding of (q * s) adds <= 2^-9 relative error — an order
+                # below the int4 grid itself. Wins when gb is large (small
+                # dots underutilize the 128x128 systolic array at decode M).
+                sw = jnp.repeat(
+                    s.astype(jnp.bfloat16), geff, axis=0
+                )  # [Kb, Ns]
+                part = jnp.dot(
+                    x, q * sw, preferred_element_type=jnp.float32
                 )
-                part += mm * s[g, :][None, :]
+            else:
+                part = jnp.zeros((Mb, Ns), jnp.float32)
+                for g in range(gb):
+                    mm = jnp.dot(
+                        x[:, g * geff:(g + 1) * geff],
+                        q[g * geff:(g + 1) * geff, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    part += mm * s[g, :][None, :]
             zs = s * z_ref[0, :, ns:ns + Ns]  # [gb, Ns] f32
             return part - jnp.dot(xs, zs, preferred_element_type=jnp.float32)
 
@@ -143,8 +159,15 @@ def _pick_blocks(Kh: int, N: int, G: int):
     return Kb, Nb
 
 
-@functools.partial(jax.jit, static_argnames=("group_size",))
-def _int4_matmul_stacked(x, w4, scales, zeros, li, group_size: int):
+# Kernel variant toggle (A/B-able at runtime; keyed into the jit cache).
+FUSED_SCALE = os.environ.get("LTP_INT4_FUSED_SCALE", "0") == "1"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "fused_scale")
+)
+def _int4_matmul_stacked(x, w4, scales, zeros, li, group_size: int,
+                         fused_scale: bool = False):
     """x [M, K] -> [M, N] f32 against layer li of stacked [L, K/2, N]
     weights. Shapes must satisfy the block constraints (guaranteed by the
     padding wrapper below)."""
@@ -199,6 +222,7 @@ def _int4_matmul_stacked(x, w4, scales, zeros, li, group_size: int):
             _int4_matmul_kernel,
             group_size=Geff,
             n_subtile=n_subtile,
+            fused_scale=fused_scale,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
@@ -245,6 +269,8 @@ def int4_matmul_pallas(x, w4, scales, zeros, group_size: int, perm=None,
         zeros = zeros[None]
         layer_idx = 0
     N = w4.shape[2]
-    out = _int4_matmul_stacked(x2, w4, scales, zeros, layer_idx, group_size)
+    out = _int4_matmul_stacked(
+        x2, w4, scales, zeros, layer_idx, group_size, FUSED_SCALE
+    )
     out = out[:M].reshape(*lead, N)
     return out.astype(orig_dtype)

@@ -333,3 +333,85 @@ def test_api_key_auth():
 
     loop.run_until_complete(go())
     server.loop_thread.stop()
+
+
+def test_bench_serving_sweep_and_goodput():
+    """bench_serving parity surface: rate sweep + goodput + dataset sampling
+    (reference bench_serving.py:703-737) against a live TCP server. Uses a
+    fresh engine: the module fixture's app is bound to TestServer's loop."""
+    import argparse
+    import asyncio
+
+    from aiohttp import web
+
+    import ltp_sglang_tpu.bench_serving as bs
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+
+    d = tempfile.mkdtemp(prefix="http_bs_")
+    write_tiny_model_dir(d, with_weights=False)
+    engine = Engine(ServerArgs(
+        model_path=d, load_format="dummy", dtype="float32",
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    server = HttpServer(engine)
+    server.loop_thread.start()
+
+    async def go():
+        runner = web.AppRunner(server.app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port = runner.addresses[0][1]
+        args = argparse.Namespace(
+            host="127.0.0.1", port=port, num_prompts=4, input_len=8,
+            output_len=4, request_rate=float("inf"),
+            request_rate_sweep="20,inf", dataset="synthetic-sharegpt",
+            random_range_ratio=0.5, goodput="ttft:60000,tpot:60000",
+            warmup=False,
+        )
+        # Keep prompts tiny regardless of the sharegpt sampler.
+        reqs = [(6, 3), (9, 4), (4, 2), (12, 4)]
+        rng = __import__("numpy").random.default_rng(0)
+        async with __import__("aiohttp").ClientSession() as session:
+            reports = []
+            for rate in (20.0, float("inf")):
+                rep = await bs.run_one_rate(
+                    session, f"http://127.0.0.1:{port}", args, rate, rng, reqs
+                )
+                reports.append(rep)
+        await runner.cleanup()
+        return reports
+
+    try:
+        reports = asyncio.new_event_loop().run_until_complete(go())
+    finally:
+        server.loop_thread.stop()
+    for rep in reports:
+        assert rep["completed"] == 4
+        assert rep["total_output_tokens"] == sum(o for _, o in [(6, 3), (9, 4), (4, 2), (12, 4)])
+        assert "p99" in rep["ttft_s"] and "median" in rep["e2e_s"]
+        assert rep["goodput_req_s"] >= 0
+        # With 60 s SLOs on a tiny model every request is "good".
+        assert rep["good_completed"] == 4
+    assert reports[0]["request_rate"] == 20.0
+
+
+def test_bench_serving_dataset_sampling():
+    import argparse
+
+    import numpy as np
+
+    from ltp_sglang_tpu.bench_serving import sample_requests
+
+    rng = np.random.default_rng(0)
+    a = argparse.Namespace(num_prompts=50, input_len=100, output_len=40,
+                           dataset="random", random_range_ratio=0.5)
+    reqs = sample_requests(a, rng)
+    assert all(50 <= i <= 100 and 20 <= o <= 40 for i, o in reqs)
+    a.dataset = "synthetic-sharegpt"
+    reqs = sample_requests(a, rng)
+    ins = np.array([i for i, _ in reqs])
+    assert ins.min() >= 4 and ins.max() <= 4096
+    assert 80 < np.median(ins) < 700  # lognormal centred near ~220

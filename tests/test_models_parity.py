@@ -496,7 +496,9 @@ def test_gemma2_swa_pool_ring_wraparound():
     assert r.swa_enabled
     ring = r.model.swa_pool["ring"]
     assert ring == 16  # window 8 + chunk bucket 8
-    assert r.k_swa.shape[:2] == (1, 5 * ring)  # 1 swa layer, (R+1) rings
+    # 1 swa layer; (R+1) request rings + snapshot-arena rings (the arena is
+    # clamped to max_running_requests, model_runner.init_memory_pool).
+    assert r.k_swa.shape[:2] == (1, (5 + r.swa_snap_count) * ring)
     assert r.k_cache.shape[0] == 1  # 1 global layer keeps full-length KV
     out = eng.generate(
         input_ids=prompt,
