@@ -69,6 +69,9 @@ class ServerArgs:
     # Hierarchical KV cache: device tier + host-RAM write-back tier.
     enable_hierarchical_cache: bool = False
     hicache_host_tokens: int = 1 << 20
+    # Host-tier write policy (reference hiradix_cache.py:120-204).
+    hicache_write_policy: str = "write_through_selective"
+    hicache_write_threshold: int = 2
     # File-backed host arena (the storage tier; reference HiCacheStorage).
     hicache_storage_dir: Optional[str] = None
     enable_mixed_chunk: bool = False

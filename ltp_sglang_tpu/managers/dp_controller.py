@@ -154,6 +154,24 @@ class GroupRunnerView:
         )
         self.max_total_num_tokens = runner.group_tokens
 
+    # HiCache accesses the device pools through its runner handle; delegate
+    # (slots are global, so host-tier copies work unchanged per group).
+    @property
+    def k_cache(self):
+        return self.runner.k_cache
+
+    @k_cache.setter
+    def k_cache(self, v):
+        self.runner.k_cache = v
+
+    @property
+    def v_cache(self):
+        return self.runner.v_cache
+
+    @v_cache.setter
+    def v_cache(self, v):
+        self.runner.v_cache = v
+
     def mark_row_dirty(self, req_idx: int):
         self.runner.mark_row_dirty(req_idx)  # rows are already global
 

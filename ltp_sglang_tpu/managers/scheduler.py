@@ -115,6 +115,8 @@ class Scheduler:
                 page_size=server_args.page_size,
                 host_tokens=server_args.hicache_host_tokens,
                 storage_dir=server_args.hicache_storage_dir,
+                write_policy=server_args.hicache_write_policy,
+                write_threshold=server_args.hicache_write_threshold,
             )
         elif server_args.radix_cache_backend == "cpp":
             from ltp_sglang_tpu.mem_cache.radix_cache_cpp import CppRadixCache
@@ -1191,6 +1193,11 @@ class Scheduler:
             res.slots = batch.window_slots
             res.aux = aux
             return res
+        # HiCache fence: host->device prefix loads started at match time run
+        # on a background thread; their scatters must be dispatched before
+        # this forward can read the claimed slots (mem_cache/hiradix_cache).
+        if hasattr(self.tree_cache, "drain_pending_loads"):
+            self.tree_cache.drain_pending_loads()
         fb = batch.get_forward_batch(self.server_args, self.runner.dump_req_row)
         if batch.forward_mode != ForwardMode.DECODE and all(
             r.is_embedding for r in batch.reqs

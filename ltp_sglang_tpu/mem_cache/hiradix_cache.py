@@ -66,14 +66,38 @@ class HostKVArena:
 
 
 class HiRadixCache(RadixCache):
+    """Write policies (reference hiradix_cache.py:120-204): `write_back`
+    mirrors device rows to host only at eviction time (round-2 behavior);
+    `write_through` copies every finished request's nodes to host
+    immediately; `write_through_selective` does so once a node has been hit
+    `write_threshold` times. Host load-back runs on a BACKGROUND worker
+    (reference HiCacheController threads + LayerDoneCounter,
+    managers/cache_controller.py:32-62): match_prefix allocates device slots
+    and returns at once while the worker does the slow host-arena gather
+    (memmap reads) and the H2D — both overlap any in-flight decode — and the
+    scheduler fences with drain_pending_loads() before the next forward that
+    could read those slots."""
+
     def __init__(self, req_to_token_pool, token_to_kv_pool_allocator, runner,
                  page_size: int = 1, host_tokens: int = 1 << 20,
-                 storage_dir=None):
+                 storage_dir=None, write_policy: str = "write_through_selective",
+                 write_threshold: int = 2):
         super().__init__(req_to_token_pool, token_to_kv_pool_allocator, page_size)
         self.runner = runner
         self.arena = HostKVArena(runner, host_tokens, storage_dir=storage_dir)
         self.num_host_hits = 0
         self.num_writebacks = 0
+        assert write_policy in (
+            "write_back", "write_through", "write_through_selective"
+        ), write_policy
+        self.write_policy = write_policy
+        self.write_threshold = write_threshold
+        import concurrent.futures
+
+        self._loader = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="hicache-load"
+        )
+        self._pending_loads: List = []  # futures resolving to (slots, k, v)
 
     # -------------------------------------------------------------- helpers
     def _split_node(self, child: TreeNode, split_len: int) -> TreeNode:
@@ -99,7 +123,11 @@ class HiRadixCache(RadixCache):
         return new_node
 
     def _load_back(self, node: TreeNode) -> bool:
-        """Restore a host-backed node's device rows (keeps the host copy)."""
+        """Restore a host-backed node's device rows (keeps the host copy).
+        The slow parts — host-arena gather (possibly memmap page-ins) and
+        the H2D transfer — run on the loader thread and overlap in-flight
+        device work; the device slots are claimed and returned NOW. The
+        scheduler fences via drain_pending_loads() before the next forward."""
         n = len(node.key)
         slots = self.token_to_kv_pool_allocator.alloc(n)
         if slots is None:
@@ -109,15 +137,95 @@ class HiRadixCache(RadixCache):
             return False
         slots = np.asarray(slots, np.int32)
         hv = np.asarray(node.host_value)
-        r = self.runner
-        r.k_cache, r.v_cache = _hicache_write(
-            r.k_cache, r.v_cache, jnp.asarray(slots),
-            jnp.asarray(self.arena.k[:, hv]), jnp.asarray(self.arena.v[:, hv]),
-        )
+
+        def gather():
+            # jnp.asarray starts the device_put; the transfer itself also
+            # overlaps whatever the chip is running.
+            return (
+                jnp.asarray(slots),
+                jnp.asarray(self.arena.k[:, hv]),
+                jnp.asarray(self.arena.v[:, hv]),
+            )
+
+        self._pending_loads.append(self._loader.submit(gather))
         node.value = slots
         self.evictable_size_ += n
         self.num_host_hits += 1
         return True
+
+    def drain_pending_loads(self):
+        """Fence: dispatch every pending host->device load's scatter before
+        a forward can read the claimed slots (LayerDoneCounter consumer
+        analog, scheduler.py:1703-1706)."""
+        if not self._pending_loads:
+            return
+        pending, self._pending_loads = self._pending_loads, []
+        r = self.runner
+        for fut in pending:
+            slots, k_rows, v_rows = fut.result()
+            r.k_cache, r.v_cache = _hicache_write(
+                r.k_cache, r.v_cache, slots, k_rows, v_rows
+            )
+
+    # ------------------------------------------------------- write policies
+    def _write_through_node(self, node: TreeNode) -> bool:
+        if getattr(node, "host_value", None) is not None or node.value is None:
+            return True
+        n = len(node.value)
+        hs = self.arena.alloc.alloc(n)
+        if hs is None:
+            self._evict_host(n)
+            hs = self.arena.alloc.alloc(n)
+        if hs is None:
+            return False
+        hs = np.asarray(hs, np.int32)
+        slots = np.asarray(node.value)
+        self.arena.k[:, hs] = np.asarray(self.runner.k_cache[:, slots])
+        self.arena.v[:, hs] = np.asarray(self.runner.v_cache[:, slots])
+        node.host_value = hs
+        self.num_writebacks += 1
+        return True
+
+    def _maybe_write_through(self, last_node: TreeNode):
+        if self.write_policy == "write_back":
+            return
+        node = last_node
+        while node is not None and node is not self.root_node:
+            hits = getattr(node, "hit_count", 0) + 1
+            node.hit_count = hits
+            if (
+                self.write_policy == "write_through"
+                or hits >= self.write_threshold
+            ):
+                if not self._write_through_node(node):
+                    break
+            node = node.parent
+
+    def _deepest_node(self, key) -> TreeNode:
+        node = self.root_node
+        key = list(key)
+        while key:
+            child = node.children.get(self._child_key(key))
+            if child is None:
+                break
+            pl = _key_match(child.key, key)
+            if pl < len(child.key):
+                break  # partial: the full-node path ends at `node`
+            node = child
+            key = key[pl:]
+        return node
+
+    def cache_finished_req(self, req):
+        from ltp_sglang_tpu.mem_cache.radix_cache import radix_key
+
+        super().cache_finished_req(req)
+        if self.disable or self.write_policy == "write_back":
+            return
+        key = radix_key(
+            (req.origin_input_ids + req.output_ids)[:-1],
+            getattr(req, "lora_id", 0),
+        )
+        self._maybe_write_through(self._deepest_node(key))
 
     # ---------------------------------------------------------------- match
     def match_prefix(self, key: List[int]) -> MatchResult:
@@ -176,6 +284,9 @@ class HiRadixCache(RadixCache):
     def evict(self, num_tokens: int):
         if self.disable:
             return
+        # Pending loads target slots that eviction's D2H copies could read;
+        # fence first (same reason the scheduler fences before forwards).
+        self.drain_pending_loads()
         leaves = self._device_leaves()
         heapq.heapify(leaves)
         freed = 0
@@ -243,6 +354,8 @@ class HiRadixCache(RadixCache):
                 self._delete_host_leaf(n)
 
     def reset(self):
+        if hasattr(self, "_pending_loads"):
+            self.drain_pending_loads()
         super().reset()
         if hasattr(self, "arena"):
             self.arena.alloc.clear()

@@ -100,3 +100,72 @@ def test_storage_tier_memmap(tmp_path):
     again = eng.generate(input_ids=pa, sampling_params=sp)
     assert again["output_ids"] == ref["output_ids"]
     assert cache.num_host_hits > 0
+
+
+def test_write_through_policies():
+    """write_through mirrors finished requests to host immediately;
+    write_through_selective waits for the hit threshold; write_back never
+    writes outside eviction (reference hiradix_cache.py:120-204)."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    def mk(policy, threshold=2):
+        d = tempfile.mkdtemp(prefix=f"hic_{policy}_")
+        write_tiny_model_dir(d)
+        return Engine(ServerArgs(
+            model_path=d, dtype="float32",
+            max_total_tokens=512, max_running_requests=4,
+            enable_hierarchical_cache=True,
+            hicache_write_policy=policy,
+            hicache_write_threshold=threshold,
+        ))
+
+    sp = {"max_new_tokens": 4, "temperature": 0.0}
+    prompt = list(range(3, 43))
+
+    eng = mk("write_through")
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    assert eng.scheduler.tree_cache.num_writebacks > 0
+
+    eng = mk("write_back")
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    assert eng.scheduler.tree_cache.num_writebacks == 0  # no eviction yet
+
+    eng = mk("write_through_selective", threshold=3)
+    cache = eng.scheduler.tree_cache
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    assert cache.num_writebacks == 0  # first finish: hit_count 1 < 3
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    eng.generate(input_ids=prompt, sampling_params=sp)
+    assert cache.num_writebacks > 0  # threshold reached
+
+
+def test_async_loadback_parity_under_churn():
+    """Load-back host gathers run on the background worker; outputs must
+    stay bit-exact across repeated evict/reload cycles (the drain fence in
+    scheduler.run_batch is what makes this safe)."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="hic_async_")
+    write_tiny_model_dir(d)
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=96, max_running_requests=4,
+        enable_hierarchical_cache=True,
+        hicache_write_policy="write_through",
+    ))
+    sp = {"max_new_tokens": 6, "temperature": 0.0}
+    pa, pb = list(range(3, 63)), list(range(300, 360))
+    ref_a = eng.generate(input_ids=pa, sampling_params=sp)["output_ids"]
+    ref_b = eng.generate(input_ids=pb, sampling_params=sp)["output_ids"]
+    for _ in range(3):  # alternate so each reload evicts the other
+        assert eng.generate(input_ids=pa, sampling_params=sp)["output_ids"] == ref_a
+        assert eng.generate(input_ids=pb, sampling_params=sp)["output_ids"] == ref_b
+    cache = eng.scheduler.tree_cache
+    assert cache.num_host_hits >= 2
+    # A match after the last forward may leave a pending load; the fence
+    # must clear it.
+    cache.drain_pending_loads()
+    assert not cache._pending_loads
