@@ -164,7 +164,20 @@ def run_one(cfg, quant, bs, prompt_len, gen_len, page_size, window,
     (optionally) prefill MFU at ~1k tokens."""
     d = _mkmodel(cfg, quant)
     eng = _mkengine(d, bs, prompt_len, gen_len, page_size, window, kv_dtype)
+    try:
+        return _run_one_measure(
+            cfg, eng, bs, prompt_len, gen_len, reps, want_prefill, paired_eng
+        )
+    except BaseException:
+        # Free the engine's device memory BEFORE the exception propagates:
+        # r03's traceback kept a half-built engine resident through the HTTP
+        # section and OOMed the 16 GB chip.
+        eng.close()
+        raise
 
+
+def _run_one_measure(cfg, eng, bs, prompt_len, gen_len, reps, want_prefill,
+                     paired_eng):
     rng = np.random.default_rng(0)
     prompts = [
         [int(x) for x in rng.integers(5, cfg["vocab_size"] - 10, size=prompt_len)]
@@ -307,10 +320,15 @@ def main():
             bf16["best"], bf16["median"] = allr[-1], allr[len(allr) // 2]
         except Exception as e:  # keep the headline line intact
             print(f"int4 bench failed: {e}", file=sys.stderr)
-    bf16.pop("engine", None)
-    if int4 is not None:
-        int4.pop("engine", None)
+    # Section lifecycle: release every engine's device memory (params + KV +
+    # compiled steps) before the HTTP section builds its own engine.
+    for sec in (bf16, int4):
+        if sec is not None:
+            e_ = sec.pop("engine", None)
+            if e_ is not None:
+                e_.close()
     gc.collect()
+    jax.clear_caches()
     http_tok_s = None
     if os.environ.get("BENCH_SKIP_HTTP") != "1":
         try:

@@ -742,6 +742,24 @@ class Engine:
             "version": __import__("ltp_sglang_tpu").__version__,
         }
 
+    def close(self):
+        """Release ALL device memory this engine holds: params, KV pools,
+        and the compiled-step cache (whose executables pin constant
+        buffers). Bench/test section lifecycle — BENCH_r03's HTTP section
+        OOMed because prior sections' engines stayed resident (VERDICT r03
+        weak #2). The engine is unusable afterwards."""
+        import gc
+
+        self.shutdown()
+        r = self.model_runner
+        for attr in ("params", "k_cache", "v_cache", "k_swa", "v_swa"):
+            if hasattr(r, attr):
+                setattr(r, attr, None)
+        for attr in ("_step_cache", "_mm_embed_cache"):
+            if hasattr(r, attr):
+                getattr(r, attr).clear()
+        gc.collect()
+
     def shutdown(self):
         self._watchdog_stop.set()
         if self.pd_prefill is not None:

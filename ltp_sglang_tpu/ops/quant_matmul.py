@@ -56,12 +56,41 @@ _W4_BLOCK_BYTES = 2 << 20
 _SUBTILE_I32_BYTES = 2 << 20
 
 
-def _effective_group(G: int, Kb: int) -> int:
-    """Largest divisor of G with Kb // Geff >= 8 (scale-block sublane rule)."""
-    geff = G
-    while geff > 1 and Kb // geff < 8:
-        geff //= 2
-    return max(geff, 1)
+def _divisors_desc(n: int):
+    return sorted((d for d in range(1, n + 1) if n % d == 0), reverse=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_blocks(Kh: int, N: int, G: int):
+    """Jointly choose (Kb, Nb, Geff) satisfying every Mosaic block rule, or
+    None when the geometry is unsupported (caller falls back to jnp dequant).
+
+    Rules (learned from r03's bench crash — "gb >= 8" is NOT the rule):
+      * scales block [1, gb, Nb] f32: gb = Kb // Geff must be a MULTIPLE of 8
+        (sublane rule), not merely >= 8 (gb=12 crashed the 3B geometry).
+      * x block [Mb, Kb] bf16: Kb must be a multiple of 128 (lane rule; Kb
+        never equals x's full K=2*Kh so the full-dim escape never applies).
+      * Nb must be a multiple of 128 or the full N.
+      * Kb | Kh, Nb | N, Geff | G, Geff | Kb.
+    Preference: largest Geff (least scale repetition / memory), then the
+    SMALLEST qualifying Kb (longer Nb rows -> longer contiguous DMA bursts,
+    see module design notes)."""
+    for geff in _divisors_desc(G):
+        step = 8 * geff
+        # Kb must be a common multiple of (8*Geff) and 128 that divides Kh.
+        cands = [d for d in _divisors_desc(Kh)
+                 if d % step == 0 and d % 128 == 0]
+        if not cands:
+            continue
+        Kb = min(cands)
+        max_nb = max(_W4_BLOCK_BYTES // Kb, 128)
+        nb_cands = [d for d in _divisors_desc(N)
+                    if d <= max_nb and (d % 128 == 0 or d == N)]
+        if not nb_cands:
+            continue
+        Nb = nb_cands[0]
+        return Kb, Nb, geff
+    return None
 
 
 def _int4_matmul_kernel(
@@ -94,8 +123,19 @@ def _int4_matmul_kernel(
     x_lo = x_lo_ref[:]
     x_hi = x_hi_ref[:]
     # Per-group sums of x (f32), reused by every N-subtile's zero correction.
-    xs_lo = x_lo.astype(jnp.float32).reshape(Mb, gb, geff).sum(axis=2)
-    xs_hi = x_hi.astype(jnp.float32).reshape(Mb, gb, geff).sum(axis=2)
+    # Computed as x @ segment-matrix on the MXU: a reshape(Mb, gb, geff) that
+    # SPLITS the minor dim is an unsupported Mosaic shape cast when
+    # geff < 128 (hit on the 3B geometry, Geff=64); the 0/1 dot is exact in
+    # f32 and its cost ([Mb, Kb] x [Kb, gb]) is negligible vs the main dots.
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (Kb, gb), 0) // geff
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (Kb, gb), 1)
+    seg = (kidx == gidx).astype(jnp.float32)
+    xs_lo = jnp.dot(
+        x_lo.astype(jnp.float32), seg, preferred_element_type=jnp.float32
+    )
+    xs_hi = jnp.dot(
+        x_hi.astype(jnp.float32), seg, preferred_element_type=jnp.float32
+    )
     for ns in range(0, Nb, n_subtile):
         Ns = min(n_subtile, Nb - ns)
         # Widen per subtile: Mosaic can't cast uint8->bf16 directly; go
@@ -141,26 +181,48 @@ def _int4_matmul_kernel(
         out_ref[:] = acc_ref[:]
 
 
-def _divisors_desc(n: int):
-    return sorted((d for d in range(1, n + 1) if n % d == 0), reverse=True)
-
-
-def _pick_blocks(Kh: int, N: int, G: int):
-    """Choose (Kb, Nb) s.t. Kb*Nb <= budget, Kb >= 8G when possible (scale
-    sublane rule), and Nb is a long contiguous run (>= 2 KB when N allows)."""
-    # Kb: prefer >= 8*G (so gb >= 8 without repeating scales), capped at Kh.
-    kb_target = min(Kh, max(8 * G, 8))
-    Kb = next((d for d in _divisors_desc(Kh) if d <= kb_target), 8)
-    # Nb: largest divisor of N (multiple of 128 if possible) fitting budget.
-    max_nb = max(_W4_BLOCK_BYTES // Kb, 128)
-    cands = [d for d in _divisors_desc(N) if d <= max_nb]
-    pref = [d for d in cands if d % 128 == 0]
-    Nb = (pref or cands)[0]
-    return Kb, Nb
-
-
 # Kernel variant toggle (A/B-able at runtime; keyed into the jit cache).
 FUSED_SCALE = os.environ.get("LTP_INT4_FUSED_SCALE", "0") == "1"
+# Escape hatch: force the jnp dequant path (kernel bypass) everywhere.
+FORCE_JNP = os.environ.get("LTP_INT4_FORCE_JNP", "0") == "1"
+
+_FALLBACK_WARNED: set = set()
+
+
+def _warn_fallback_once(key, reason: str):
+    if key not in _FALLBACK_WARNED:
+        _FALLBACK_WARNED.add(key)
+        import warnings
+
+        warnings.warn(
+            f"int4_matmul_pallas: geometry {key} unsupported by the fused "
+            f"kernel ({reason}); using the jnp dequant fallback (slower, "
+            f"bit-identical).",
+            stacklevel=3,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def _int4_matmul_jnp_stacked(x, w4, scales, zeros, li, group_size: int):
+    """jnp dequant fallback: bit-identical math on any geometry/backend.
+    Materializes one layer's dense bf16 weights — a bandwidth loss, never a
+    crash (VERDICT r03 weak #1: a kernel bug must degrade perf, not serving)."""
+    li = jnp.asarray(li, jnp.int32).reshape(())
+    w4l = jax.lax.dynamic_index_in_dim(w4, li, 0, keepdims=False)
+    s = jax.lax.dynamic_index_in_dim(scales, li, 0, keepdims=False)
+    z = jax.lax.dynamic_index_in_dim(zeros, li, 0, keepdims=False)
+    b = jax.lax.bitcast_convert_type(w4l, jnp.uint8)
+    q = jnp.concatenate(
+        [(b & 0xF).astype(jnp.float32), ((b >> 4) & 0xF).astype(jnp.float32)],
+        axis=0,
+    )  # [K, N]
+    K = q.shape[0]
+    s = jnp.repeat(s.astype(jnp.float32), group_size, axis=0)[:K]
+    z = jnp.repeat(z.astype(jnp.float32), group_size, axis=0)[:K]
+    w = ((q - z) * s).astype(jnp.bfloat16)
+    return jnp.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
 
 
 @functools.partial(
@@ -177,15 +239,14 @@ def _int4_matmul_stacked(x, w4, scales, zeros, li, group_size: int,
 
     Mb = next(c for c in (128, 64, 32, 16, 8, 4, 2, 1)
               if c <= M and M % c == 0)
-    Kb, Nb = _pick_blocks(Kh, N, G)
+    Kb, Nb, Geff = _pick_blocks(Kh, N, G)
     grid = (M // Mb, N // Nb, Kh // Kb)
     kh_blocks = Kh // Kb  # offset (in blocks) of the hi half's x rows
-    Geff = _effective_group(min(G, Kb), Kb)
     if Geff != G:
         reps = G // Geff
         scales = jnp.repeat(scales, reps, axis=1)
         zeros = jnp.repeat(zeros, reps, axis=1)
-    gb = Kb // Geff  # scale rows per block (>= 8)
+    gb = Kb // Geff  # scale rows per block (a multiple of 8 by construction)
     g_hi_off = kh_blocks
 
     # Inner N-subtile sized so the int32 widen stays within the stack budget.
@@ -269,8 +330,22 @@ def int4_matmul_pallas(x, w4, scales, zeros, group_size: int, perm=None,
         zeros = zeros[None]
         layer_idx = 0
     N = w4.shape[2]
-    out = _int4_matmul_stacked(
-        x2, w4, scales, zeros, layer_idx, group_size, FUSED_SCALE
-    )
+    Kh = w4.shape[1]
+    picked = None if FORCE_JNP else _pick_blocks(Kh, N, group_size)
+    if picked is None:
+        # The geometry cannot satisfy Mosaic's block rules (or the kernel is
+        # force-disabled): degrade to the jnp dequant path instead of
+        # crashing at lowering time. Warned once per geometry.
+        if not FORCE_JNP:
+            _warn_fallback_once(
+                (Kh, N, group_size), "no legal (Kb, Nb, Geff) block choice"
+            )
+        out = _int4_matmul_jnp_stacked(
+            x2, w4, scales, zeros, layer_idx, group_size
+        )
+    else:
+        out = _int4_matmul_stacked(
+            x2, w4, scales, zeros, layer_idx, group_size, FUSED_SCALE
+        )
     out = out[:M].reshape(*lead, N)
     return out.astype(orig_dtype)
