@@ -161,6 +161,8 @@ class EPLBManager:
         if layers is None:
             return None
         w = layers["experts_gate"]
+        if isinstance(w, dict):  # quantized expert stack (moe.py leaf dicts)
+            w = w.get("w8i", w.get("w8"))
         leaf = layers.get("expert_perm")
         if leaf is not None and getattr(leaf, "ndim", 0) >= 2:
             return w.shape[0], leaf.shape[1]
@@ -257,11 +259,21 @@ class EPLBManager:
                          "experts_gate_up"):
                 if leaf not in layers:
                     continue
+
+                def _permute(w):
+                    idx = jnp.asarray(inv).reshape(
+                        inv.shape + (1,) * (w.ndim - 2)
+                    )
+                    return jnp.take_along_axis(w, idx, axis=1)
+
                 w = layers[leaf]
-                idx = jnp.asarray(inv).reshape(
-                    inv.shape + (1,) * (w.ndim - 2)
+                # Quantized stacks: permute every leaf (w8/w8i + scales all
+                # share the leading [L, E] layout).
+                layers[leaf] = (
+                    {k2: _permute(v2) for k2, v2 in w.items()}
+                    if isinstance(w, dict)
+                    else _permute(w)
                 )
-                layers[leaf] = jnp.take_along_axis(w, idx, axis=1)
             layers["expert_perm"] = self._replicated(new_leaf)
             self.runner._step_cache.clear()  # params pytree structure changed
         logger.info(

@@ -62,18 +62,58 @@ def moe_topk(
     return (w * routed_scaling_factor).astype(jnp.float32), idx.astype(jnp.int32)
 
 
+def expert_count(w) -> int:
+    """Leading E dim of an expert weight stack (array or quantized dict)."""
+    if isinstance(w, dict):
+        w = w["w8i"] if "w8i" in w else w["w8"]
+    return w.shape[0]
+
+
+def resolve_expert_weights(w, dtype):
+    """Expert weight stacks are plain arrays [E, K, N] or QUANTIZED leaf
+    dicts — fp8 {"w8", "weight_scale"|"weight_scale_blockB"} or int8
+    {"w8i", "weight_scale"} — with every leaf sharing the leading E (or
+    L, E) dims so lax.scan over layers and shard_map's expert-dim sharding
+    treat them uniformly. HBM holds the 1-byte format; dequant happens here,
+    immediately before the grouped GEMM, exactly as dense fp8/int8 linears
+    defer to dequant_fp8/int8_matmul.
+
+    Reference analog: fp8 blockwise grouped expert GEMM
+    (layers/moe/fused_moe_triton/, layers/quantization/fp8.py:110) and the
+    w8a8 MoE methods; BASELINE config 5 (DeepSeek-V2-Lite MoE FP8)."""
+    if not isinstance(w, dict):
+        return w.astype(dtype)
+    if "w8i" in w:
+        # int8 + per-expert-channel scales [E, 1, N] (symmetric).
+        return w["w8i"].astype(dtype) * w["weight_scale"].astype(dtype)
+    from ltp_sglang_tpu.layers.quantization.fp8 import fp8_scale_key
+
+    q = w["w8"]
+    skey, bs = fp8_scale_key(w)
+    s = w[skey]
+    if bs is None:
+        return q.astype(dtype) * s.astype(dtype)
+    # Block-wise (DeepSeek convention): s [E, K/bs, N/bs]; expert dims must
+    # divide the block (ingestion guarantees exact grids by construction).
+    E, K, N = q.shape
+    kb, nb = s.shape[-2:]
+    wq = q.astype(dtype).reshape(E, kb, K // kb, nb, N // nb)
+    wq = wq * s[:, :, None, :, None].astype(dtype)
+    return wq.reshape(E, K, N)
+
+
 def moe_ffn(
     x: jnp.ndarray,  # [T, Dm]
     weights: jnp.ndarray,  # [T, k] combine weights
     indices: jnp.ndarray,  # [T, k] expert ids
-    gate_w: jnp.ndarray,  # [Eloc, Dm, I]
+    gate_w: jnp.ndarray,  # [Eloc, Dm, I] (array or quantized leaf dict)
     up_w: jnp.ndarray,  # [Eloc, Dm, I]
     down_w: jnp.ndarray,  # [Eloc, I, Dm]
 ) -> jnp.ndarray:
     """Dropless grouped-GEMM expert computation."""
     T, Dm = x.shape
     k = indices.shape[1]
-    E = gate_w.shape[0]
+    E = expert_count(gate_w)
 
     flat_exp = indices.reshape(-1)  # [T*k]
     order = jnp.argsort(flat_exp)  # stable enough (ties keep relative order)
@@ -89,16 +129,16 @@ def moe_ffn(
 
     dtype = x.dtype
     gate = jax.lax.ragged_dot(
-        x_sorted, gate_w.astype(dtype), group_sizes,
+        x_sorted, resolve_expert_weights(gate_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
     up = jax.lax.ragged_dot(
-        x_sorted, up_w.astype(dtype), group_sizes,
+        x_sorted, resolve_expert_weights(up_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
     act = (jax.nn.silu(gate) * up).astype(dtype)
     out_sorted = jax.lax.ragged_dot(
-        act, down_w.astype(dtype), group_sizes,
+        act, resolve_expert_weights(down_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )  # [T*k, Dm]
 
@@ -235,7 +275,7 @@ def _ep_experts(x_recv, ids_recv, gate_w, up_w, down_w):
     """Phase 2: sort arrivals by local expert, grouped GEMM, unsort back to
     arrival order. Rows past the real count are pad (id Eloc): they sort
     last, fall outside every group, and are never returned."""
-    Eloc = gate_w.shape[0]
+    Eloc = expert_count(gate_w)
     lorder = jnp.argsort(ids_recv)
     xs = x_recv[lorder]
     group_sizes = (
@@ -245,16 +285,16 @@ def _ep_experts(x_recv, ids_recv, gate_w, up_w, down_w):
     )
     dtype = x_recv.dtype
     gate = jax.lax.ragged_dot(
-        xs, gate_w.astype(dtype), group_sizes,
+        xs, resolve_expert_weights(gate_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
     up = jax.lax.ragged_dot(
-        xs, up_w.astype(dtype), group_sizes,
+        xs, resolve_expert_weights(up_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
     act = (jax.nn.silu(gate) * up).astype(dtype)
     out_sorted = jax.lax.ragged_dot(
-        act, down_w.astype(dtype), group_sizes,
+        act, resolve_expert_weights(down_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
     return out_sorted[jnp.argsort(lorder)].astype(dtype)
@@ -288,7 +328,7 @@ def moe_ffn_ep_a2a(
         indices = jnp.pad(indices, ((0, pad), (0, 0)))
 
     def inner(x_, w_, idx_, gw, uw, dw):
-        Eloc = gw.shape[0]
+        Eloc = expert_count(gw)
         x_recv, ids_recv, plan = _ep_dispatch(x_, idx_, Eloc, axis, ep)
         out_rows = _ep_experts(x_recv, ids_recv, gw, uw, dw)
         ret = _a2a_rows(
@@ -343,7 +383,7 @@ def moe_ffn_ep(
     k = indices.shape[1]
 
     def inner(x_, w_, idx_, gw, uw, dw):
-        Eloc = gw.shape[0]
+        Eloc = expert_count(gw)
         rank = jax.lax.axis_index(axis)
         e0 = rank * Eloc
         flat = idx_.reshape(-1) - e0  # local expert id (may be out of range)
@@ -360,16 +400,16 @@ def moe_ffn_ep(
         )
         dtype = x_.dtype
         gate = jax.lax.ragged_dot(
-            x_sorted, gw.astype(dtype), group_sizes,
+            x_sorted, resolve_expert_weights(gw, dtype), group_sizes,
             preferred_element_type=jnp.float32,
         )
         up = jax.lax.ragged_dot(
-            x_sorted, uw.astype(dtype), group_sizes,
+            x_sorted, resolve_expert_weights(uw, dtype), group_sizes,
             preferred_element_type=jnp.float32,
         )
         act = (jax.nn.silu(gate) * up).astype(dtype)
         out_sorted = jax.lax.ragged_dot(
-            act, dw.astype(dtype), group_sizes,
+            act, resolve_expert_weights(dw, dtype), group_sizes,
             preferred_element_type=jnp.float32,
         )
         inv = jnp.argsort(order)
@@ -415,7 +455,7 @@ def moe_ffn_auto(
         and not mesh_ctx.is_single_device
         and mesh_ctx.dp_size == 1
         and mesh_ctx.tp_size > 1
-        and gate_w.shape[0] % mesh_ctx.tp_size == 0
+        and expert_count(gate_w) % mesh_ctx.tp_size == 0
     ):
         if os.environ.get("LTP_EP_REPLICATED") == "1":
             # Fallback: replicated-compute EP (no token a2a) for A/B runs.

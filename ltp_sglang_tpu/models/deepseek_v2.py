@@ -154,13 +154,50 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 "down_proj": {"kernel": w(Ld, I, Dm)},
             }
         )
+        def experts_w(K, N):
+            """Dummy expert stack: bf16, or quantized leaves when the config
+            carries a quantization_config (fp8 blockwise per the DeepSeek
+            convention when dims divide the block, else per-channel; int8
+            per-channel). Mirrors the dense proj() dummy in llama.py."""
+            if self.quant_is_fp8 or self.quant_is_int8:
+                key_box[0], sub = jax.random.split(key_box[0])
+            if self.quant_is_int8:
+                return {
+                    "w8i": jax.random.randint(
+                        sub, (Lm, E, K, N), -128, 128, dtype=jnp.int32
+                    ).astype(jnp.int8),
+                    "weight_scale": jnp.full(
+                        (Lm, E, 1, N), 0.0005, dtype=jnp.float32
+                    ),
+                }
+            if self.quant_is_fp8:
+                w8 = (
+                    jax.random.normal(sub, (Lm, E, K, N), dtype=jnp.float32)
+                    * 4.0
+                ).astype(jnp.float8_e4m3fn)
+                bs = self.fp8_block
+                if K % bs == 0 and N % bs == 0:
+                    return {
+                        "w8": w8,
+                        f"weight_scale_block{bs}": jnp.full(
+                            (Lm, E, K // bs, N // bs), 0.005, dtype=jnp.float32
+                        ),
+                    }
+                return {
+                    "w8": w8,
+                    "weight_scale": jnp.full(
+                        (Lm, E, 1, N), 0.005, dtype=jnp.float32
+                    ),
+                }
+            return w(Lm, E, K, N)
+
         moe = attn_layer(Lm)
         moe.update(
             {
                 "router": {"kernel": w(Lm, Dm, E)},
-                "experts_gate": w(Lm, E, Dm, Im),
-                "experts_up": w(Lm, E, Dm, Im),
-                "experts_down": w(Lm, E, Im, Dm),
+                "experts_gate": experts_w(Dm, Im),
+                "experts_up": experts_w(Dm, Im),
+                "experts_down": experts_w(Im, Dm),
             }
         )
         if self.topk_method == "noaux_tc":
@@ -296,7 +333,88 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 [np.asarray(get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")) for i in moe_ids]
             ).astype(np.float32)
 
+        def has(name):
+            return name in weights or name.replace("model.", "", 1) in weights
+
         def experts(sub):
+            """Stacked expert weights [Lm, E, K, N] — bf16, or quantized leaf
+            dicts when the checkpoint carries fp8 (weight_scale_inv blockwise,
+            DeepSeek convention / weight_scale per-channel) or int8 expert
+            tensors. Consumed by moe.resolve_expert_weights."""
+            name0 = f"model.layers.{moe_ids[0]}.mlp.experts.0.{sub}"
+            if self.quant_is_fp8 and (
+                has(f"{name0}.weight_scale_inv") or has(f"{name0}.weight_scale")
+            ):
+                from ltp_sglang_tpu.layers.quantization.fp8 import (
+                    fp8_scale_key,
+                    unpack_fp8_to_internal,
+                )
+
+                def one(i, e):
+                    name = f"model.layers.{i}.mlp.experts.{e}.{sub}"
+                    d = unpack_fp8_to_internal(
+                        np.asarray(get(f"{name}.weight")),
+                        np.asarray(get(f"{name}.weight_scale"), dtype=np.float32)
+                        if has(f"{name}.weight_scale")
+                        else None,
+                        np.asarray(
+                            get(f"{name}.weight_scale_inv"), dtype=np.float32
+                        )
+                        if has(f"{name}.weight_scale_inv")
+                        else None,
+                        block=self.fp8_block,
+                    )
+                    skey, bs = fp8_scale_key(d)
+                    s = d[skey]
+                    if bs is not None:
+                        K, N = d["w8"].shape
+                        kb, nb = s.shape
+                        # resolve_expert_weights needs EXACT block grids
+                        # (its reshape cannot crop ceil-padded scales).
+                        assert kb * bs == K and nb * bs == N, (
+                            f"expert fp8 block grid {s.shape} does not tile "
+                            f"{d['w8'].shape} exactly (block {bs})"
+                        )
+                    elif s.ndim == 0:
+                        d[skey] = s.reshape(1, 1)  # broadcast vs [K, N]
+                    return d
+
+                per = [[one(i, e) for e in range(E)] for i in moe_ids]
+                skey, _ = fp8_scale_key(per[0][0])
+                return {
+                    "w8": jnp.stack(
+                        [jnp.stack([d["w8"] for d in row]) for row in per]
+                    ),
+                    skey: jnp.stack(
+                        [jnp.stack([d[skey] for d in row]) for row in per]
+                    ),
+                }
+            if self.quant_is_int8 and has(f"{name0}.weight_scale"):
+                from ltp_sglang_tpu.layers.quantization.w8a8_int8 import (
+                    unpack_int8_to_internal,
+                )
+
+                def one8(i, e):
+                    name = f"model.layers.{i}.mlp.experts.{e}.{sub}"
+                    d = unpack_int8_to_internal(
+                        np.asarray(get(f"{name}.weight")),
+                        np.asarray(
+                            get(f"{name}.weight_scale"), dtype=np.float32
+                        ),
+                    )
+                    if d["weight_scale"].ndim == 0:
+                        d["weight_scale"] = d["weight_scale"].reshape(1, 1)
+                    return d
+
+                per = [[one8(i, e) for e in range(E)] for i in moe_ids]
+                return {
+                    "w8i": jnp.stack(
+                        [jnp.stack([d["w8i"] for d in row]) for row in per]
+                    ),
+                    "weight_scale": jnp.stack(
+                        [jnp.stack([d["weight_scale"] for d in row]) for row in per]
+                    ),
+                }
             return np.stack(
                 [
                     np.stack([lin(i, f"mlp.experts.{e}.{sub}") for e in range(E)])
@@ -318,10 +436,18 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 "kernel": np.stack([lin(i, "mlp.shared_experts.down_proj") for i in moe_ids])
             }
 
-        to_dev = lambda x: jax.tree.map(
-            lambda a: jnp.asarray(a, dtype=self.dtype if a.dtype != np.float32 or True else a.dtype),
-            x,
-        )
+        def _to_dev_leaf(a):
+            # Quantized expert leaves (fp8/int8 + f32 scales) arrive as jnp
+            # arrays from experts() — keep their dtypes; raw numpy floats are
+            # the dense weights and cast to the model dtype.
+            if isinstance(a, jnp.ndarray):
+                return a
+            a = np.asarray(a)
+            if a.dtype in (np.float32, np.float64):
+                return jnp.asarray(a, dtype=self.dtype)
+            return jnp.asarray(a)
+
+        to_dev = lambda x: jax.tree.map(_to_dev_leaf, x)
         params = {
             "embed": {"weight": jnp.asarray(get("model.embed_tokens.weight"), dtype=self.dtype)},
             "layers_dense": to_dev(dense),

@@ -103,6 +103,21 @@ def adapt_specs_to_params(specs, params):
                 else:
                     leaf_specs[leaf] = kspec
             out[k] = leaf_specs
+        elif (
+            isinstance(v, dict)
+            and any(q in v for q in _QUANT_LEAVES)
+            and isinstance(s, PartitionSpec)
+        ):
+            # Quantized EXPERT stacks: the model announces one spec for the
+            # dense [L, E, K, N] array (expert dim sharded); every quantized
+            # leaf keeps the same leading (L, E) dims, so truncate/extend the
+            # spec to each leaf's rank (moe.resolve_expert_weights contract).
+            leaf_specs = {}
+            for leaf, arr in v.items():
+                nd = getattr(arr, "ndim", len(s))
+                dims = list(s)[:nd] + [None] * max(0, nd - len(s))
+                leaf_specs[leaf] = PartitionSpec(*dims)
+            out[k] = leaf_specs
         elif isinstance(v, dict) and isinstance(s, dict):
             out[k] = adapt_specs_to_params(s, v)
         else:
