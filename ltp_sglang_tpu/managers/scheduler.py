@@ -826,18 +826,14 @@ class Scheduler:
         k = self.spec_worker.k
         # Tree mode verifies V tokens per round (chain: K+1).
         need = max(k + 1, getattr(self.spec_worker, "num_verify", 0))
-        # Chain workers accept under sampling (target-only rejection
-        # sampling, speculative/spec_sampling.py) as long as the processed
-        # distribution fits the top-64 candidate window; the top-k tree
-        # worker is greedy-only (ordered sibling-exclusion accept is a
-        # follow-up — reference speculative_sampling.cu does implement it).
-        tree_mode = getattr(self.spec_worker, "kind", "") == "eagle_tree"
+        # All workers accept under sampling — chain via target-only rejection
+        # sampling, the top-k tree via ordered sibling-exclusion accept
+        # (speculative/spec_sampling.py; reference speculative_sampling.cu) —
+        # as long as the processed distribution fits the top-64 window.
         from ltp_sglang_tpu.ops.sampling import TOP_K_WINDOW
 
         for r in batch.reqs:
             sp = r.sampling_params
-            if tree_mode and not sp.is_greedy:
-                return False
             if not sp.is_greedy and (
                 sp.effective_top_k() <= 0
                 or sp.effective_top_k() > TOP_K_WINDOW
@@ -1075,7 +1071,9 @@ class Scheduler:
         rb.draft_req[:n] = [r.spec_draft_req_idx for r in batch.reqs]
 
         self.runner._flush_dirty_rows()
-        preds_path, accepted, path, h_next = sw.run_round(rb)
+        preds_path, accepted, path, h_next = sw.run_round(
+            rb, self._spec_sampling_info(batch, B)
+        )
 
         # Reorder verify slots path-first so downstream "free t_slots[m:]"
         # releases exactly the non-accepted tree nodes, and publish the

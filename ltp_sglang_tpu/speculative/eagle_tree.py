@@ -77,7 +77,7 @@ class EagleTreeWorker(EagleWorker):
         return self._lane_scratch[:need].reshape(B, T * max(K - 1, 1))
 
     # ------------------------------------------------------------- round fn
-    def _build_tree_round_fn(self, B: int, C: int):
+    def _build_tree_round_fn(self, B: int, C: int, sampled: bool = False):
         t_model = self.runner.model
         head = self.draft.model
         table_merge = self._table_merge
@@ -103,7 +103,8 @@ class EagleTreeWorker(EagleWorker):
 
         def round_fn(tp, dp, t_kc, t_vc, t_tbl, d_kc, d_vc, d_tbl,
                      input_ids, h_prev, seq0, t_slots, d_keep, lane_scratch,
-                     t_req, d_req):
+                     t_req, d_req, temperatures, top_ps, top_ks, min_ps,
+                     step_idx):
             from ltp_sglang_tpu.layers.norm import rms_norm
 
             cols = jnp.arange(C, dtype=jnp.int32)[None, :]
@@ -273,28 +274,44 @@ class EagleTreeWorker(EagleWorker):
             hid_t, t_kc, t_vc = t_model.forward(
                 tp, stepv, t_kc, t_vc, return_hidden=True
             )  # [B, V, Dm]
-            preds_v = jnp.argmax(lm_logits(tp, hid_t), axis=-1).astype(jnp.int32)
+            logits_v = lm_logits(tp, hid_t)  # [B, V, Vocab]
 
-            # ---------------- greedy longest-path accept.
-            cur = jnp.zeros((B,), jnp.int32)
-            acc = jnp.zeros((B,), jnp.int32)
-            alive = jnp.ones((B,), bool)
-            path = jnp.zeros((B, K + 1), jnp.int32)
-            vv = jnp.arange(V, dtype=jnp.int32)[None, :]
-            for t in range(1, K + 1):
-                want = jnp.take_along_axis(preds_v, cur[:, None], axis=1)
-                is_child = (
-                    (parent_v == cur[:, None]) & (token_v == want)
-                    & ok_v & (vv > 0)
+            if sampled:
+                # Ordered sibling-exclusion accept (sampled tree verify —
+                # reference tree_speculative_sampling_target_only semantics;
+                # greedy rows reduce to the longest-path walk below).
+                from ltp_sglang_tpu.speculative.spec_sampling import (
+                    spec_accept_tree,
                 )
-                has = jnp.any(is_child, axis=1)
-                nxt = jnp.argmax(is_child, axis=1).astype(jnp.int32)
-                alive = alive & has
-                cur = jnp.where(alive, nxt, cur)
-                acc = acc + alive.astype(jnp.int32)
-                path = path.at[:, t].set(jnp.where(alive, nxt, 0))
 
-            preds_path = jnp.take_along_axis(preds_v, path, axis=1)  # [B, K+1]
+                rkey = jax.random.fold_in(self.runner._rng_key, step_idx)
+                preds_path, acc, path = spec_accept_tree(
+                    logits_v, token_v, parent_v, ok_v, K,
+                    temperatures, top_ps, top_ks, min_ps, rkey,
+                )
+            else:
+                preds_v = jnp.argmax(logits_v, axis=-1).astype(jnp.int32)
+
+                # ---------------- greedy longest-path accept.
+                cur = jnp.zeros((B,), jnp.int32)
+                acc = jnp.zeros((B,), jnp.int32)
+                alive = jnp.ones((B,), bool)
+                path = jnp.zeros((B, K + 1), jnp.int32)
+                vv = jnp.arange(V, dtype=jnp.int32)[None, :]
+                for t in range(1, K + 1):
+                    want = jnp.take_along_axis(preds_v, cur[:, None], axis=1)
+                    is_child = (
+                        (parent_v == cur[:, None]) & (token_v == want)
+                        & ok_v & (vv > 0)
+                    )
+                    has = jnp.any(is_child, axis=1)
+                    nxt = jnp.argmax(is_child, axis=1).astype(jnp.int32)
+                    alive = alive & has
+                    cur = jnp.where(alive, nxt, cur)
+                    acc = acc + alive.astype(jnp.int32)
+                    path = path.at[:, t].set(jnp.where(alive, nxt, 0))
+
+                preds_path = jnp.take_along_axis(preds_v, path, axis=1)
             h_next = jnp.take_along_axis(
                 hid_t, jnp.take_along_axis(path, acc[:, None], axis=1)[
                     :, :, None], axis=1
@@ -338,19 +355,28 @@ class EagleTreeWorker(EagleWorker):
         return jax.jit(round_fn, donate_argnums=(2, 3, 4, 5, 6, 7))
 
     # ------------------------------------------------------------- run round
-    def run_round(self, rb: EagleTreeRoundBatch):
+    def run_round(self, rb: EagleTreeRoundBatch, sampling_info=None):
         B = rb.target_slots.shape[0]
-        key = ("eagle_tree_round", B, rb.kv_bucket)
+        sampled = sampling_info is not None and not sampling_info.is_all_greedy
+        key = ("eagle_tree_round", B, rb.kv_bucket, sampled)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._build_tree_round_fn(B, rb.kv_bucket)
+            fn = self._build_tree_round_fn(B, rb.kv_bucket, sampled=sampled)
             self._fn_cache[key] = fn
             logger.info(
-                "compiling eagle tree round fn B=%d T=%d K=%d V=%d C=%d",
-                B, self.topk, self.k, self.num_verify, rb.kv_bucket,
+                "compiling eagle tree round fn B=%d T=%d K=%d V=%d C=%d sampled=%s",
+                B, self.topk, self.k, self.num_verify, rb.kv_bucket, sampled,
             )
         r = self.runner
         d = self.draft
+        if sampling_info is not None:
+            si_arrays = (sampling_info.temperatures, sampling_info.top_ps,
+                         sampling_info.top_ks, sampling_info.min_ps)
+        else:
+            ones = np.ones((B,), np.float32)
+            si_arrays = (ones, ones, np.ones((B,), np.int32),
+                         np.zeros((B,), np.float32))
+        self._step_counter = getattr(self, "_step_counter", 0) + 1
         (preds_path, acc, path, h_next, r.k_cache, r.v_cache, r.req_table,
          d.k_cache, d.v_cache, d.req_table) = fn(
             r.params, d.params,
@@ -358,6 +384,7 @@ class EagleTreeWorker(EagleWorker):
             d.k_cache, d.v_cache, d.req_table,
             rb.input_ids, rb.h_prev, rb.seq0, rb.target_slots, rb.draft_keep,
             self._lane_slots_for(B), rb.target_req, rb.draft_req,
+            *si_arrays, np.int32(self._step_counter),
         )
         n = rb.batch_size
         preds_path = np.asarray(preds_path)[:n]

@@ -19,9 +19,18 @@ p is a point mass at the target argmax, so accept becomes the exact
 `draft == argmax` match and the replacement is the argmax itself — the same
 behavior the greedy-only r2 implementation had, in one code path.
 
-Chain accept below serves the STANDALONE and EAGLE chain workers; the top-k
-tree worker keeps per-path greedy verify (its sampled generalization —
-ordered sibling-exclusion accept — is a follow-up).
+Chain accept serves the STANDALONE and EAGLE chain workers.
+`spec_accept_tree` is the sampled generalization for the top-k TREE worker —
+the ordered sibling-exclusion accept of the reference's
+`tree_speculative_sampling_target_only` (speculative_sampling.cu): at each
+tree node, the draft's children are examined in order; child token d is
+accepted with probability p(d) / (1 - sum of previously-rejected siblings'
+p), which telescopes so the probability SOME child is accepted equals the
+total p-mass on the children and the walk remains distribution-exact; if
+all children reject, the replacement is sampled from p with every child
+token masked out and renormalized (the (p - q)+ residual for the multi-
+point-mass q). Greedy rows (top_k == 1) reduce to the exact greedy
+longest-path walk.
 """
 
 from __future__ import annotations
@@ -112,6 +121,126 @@ def spec_accept_chain_free(
         tpos == accepted[:, None], fix[:, None], drafts_pad.astype(jnp.int32)
     )
     return preds, accepted
+
+
+def spec_accept_tree(
+    logits_v,  # [B, V, Vocab] target logits at each tree node
+    token_v,  # [B, V] i32 node tokens (node 0 = root = committed token)
+    parent_v,  # [B, V] i32 parent node index (root points at itself)
+    ok_v,  # [B, V] bool node validity (orphans masked out)
+    K,  # static max tree depth (accept walk length)
+    temperatures,  # [B]
+    top_ps,  # [B]
+    top_ks,  # [B] (1 = greedy row)
+    min_ps,  # [B]
+    key,
+):
+    """Ordered sibling-exclusion accept over a token tree (sampled verify).
+
+    Returns (committed [B, K+1] i32, acc [B] i32, path [B, K+1] i32):
+    committed[:, t] for t < acc are the accepted child tokens along the
+    path, committed[:, acc] is the replacement (on total sibling rejection)
+    or bonus (full-depth acceptance) sample; path[:, t] is the verify-tree
+    node index at depth t (0 beyond acc). The caller commits
+    committed[:, :acc+1]."""
+    B, V, Vocab = logits_v.shape
+    rep = lambda a: jnp.repeat(a, V, axis=0)  # noqa: E731 per-node params
+    p_cand, cand_idx = processed_probs_window(
+        logits_v.reshape(B * V, Vocab),
+        rep(temperatures), rep(top_ps), rep(top_ks), rep(min_ps),
+    )
+    W = p_cand.shape[-1]
+    p_cand = p_cand.reshape(B, V, W)
+    cand_idx = cand_idx.reshape(B, V, W)
+
+    k_u, k_fix = jax.random.split(key)
+    # One accept coin per (depth, candidate node); strictly inside (0, 1) so
+    # greedy point masses (p_d exactly 1) always accept.
+    u = jax.random.uniform(k_u, (B, K, V), minval=1e-9, maxval=1.0 - 1e-9)
+    deterministic = top_ks[:, None] == 1  # [B, 1]
+    vv = jnp.arange(V, dtype=jnp.int32)
+
+    cur = jnp.zeros((B,), jnp.int32)
+    alive = jnp.ones((B,), bool)
+    acc = jnp.zeros((B,), jnp.int32)
+    path = jnp.zeros((B, K + 1), jnp.int32)
+    committed = jnp.zeros((B, K + 1), jnp.int32)
+
+    for t in range(1, K + 1):
+        p_cur = jnp.take_along_axis(p_cand, cur[:, None, None], axis=1)[:, 0]
+        idx_cur = jnp.take_along_axis(cand_idx, cur[:, None, None], axis=1)[:, 0]
+        is_child = (parent_v == cur[:, None]) & ok_v & (vv[None, :] > 0)
+        # p(d) under the processed target distribution, for every node's
+        # token at once (0 when the token fell outside the kept set).
+        tok_match = idx_cur[:, None, :] == token_v[:, :, None]  # [B, V, W]
+        p_tok = jnp.sum(jnp.where(tok_match, p_cur[:, None, :], 0.0), axis=-1)
+
+        def sib_body(v, carry):
+            residual, chosen = carry
+            child_here = (
+                jax.lax.dynamic_index_in_dim(is_child, v, 1, keepdims=False)
+                & alive & (chosen < 0)
+            )
+            p_d = jax.lax.dynamic_index_in_dim(p_tok, v, 1, keepdims=False)
+            u_v = jax.lax.dynamic_index_in_dim(
+                u[:, t - 1], v, axis=1, keepdims=False
+            )
+            accept = u_v * residual < p_d
+            chosen = jnp.where(child_here & accept, v, chosen)
+            residual = jnp.where(
+                child_here & ~accept,
+                jnp.maximum(residual - p_d, 1e-30), residual,
+            )
+            return residual, chosen
+
+        _, chosen = jax.lax.fori_loop(
+            1, V, sib_body,
+            (jnp.ones((B,), jnp.float32), jnp.full((B,), -1, jnp.int32)),
+        )
+        took = alive & (chosen >= 0)
+        died = alive & (chosen < 0)
+
+        # Replacement for rows whose every child rejected: p_cur with all
+        # child tokens masked, renormalized implicitly via Gumbel-max.
+        child_tok_mask = jnp.any(tok_match & is_child[:, :, None], axis=1)
+        log_p = jnp.where(
+            child_tok_mask | (p_cur <= 0.0), -jnp.inf, jnp.log(p_cur)
+        )
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+            jax.random.fold_in(k_fix, t), (B, W), minval=1e-20, maxval=1.0
+        )))
+        scores = jnp.where(deterministic, log_p, log_p + gumbel)
+        fix = jnp.take_along_axis(
+            idx_cur, jnp.argmax(scores, axis=-1)[:, None], axis=1
+        )[:, 0]
+
+        child_tok = jnp.take_along_axis(
+            token_v, jnp.maximum(chosen, 0)[:, None], axis=1
+        )[:, 0]
+        committed = committed.at[:, t - 1].set(jnp.where(
+            took, child_tok, jnp.where(died, fix, committed[:, t - 1])
+        ))
+        path = path.at[:, t].set(jnp.where(took, chosen, 0))
+        cur = jnp.where(took, chosen, cur)
+        acc = acc + took.astype(jnp.int32)
+        alive = took
+
+    # Bonus sample at the final node for rows that accepted all K steps
+    # (no draft there, so no masking).
+    p_cur = jnp.take_along_axis(p_cand, cur[:, None, None], axis=1)[:, 0]
+    idx_cur = jnp.take_along_axis(cand_idx, cur[:, None, None], axis=1)[:, 0]
+    log_p = jnp.where(p_cur <= 0.0, -jnp.inf, jnp.log(p_cur))
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+        jax.random.fold_in(k_fix, 0), (B, W), minval=1e-20, maxval=1.0
+    )))
+    scores = jnp.where(deterministic, log_p, log_p + gumbel)
+    bonus = jnp.take_along_axis(
+        idx_cur, jnp.argmax(scores, axis=-1)[:, None], axis=1
+    )[:, 0]
+    committed = committed.at[:, K].set(
+        jnp.where(alive, bonus, committed[:, K])
+    )
+    return committed, acc, path
 
 
 def spec_accept_chain(

@@ -96,3 +96,35 @@ def test_eagle_radix_reuse_and_second_turn(dirs):
     a = spec.generate(input_ids=prompt, sampling_params=sp)
     b = spec.generate(input_ids=prompt, sampling_params=sp)  # radix reuse path
     assert a["output_ids"] == b["output_ids"]
+
+
+def test_eagle_tree_sampled_goes_through_spec_path(dirs):
+    """Non-greedy requests on the TREE worker use ordered sibling-exclusion
+    accept (spec_sampling.spec_accept_tree) instead of disabling spec."""
+    spec = make_engine(dirs, spec=True, topk=2, num_draft=6)
+    out = spec.generate(
+        input_ids=[1, 2, 3, 4],
+        sampling_params={"max_new_tokens": 16, "temperature": 1.0, "top_k": 40},
+    )
+    assert len(out["output_ids"]) == 16
+    sw = spec.scheduler.spec_worker
+    assert sw.kind == "eagle_tree"
+    assert sw.num_rounds > 0, "sampled request did not enter the tree spec path"
+    # With top_k=2 the renormalized p(top candidate) >= 0.5 and the tree
+    # carries T=2 branches per node, so acceptances must show up.
+    r0 = sw.num_rounds
+    out2 = spec.generate(
+        input_ids=[7, 8, 9],
+        sampling_params={"max_new_tokens": 24, "temperature": 1.0, "top_k": 2},
+    )
+    assert len(out2["output_ids"]) == 24
+    assert sw.num_rounds - r0 < 24, "no tree drafts accepted under sampling"
+    # A mixed greedy + sampled batch must also take the spec path.
+    outs = spec.generate(
+        input_ids=[[5, 6, 7], [8, 9, 10]],
+        sampling_params=[
+            {"max_new_tokens": 12, "temperature": 0.0},
+            {"max_new_tokens": 12, "temperature": 0.9, "top_k": 8},
+        ],
+    )
+    assert all(len(o["output_ids"]) == 12 for o in outs)

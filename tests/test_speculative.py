@@ -178,3 +178,107 @@ def test_spec_accept_chain_greedy_rows_exact():
     for b in range(B):
         for t in range(acc[b] + 1):
             assert preds[b, t] == am[b, t], (b, t, preds[b], am[b])
+
+
+def test_spec_accept_tree_rejection_sampling_invariant():
+    """Sampled TREE accept (ordered sibling-exclusion): the committed-token
+    stream must equal ancestral sampling from the processed target
+    distribution p at each node — regardless of which/ how many children the
+    draft proposed (reference tree_speculative_sampling_target_only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.speculative.spec_sampling import spec_accept_tree
+
+    rng = np.random.default_rng(7)
+    Vocab, K, N, B = 8, 2, 3000, 8
+    # Tree: root(0) -> {1, 2}; 1 -> {3, 4}; 2 -> {5}. Depth-2, V = 6 nodes.
+    V = 6
+    parent_row = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    # Logits per NODE (what the target predicts AT that node).
+    logits_row = rng.standard_normal((V, Vocab)).astype(np.float32) * 1.2
+    p = np.exp(logits_row - logits_row.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    # Draft tokens: children of the root propose the root-node's 2nd and 3rd
+    # most likely tokens; node 1's children propose node-1's 2nd/3rd; node
+    # 2's child proposes node-2's 2nd.
+    o0 = np.argsort(p[0])[::-1]
+    o1 = np.argsort(p[1])[::-1]
+    o2 = np.argsort(p[2])[::-1]
+    token_row = np.array([0, o0[1], o0[2], o1[1], o1[2], o2[1]], np.int32)
+
+    logits = jnp.asarray(np.broadcast_to(logits_row, (B, V, Vocab)).copy())
+    token_v = jnp.asarray(np.broadcast_to(token_row, (B, V)).copy())
+    parent_v = jnp.asarray(np.broadcast_to(parent_row, (B, V)).copy())
+    ok_v = jnp.ones((B, V), bool)
+    temps = jnp.ones((B,), jnp.float32)
+    top_ps = jnp.ones((B,), jnp.float32)
+    top_ks = jnp.full((B,), Vocab, jnp.int32)
+    min_ps = jnp.zeros((B,), jnp.float32)
+
+    fn = jax.jit(lambda key: spec_accept_tree(
+        logits, token_v, parent_v, ok_v, K, temps, top_ps, top_ks, min_ps, key
+    ))
+    first, second_at_1, second_at_2 = [], [], []
+    for i in range(N):
+        committed, acc, path = (np.asarray(x) for x in fn(jax.random.PRNGKey(i)))
+        first.extend(committed[:, 0].tolist())
+        for b in range(B):
+            if acc[b] >= 1 and path[b, 1] == 1:
+                second_at_1.append(int(committed[b, 1]))
+            elif acc[b] >= 1 and path[b, 1] == 2:
+                second_at_2.append(int(committed[b, 1]))
+    # Marginal at the root ~ p_root: P(commit o0[1]) = p(o0[1]),
+    # P(commit o0[2]) = p(o0[2]) (sibling exclusion telescopes), everything
+    # else from the masked residual.
+    emp = _empirical(np.asarray(first), Vocab)
+    np.testing.assert_allclose(emp, p[0], atol=0.015)
+    # Conditioned on walking to child c, the next commit ~ p_c.
+    emp1 = _empirical(np.asarray(second_at_1), Vocab)
+    np.testing.assert_allclose(emp1, p[1], atol=0.03)
+    emp2 = _empirical(np.asarray(second_at_2), Vocab)
+    np.testing.assert_allclose(emp2, p[2], atol=0.03)
+
+
+def test_spec_accept_tree_greedy_rows_exact():
+    """top_k == 1 rows must reproduce the greedy longest-path tree walk."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.speculative.spec_sampling import spec_accept_tree
+
+    rng = np.random.default_rng(11)
+    B, K, Vocab, V = 16, 2, 32, 6
+    parent_row = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    parent_v = np.broadcast_to(parent_row, (B, V)).copy()
+    logits = rng.standard_normal((B, V, Vocab)).astype(np.float32) * 2.0
+    token_v = rng.integers(0, Vocab, size=(B, V)).astype(np.int32)
+    # Make some rows' trees match the argmax chain so both outcomes occur.
+    am = np.argmax(logits, axis=-1)
+    for b in range(0, B, 2):
+        token_v[b, 1] = am[b, 0]
+        token_v[b, 3] = am[b, 1]
+    ok_v = np.ones((B, V), bool)
+    committed, acc, path = (np.asarray(x) for x in jax.jit(
+        lambda: spec_accept_tree(
+            jnp.asarray(logits), jnp.asarray(token_v), jnp.asarray(parent_v),
+            jnp.asarray(ok_v), K,
+            jnp.ones((B,), jnp.float32), jnp.ones((B,), jnp.float32),
+            jnp.ones((B,), jnp.int32), jnp.zeros((B,), jnp.float32),
+            jax.random.PRNGKey(0),
+        ))())
+    # Python reference greedy walk.
+    for b in range(B):
+        cur, exp_acc, exp_committed = 0, 0, []
+        for _ in range(K):
+            want = am[b, cur]
+            nxt = next((v for v in range(1, V)
+                        if parent_row[v] == cur and token_v[b, v] == want), None)
+            if nxt is None:
+                break
+            exp_committed.append(want)
+            cur, exp_acc = nxt, exp_acc + 1
+        exp_committed.append(am[b, cur])  # replacement/bonus = argmax
+        assert acc[b] == exp_acc, (b, acc[b], exp_acc)
+        assert committed[b, : exp_acc + 1].tolist() == exp_committed, (
+            b, committed[b], exp_committed)
