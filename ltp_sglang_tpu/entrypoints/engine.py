@@ -619,6 +619,84 @@ class Engine:
             node[parts[-1]] = jnp.asarray(tensor, dtype=old.dtype)
         return True
 
+    def init_weights_update_group(self, master_address: str, master_port: int,
+                                  rank_offset: int = 1, world_size: int = 2,
+                                  group_name: str = "weight_update_group",
+                                  backend: str = "tcp") -> bool:
+        """Join a trainer-led weight-update group (RLHF weight sync;
+        reference model_runner.py:776-830 init_weights_update_group). The
+        trainer runs weight_sync.distributed.TrainerWeightServer at
+        (master_address, master_port); this engine joins as rank
+        rank_offset."""
+        from ltp_sglang_tpu.weight_sync.distributed import WeightUpdateGroup
+
+        if backend != "tcp":
+            raise ValueError(
+                f"unsupported weight-sync backend {backend!r}: the TPU "
+                "deployment syncs trainer->server over DCN TCP"
+            )
+        if not hasattr(self, "_weight_groups"):
+            self._weight_groups = {}
+        self._weight_groups[group_name] = WeightUpdateGroup(
+            master_address, master_port, rank=rank_offset,
+            world_size=world_size, group_name=group_name,
+        )
+        return True
+
+    def update_weights_from_distributed(self, names, dtypes=None, shapes=None,
+                                        group_name: str = "weight_update_group"):
+        """Receive the trainer's broadcast tensors for `names` and commit
+        them atomically between scheduler steps (reference
+        model_runner.py:832-867). Returns (success, message); the trainer's
+        broadcast() unblocks only after the commit is acked."""
+        from ltp_sglang_tpu.weight_sync.distributed import apply_named_updates
+
+        group = getattr(self, "_weight_groups", {}).get(group_name)
+        if group is None:
+            return False, f"weight update group {group_name!r} not initialized"
+        try:
+            named = group.recv_tensors(names, dtypes, shapes)
+            self._commit_between_steps(
+                lambda: apply_named_updates(self.model_runner, named)
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced to caller + trainer
+            group.ack(False, str(e))
+            return False, str(e)
+        group.ack(True)
+        return True, f"updated {len(named)} tensors"
+
+    def _commit_between_steps(self, fn):
+        """Run `fn` at a scheduler-step boundary: immediately when the loop
+        is idle (we take _loop_lock), otherwise as a pre-step hook executed
+        by whichever thread is pumping — in-flight decode windows finish,
+        the next step sees the new weights."""
+        done = threading.Event()
+        err: list = []
+
+        def hook():
+            if done.is_set():
+                return
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                err.append(e)
+            finally:
+                done.set()
+                try:
+                    self.scheduler.pre_step_hooks.remove(hook)
+                except ValueError:
+                    pass
+
+        self.scheduler.pre_step_hooks.append(hook)
+        while not done.is_set():
+            if self._loop_lock.acquire(timeout=0.005):
+                try:
+                    hook()
+                finally:
+                    self._loop_lock.release()
+        if err:
+            raise err[0]
+
     def release_memory_occupation(self):
         """Free KV pools (RL colocation: /release_memory_occupation,
         torch_memory_saver_adapter analog). Params stay resident."""

@@ -177,6 +177,9 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/init_weights_update_group", self.init_weights_update_group)
+        r.add_post("/update_weights_from_distributed",
+                   self.update_weights_from_distributed)
         r.add_post("/open_session", self.open_session)
         r.add_post("/close_session", self.close_session)
         r.add_post("/get_weights_by_name", self.get_weights_by_name)
@@ -477,6 +480,42 @@ class HttpServer:
             return web.json_response({"success": True, "message": "weights updated"})
         except Exception as e:
             return web.json_response({"success": False, "message": str(e)}, status=400)
+
+    async def init_weights_update_group(self, request):
+        body = await request.json()
+        try:
+            ok = self.engine.init_weights_update_group(
+                master_address=body["master_address"],
+                master_port=int(body["master_port"]),
+                rank_offset=int(body.get("rank_offset", 1)),
+                world_size=int(body.get("world_size", 2)),
+                group_name=body.get("group_name", "weight_update_group"),
+                backend=body.get("backend", "tcp"),
+            )
+            return web.json_response({"success": ok})
+        except Exception as e:
+            return web.json_response(
+                {"success": False, "message": str(e)}, status=400
+            )
+
+    async def update_weights_from_distributed(self, request):
+        body = await request.json()
+        # Receive + commit run off the event loop: the recv blocks on the
+        # trainer's broadcast and the commit waits for a step boundary.
+        import asyncio
+
+        ok, msg = await asyncio.get_running_loop().run_in_executor(
+            None,
+            lambda: self.engine.update_weights_from_distributed(
+                names=body["names"],
+                dtypes=body.get("dtypes"),
+                shapes=body.get("shapes"),
+                group_name=body.get("group_name", "weight_update_group"),
+            ),
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
+        )
 
     async def get_weights_by_name(self, request):
         body = await request.json()

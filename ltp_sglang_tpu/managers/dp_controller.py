@@ -386,7 +386,7 @@ class DataParallelController:
     # ------------------------------------------------------------ main loop
     def event_loop_step(self) -> bool:
         self.last_progress_time = time.time()
-        for hook in self.pre_step_hooks:
+        for hook in list(self.pre_step_hooks):  # hooks may self-remove
             hook()
         for s in self.schedulers:
             s._move_ready_grammar_requests()

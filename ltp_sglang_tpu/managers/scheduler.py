@@ -356,7 +356,7 @@ class Scheduler:
         negative future-token ids resolved on device, SURVEY §3.3), one level
         up: whole K-token windows chain on device."""
         self.last_progress_time = time.time()
-        for hook in self.pre_step_hooks:
+        for hook in list(self.pre_step_hooks):  # hooks may self-remove
             hook()
         self._move_ready_grammar_requests()
         if self._inflight is not None:

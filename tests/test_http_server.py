@@ -415,3 +415,47 @@ def test_bench_serving_dataset_sampling():
     ins = np.array([i for i, _ in reqs])
     assert ins.min() >= 4 and ins.max() <= 4096
     assert 80 < np.median(ins) < 700  # lognormal centred near ~220
+
+
+def test_weight_sync_endpoints(client):
+    """/init_weights_update_group + /update_weights_from_distributed
+    (trainer-group RLHF sync; reference model_runner.py:776-867)."""
+    import threading
+
+    import numpy as np
+
+    from ltp_sglang_tpu.weight_sync.distributed import TrainerWeightServer
+
+    c, loop = client
+    srv = TrainerWeightServer()
+    wt = threading.Thread(target=srv.wait_for_members, args=(1,), daemon=True)
+    wt.start()
+
+    async def go():
+        resp = await c.post("/init_weights_update_group", json={
+            "master_address": "127.0.0.1", "master_port": srv.port,
+        })
+        assert resp.status == 200 and (await resp.json())["success"]
+
+        r2 = await c.post("/get_weights_by_name", json={"name": "embed/weight"})
+        shape = (await r2.json())["shape"]
+        new_emb = np.full(shape, 0.125, np.float32)
+        bt = threading.Thread(
+            target=srv.broadcast,
+            args=([("model.embed_tokens.weight", new_emb)],), daemon=True,
+        )
+        bt.start()
+        resp = await c.post("/update_weights_from_distributed", json={
+            "names": ["model.embed_tokens.weight"],
+            "dtypes": ["float32"], "shapes": [shape],
+        })
+        body = await resp.json()
+        assert resp.status == 200 and body["success"], body
+        bt.join(timeout=10)
+        r3 = await c.post("/get_weights_by_name", json={"name": "embed/weight"})
+        vals = (await r3.json())["truncated_value"]
+        assert all(abs(v - 0.125) < 1e-6 for v in vals), vals
+
+    loop.run_until_complete(go())
+    wt.join(timeout=5)
+    srv.close()
