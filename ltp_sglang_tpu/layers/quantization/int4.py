@@ -229,6 +229,10 @@ def quantized_matmul_ref(x, qparams: Dict, group_size: int):
     """x [..., K] @ dequant(W) [K, N] — reference path (CPU/tests)."""
     if "perm" in qparams:
         x = jnp.take(x, qparams["perm"], axis=-1)
+    # The leaves are the ground truth for the group size — load-time
+    # normalization (normalize_int4_scales) may have pre-repeated the
+    # scales to the fused kernel's effective group.
+    group_size = (2 * qparams["w4"].shape[-2]) // qparams["scales"].shape[-2]
     w = dequantize_int4(
         qparams["w4"], qparams["scales"], qparams["zeros"], group_size, x.dtype
     )
@@ -295,3 +299,38 @@ def fuse_quant_projections(layers: Dict) -> Dict:
     fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj")
     fuse(("gate_proj", "up_proj"), "gate_up_proj")
     return layers
+
+
+def normalize_int4_scales(tree) -> None:
+    """Pre-repeat int4 scales/zeros to the fused kernel's EFFECTIVE group
+    size, in place, wherever the kernel's block picker would otherwise
+    repeat them per call.
+
+    Why: quant_matmul._pick_blocks sometimes legalizes a geometry by
+    shrinking the group (Geff < G, scales repeated G//Geff x). Doing that
+    repeat inside the kernel wrapper re-materializes the WHOLE stacked
+    [L, K/G, N] scales+zeros tensors on every layer-call — XLA does not
+    hoist it out of the layer scan; profiled at 3.15 s of the 3.5 s INT4
+    decode on the llama-3B geometry (r04). After this pass the checkpoint
+    leaves already carry K/Geff rows and the kernel wrapper's repeat is a
+    no-op; the kernel infers the group size from the shapes.
+    """
+    from ltp_sglang_tpu.ops.quant_matmul import _pick_blocks
+
+    def visit(node):
+        if not isinstance(node, dict):
+            return
+        if "w4" in node and "scales" in node:
+            w4 = node["w4"]
+            Kh, N = w4.shape[-2], w4.shape[-1]
+            G = (2 * Kh) // node["scales"].shape[-2]
+            picked = _pick_blocks(Kh, N, G)
+            if picked is not None and picked[2] != G:
+                reps = G // picked[2]
+                node["scales"] = jnp.repeat(node["scales"], reps, axis=-2)
+                node["zeros"] = jnp.repeat(node["zeros"], reps, axis=-2)
+            return
+        for v in node.values():
+            visit(v)
+
+    visit(tree)

@@ -316,6 +316,12 @@ def int4_matmul_pallas(x, w4, scales, zeros, group_size: int, perm=None,
     if perm is not None:
         p = perm[layer_idx] if (stacked and perm.ndim == 2) else perm
         x = jnp.take(x, p, axis=-1)
+    # The leaves are the ground truth for the group size: load-time
+    # normalization (int4.normalize_int4_scales) may have pre-repeated the
+    # scales to the kernel's effective group so the in-call repeat below is
+    # a no-op (doing it per call re-materializes the whole stacked scale
+    # tensors every layer-step — r04 profile: 90% of the int4 decode).
+    group_size = (2 * w4.shape[-2]) // scales.shape[-2]
     orig_dtype = x.dtype
     lead = x.shape[:-1]
     K = x.shape[-1]

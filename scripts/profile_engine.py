@@ -13,12 +13,16 @@ import jax
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) + "/..")
-from bench import LLAMA_1B_CFG
+from bench import LLAMA_1B_CFG, LLAMA_3B_CFG
 
 
 def main():
     quant = os.environ.get("BENCH_QUANT")
-    cfg = dict(LLAMA_1B_CFG)
+    cfg = dict(
+        LLAMA_3B_CFG
+        if os.environ.get("BENCH_MODEL", "llama3b") == "llama3b"
+        else LLAMA_1B_CFG
+    )
     if quant:
         cfg["quantization_config"] = {
             "quant_method": quant, "bits": 4, "group_size": 128,

@@ -207,3 +207,50 @@ def test_jnp_fallback_on_unsupported_geometry():
             jnp.asarray(internal["zeros"]),
             Gg,
         )
+
+
+def test_normalize_int4_scales_pre_repeats_and_stays_exact():
+    """Load-time scale normalization (int4.normalize_int4_scales): leaves
+    whose geometry forces Geff < G get their scales/zeros pre-repeated ONCE
+    so the kernel wrapper's per-call repeat is a no-op (r04 profile: the
+    in-scan repeat was 90% of int4 decode time on the 3B geometry), and the
+    result stays bit-identical because every consumer infers the group size
+    from the leaf shapes."""
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.layers.quantization.int4 import (
+        normalize_int4_scales,
+        quantized_matmul_ref,
+    )
+    from ltp_sglang_tpu.ops.quant_matmul import _pick_blocks, int4_matmul_pallas
+
+    rng = np.random.default_rng(0)
+    # 3B down-proj-like geometry: K=8192 G=128 picks Geff=128 (no repeat);
+    # K=3072 G=128 picks Geff=64 (repeat 2x). Scaled-down equivalents with
+    # the same divisibility classes:
+    for K, N, G in [(3072, 512, 128), (8192, 256, 128), (256, 128, 64)]:
+        picked = _pick_blocks(K // 2, N, G)
+        w4 = rng.integers(0, 256, size=(K // 2, N), dtype=np.uint8).view(np.int8)
+        scales = (rng.random((K // G, N)).astype(np.float32) + 0.5) * 0.01
+        zeros = rng.integers(0, 16, size=(K // G, N)).astype(np.float32)
+        leaf = {"w4": jnp.asarray(w4), "scales": jnp.asarray(scales),
+                "zeros": jnp.asarray(zeros)}
+        x = jnp.asarray(rng.standard_normal((4, K)), jnp.float32)
+        ref = quantized_matmul_ref(x, dict(leaf), G)
+
+        tree = {"layers": {"down_proj": leaf}}
+        normalize_int4_scales(tree)
+        leaf_n = tree["layers"]["down_proj"]
+        if picked is not None and picked[2] != G:
+            assert leaf_n["scales"].shape[0] == K // picked[2], (K, N, G)
+        # Both consumers reproduce the same numbers from normalized leaves.
+        out_ref = quantized_matmul_ref(x, leaf_n, G)
+        np.testing.assert_allclose(np.asarray(out_ref), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        out_k = int4_matmul_pallas(
+            x.astype(jnp.bfloat16), leaf_n["w4"], leaf_n["scales"],
+            leaf_n["zeros"], G,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_k, np.float32), np.asarray(ref), rtol=0.05, atol=0.3,
+        )
