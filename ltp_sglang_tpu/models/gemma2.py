@@ -32,6 +32,9 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
     forward_window_token_paged = None
     supports_quant_fusion = False  # custom forward keeps per-proj names
     supports_pp = False
+    # This custom forward consumes swa_caches (per-request ring pools for
+    # the sliding layers); llama-forward hybrids instead mask over full KV.
+    swa_pool_capable = True
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         super().__init__(config, attn_impl, kv_write_impl)
         hf = config.hf_config
@@ -157,7 +160,20 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             q = q.reshape(B, E, Hq, D)
             k = k.reshape(B, E, Hkv, D)
             v = v.reshape(B, E, Hkv, D)
-            q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
+            if self.has_qk_norm:  # gemma3: per-head (1+w) norms before rope
+                q = rms_norm(q, lp["q_norm"], self.rms_eps, gemma_style=True)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps, gemma_style=True)
+            if self.rope_local_layer is not None:
+                # gemma3 dual rope: sliding layers use the local-theta cache.
+                qg, kg = apply_rope(q, k, step.positions, self.cos_sin_cache)
+                ql, kl = apply_rope(
+                    q, k, step.positions, self.cos_sin_cache_local
+                )
+                sel = self.rope_local_layer[li]
+                q = jnp.where(sel, ql, qg)
+                k = jnp.where(sel, kl, kg)
+            else:
+                q, k = apply_rope(q, k, step.positions, self.cos_sin_cache)
             k_st, v_st, q_att, vsc = self._kv_quantize(
                 lp, kc.dtype, k.reshape(-1, Hkv, D), v.reshape(-1, Hkv, D), q
             )

@@ -1,0 +1,90 @@
+"""Gemma-3: gemma2 body + per-head QK-norm, 5:1 local:global layer pattern
+with DUAL rope (local theta 10k unscaled; global theta 1M, linear-scaled on
+the larger checkpoints), and no logit softcaps.
+
+Reference: python/sglang/srt/models/gemma3_causal.py; layer facts verified
+against HF transformers modeling_gemma3.py:
+- q_norm/k_norm are per-head zero-centered (1+w) RMS norms applied after
+  the head reshape, BEFORE rope (Gemma3RMSNorm(head_dim));
+- config.layer_types marks sliding layers (default 5 sliding : 1 full);
+  sliding layers rope at rope_local_base_freq, full layers at rope_theta
+  (+config rope_scaling);
+- attn/final logit softcapping are gone (config defaults None);
+- everything else (sandwich norms, gelu_tanh MLP, sqrt(hidden) embed scale,
+  query_pre_attn_scalar) is gemma2.
+
+The gemma2 hybrid SWA ring pools carry over unchanged (sliding layers store
+KV in per-request rings; swa_pool_capable).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ltp_sglang_tpu.config.model_config import ModelConfig
+from ltp_sglang_tpu.layers.rotary import build_cos_sin_cache
+from ltp_sglang_tpu.models.gemma2 import Gemma2ForCausalLM
+
+
+class Gemma3ForCausalLM(Gemma2ForCausalLM):
+    has_qk_norm = True
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        hf = config.hf_config
+        self.has_qk_norm = True
+        self.attn_logit_softcap = hf.get("attn_logit_softcapping") or 0.0
+        self.final_logit_softcap = hf.get("final_logit_softcapping") or 0.0
+        L = config.num_layers
+        layer_types = hf.get("layer_types") or [
+            "full_attention" if (i + 1) % 6 == 0 else "sliding_attention"
+            for i in range(L)
+        ]
+        is_sliding = np.array(
+            [t == "sliding_attention" for t in layer_types], bool
+        )
+        sw = int(hf.get("sliding_window") or 4096)
+        self.layer_windows = np.where(
+            is_sliding, sw, config.context_len + 1
+        ).astype(np.int32)
+        # Dual rope: the main cache is the GLOBAL one (rope_theta +
+        # rope_scaling, set by the base ctor); sliding layers use the local
+        # base frequency, unscaled.
+        self.cos_sin_cache_local = build_cos_sin_cache(
+            config.head_dim, config.context_len,
+            base=hf.get("rope_local_base_freq", 10000.0),
+        )
+        self.rope_local_layer = jnp.asarray(is_sliding)
+
+    def init_params(self, seed: int = 0):
+        params = super().init_params(seed)
+        L, D = self.config.num_layers, self.config.head_dim
+        # Gemma norms store w with effective weight (1 + w): zeros == unit.
+        params["layers"]["q_norm"] = jnp.zeros((L, D), dtype=self.dtype)
+        params["layers"]["k_norm"] = jnp.zeros((L, D), dtype=self.dtype)
+        return params
+
+    def param_specs(self):
+        specs = super().param_specs()
+        specs["layers"]["q_norm"] = P(None, None)
+        specs["layers"]["k_norm"] = P(None, None)
+        return specs
+
+    def convert_hf_weights(self, weights):
+        params = super().convert_hf_weights(weights)
+        L = self.config.num_layers
+
+        def get(name):
+            if name in weights:
+                return weights[name]
+            return weights[name.replace("model.", "", 1)]
+
+        for which in ("q_norm", "k_norm"):
+            params["layers"][which] = jnp.asarray(
+                np.stack([
+                    np.asarray(get(f"model.layers.{i}.self_attn.{which}.weight"))
+                    for i in range(L)
+                ]), dtype=self.dtype)
+        return params

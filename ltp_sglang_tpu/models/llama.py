@@ -132,6 +132,16 @@ class LlamaForCausalLM:
         self.logits_multiplier = 1.0  # cohere logit_scale / granite 1/scaling
         self.rope_style = "neox"  # "gptj" (cohere) | "glm" (layers/rotary.py)
         self.rope_layer_on = None  # smollm3: [L] 0/1 rope toggle per layer
+        # Hybrid local/global attention (exaone4/olmo3/gemma3 layer_types):
+        # [L] per-layer window (>= context_len = global layer), masked over
+        # full-length KV in this forward. (gemma2's custom forward instead
+        # pairs layer_windows with per-request ring pools — swa_pool_capable.)
+        self.layer_windows = None
+        # [L] bool: layer uses cos_sin_cache_local (olmo3: unscaled rope on
+        # sliding layers; gemma3: rope_local_base_freq) instead of the main
+        # (scaled/global) cache.
+        self.rope_local_layer = None
+        self.cos_sin_cache_local = None
         self.pos_embed_mode = None  # "learned" (gpt2) | "learned_opt" (+2)
         self.lm_head_bias = False  # gptj/phi: bias on the output head
         self.alibi_slopes = None  # [Hq] f32 (bloom/mpt); XLA attention only
@@ -560,24 +570,38 @@ class LlamaForCausalLM:
         cos, sin = jnp.split(cs, 2, axis=-1)  # [B, rot/2]
         cos = cos[:, None, :]
         sin = sin[:, None, :]
+        if self.cos_sin_cache_local is not None:
+            cs_l = self.cos_sin_cache_local[pos]
+            cos_l, sin_l = jnp.split(cs_l, 2, axis=-1)
+            cos_l, sin_l = cos_l[:, None, :], sin_l[:, None, :]
 
-        def rope1(x):  # x: [B, H, D]; neox or interleaved per rope_is_neox
+        def rope1(x, c, s):  # x: [B, H, D]; neox or interleaved
             x_rot = x[..., :rot]
             x_pass = x[..., rot:]
             if self.rope_style == "neox":
                 x1, x2 = jnp.split(x_rot, 2, axis=-1)
                 o = jnp.concatenate(
-                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                    [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
                 )
             else:  # gptj interleaved
                 x1 = x_rot[..., ::2]
                 x2 = x_rot[..., 1::2]
                 o = jnp.stack(
-                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                    [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
                 ).reshape(x_rot.shape)
             if x_pass.shape[-1]:
                 o = jnp.concatenate([o, x_pass], axis=-1)
             return o.astype(x.dtype)
+
+        def rope_li(x, li):
+            o = rope1(x, cos, sin)
+            if self.rope_local_layer is not None:
+                o = jnp.where(
+                    self.rope_local_layer[li], rope1(x, cos_l, sin_l), o
+                )
+            if self.rope_layer_on is not None:
+                o = jnp.where(self.rope_layer_on[li], o, x)
+            return o
 
         kposw = jnp.arange(K, dtype=jnp.int32)[None, :]
         cpos = jnp.arange(C, dtype=jnp.int32)[None, :]
@@ -625,13 +649,8 @@ class LlamaForCausalLM:
             if self.qk_norm_fn is not None:
                 q = self.qk_norm_fn(q, lp["q_norm"])
                 k = self.qk_norm_fn(k, lp["k_norm"])
-            if self.rope_layer_on is not None:
-                rope_on = self.rope_layer_on[li]
-                q = jnp.where(rope_on, rope1(q), q)
-                k = jnp.where(rope_on, rope1(k), k)
-            else:
-                q = rope1(q)
-                k = rope1(k)
+            q = rope_li(q, li)
+            k = rope_li(k, li)
 
             k_st, v_st, q_att, vsc = self._kv_quantize(lp, wk.dtype, k, v, q)
             wk = jax.lax.dynamic_update_slice(
@@ -654,8 +673,15 @@ class LlamaForCausalLM:
                            preferred_element_type=jnp.float32)
                 * self.sm_scale
             )
-            s_pre = jnp.where(mask_pre[:, None, None, :], s_pre, -jnp.inf)
-            s_win = jnp.where((kposw <= t)[:, None, None, :], s_win, -jnp.inf)
+            mask_pre_l, mask_win_l = mask_pre, (kposw <= t)
+            if self.layer_windows is not None:
+                lw = self.layer_windows[li]
+                mask_pre_l = mask_pre_l & (cpos > (pos - lw)[:, None])
+                mask_win_l = mask_win_l & (
+                    prefix_len[:, None] + kposw > (pos - lw)[:, None]
+                )
+            s_pre = jnp.where(mask_pre_l[:, None, None, :], s_pre, -jnp.inf)
+            s_win = jnp.where(mask_win_l[:, None, None, :], s_win, -jnp.inf)
             s_all = jnp.concatenate([s_pre, s_win], axis=-1)
             m = jnp.maximum(jnp.max(s_all, axis=-1, keepdims=True), -1e30)
             e = jnp.exp(s_all - m)
@@ -733,20 +759,26 @@ class LlamaForCausalLM:
         cos, sin = jnp.split(cs, 2, axis=-1)
         cos = cos[:, None, :]
         sin = sin[:, None, :]
+        if self.cos_sin_cache_local is not None:
+            cs_l = self.cos_sin_cache_local[pos]
+            cos_l, sin_l = jnp.split(cs_l, 2, axis=-1)
+            cos_l, sin_l = cos_l[:, None, :], sin_l[:, None, :]
 
-        def rope1(x):
+        def rope1(x, c=None, s=None):
+            c = cos if c is None else c
+            s = sin if s is None else s
             x_rot = x[..., :rot]
             x_pass = x[..., rot:]
             if self.rope_style == "neox":
                 x1, x2 = jnp.split(x_rot, 2, axis=-1)
                 o = jnp.concatenate(
-                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                    [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
                 )
             else:  # gptj interleaved
                 x1 = x_rot[..., ::2]
                 x2 = x_rot[..., 1::2]
                 o = jnp.stack(
-                    [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+                    [x1 * c - x2 * s, x2 * c + x1 * s], axis=-1
                 ).reshape(x_rot.shape)
             if x_pass.shape[-1]:
                 o = jnp.concatenate([o, x_pass], axis=-1)
@@ -792,13 +824,18 @@ class LlamaForCausalLM:
             if self.qk_norm_fn is not None:
                 q = self.qk_norm_fn(q, lp["q_norm"])
                 k = self.qk_norm_fn(k, lp["k_norm"])
-            if self.rope_layer_on is not None:
-                rope_on = self.rope_layer_on[li]
-                q = jnp.where(rope_on, rope1(q), q)
-                k = jnp.where(rope_on, rope1(k), k)
-            else:
-                q = rope1(q)
-                k = rope1(k)
+            def rope_li(x):
+                o = rope1(x)
+                if self.rope_local_layer is not None:
+                    o = jnp.where(
+                        self.rope_local_layer[li], rope1(x, cos_l, sin_l), o
+                    )
+                if self.rope_layer_on is not None:
+                    o = jnp.where(self.rope_layer_on[li], o, x)
+                return o
+
+            q = rope_li(q)
+            k = rope_li(k)
 
             k_st, v_st, q_att, vsc = self._kv_quantize(lp, kc.dtype, k, v, q)
             kc, vc = self.kv_write(
@@ -850,6 +887,33 @@ class LlamaForCausalLM:
         gate = apply_linear(lp["gate_proj"], normed, gs)
         up = apply_linear(lp["up_proj"], normed, gs)
         return apply_linear(lp["down_proj"], jax.nn.silu(gate) * up, gs)
+
+    def _rope_layer(self, q, k, positions, li):
+        """Per-layer RoPE: the plain cache, plus optional per-layer
+        local-cache select (hybrid dual-rope models: olmo3/gemma3) and
+        per-layer rope toggle (NoPE layers: smollm3/exaone4 globals)."""
+        qr, kr = apply_rope(
+            q, k, positions, self.cos_sin_cache, style=self.rope_style
+        )
+        if self.rope_local_layer is not None:
+            ql, kl = apply_rope(
+                q, k, positions, self.cos_sin_cache_local, style=self.rope_style
+            )
+            sel = self.rope_local_layer[li]
+            qr = jnp.where(sel, ql, qr)
+            kr = jnp.where(sel, kl, kr)
+        if self.rope_layer_on is not None:
+            on = self.rope_layer_on[li]
+            qr = jnp.where(on, qr, q)
+            kr = jnp.where(on, kr, k)
+        return qr, kr
+
+    def _layer_window(self, li):
+        """Per-layer sliding window for the masked attention path (0 = no
+        window); traced scalar when layer_windows is set."""
+        if self.layer_windows is not None:
+            return self.layer_windows[li]
+        return self.sliding_window
 
     def forward(
         self,
@@ -970,19 +1034,7 @@ class LlamaForCausalLM:
             if self.qk_norm_fn is not None:
                 q = self.qk_norm_fn(q, lp["q_norm"])
                 k = self.qk_norm_fn(k, lp["k_norm"])
-            if self.rope_layer_on is not None:
-                rope_on = self.rope_layer_on[li]
-                qr, kr = apply_rope(
-                    q, k, step.positions, self.cos_sin_cache,
-                    style=self.rope_style,
-                )
-                q = jnp.where(rope_on, qr, q)
-                k = jnp.where(rope_on, kr, k)
-            else:
-                q, k = apply_rope(
-                    q, k, step.positions, self.cos_sin_cache,
-                    style=self.rope_style,
-                )
+            q, k = self._rope_layer(q, k, step.positions, li)
 
             # Write new KV into the paged cache (pads land in garbage slot 0),
             # then attend over the gathered pages (SURVEY §7.5a). fp8 caches
@@ -997,6 +1049,7 @@ class LlamaForCausalLM:
             if (
                 self.extend_attn is not None
                 and self.alibi_slopes is None
+                and self.layer_windows is None
                 and step.pages is not None
                 and step.spec_mask is None
                 and step.kv_indices.shape[1] >= 2048
@@ -1028,7 +1081,7 @@ class LlamaForCausalLM:
                     step.seq_lens,
                     step.prefix_lens,
                     self.sm_scale,
-                    sliding_window=self.sliding_window,
+                    sliding_window=self._layer_window(li),
                     tree_mask=step.spec_mask,
                     **(
                         {"alibi_slopes": self.alibi_slopes}

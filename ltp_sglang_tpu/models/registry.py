@@ -19,6 +19,8 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2ForCausalLM": ("ltp_sglang_tpu.models.qwen2", "Qwen2ForCausalLM"),
     "Qwen3ForCausalLM": ("ltp_sglang_tpu.models.qwen3", "Qwen3ForCausalLM"),
     "Gemma2ForCausalLM": ("ltp_sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
+    "Gemma3ForCausalLM": ("ltp_sglang_tpu.models.gemma3", "Gemma3ForCausalLM"),
+    "Gemma3TextModel": ("ltp_sglang_tpu.models.gemma3", "Gemma3ForCausalLM"),
     "MistralForCausalLM": ("ltp_sglang_tpu.models.mistral", "MistralForCausalLM"),
     "Qwen2MoeForCausalLM": ("ltp_sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
@@ -71,6 +73,10 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "MptForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
     "MPTForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
     "OlmoeForCausalLM": ("ltp_sglang_tpu.models.olmoe", "OlmoeForCausalLM"),
+    "Olmo3ForCausalLM": ("ltp_sglang_tpu.models.olmo3", "Olmo3ForCausalLM"),
+    "Exaone4ForCausalLM": ("ltp_sglang_tpu.models.exaone4", "Exaone4ForCausalLM"),
+    "SeedOssForCausalLM": ("ltp_sglang_tpu.models.seed_oss", "SeedOssForCausalLM"),
+    "Ernie4_5ForCausalLM": ("ltp_sglang_tpu.models.seed_oss", "Ernie4_5ForCausalLM"),
     "GraniteMoeForCausalLM": (
         "ltp_sglang_tpu.models.granitemoe", "GraniteMoeForCausalLM"
     ),

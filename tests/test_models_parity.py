@@ -17,9 +17,13 @@ from tiny_configs import (
     TINY_MPT_CFG,
     TINY_OPT_CFG,
     TINY_PHI_CFG,
+    TINY_ERNIE45_CFG,
+    TINY_EXAONE4_CFG,
     TINY_GLM4_CFG,
     TINY_GLM_CFG,
     TINY_GRANITE_CFG,
+    TINY_OLMO3_CFG,
+    TINY_SEED_OSS_CFG,
     TINY_MISTRAL_CFG,
     TINY_NEMOTRON_CFG,
     TINY_OLMO2_CFG,
@@ -56,12 +60,16 @@ from tiny_configs import (
         TINY_FALCON_CFG,
         TINY_GPT_BIGCODE_CFG,
         TINY_MPT_CFG,
+        TINY_EXAONE4_CFG,
+        TINY_OLMO3_CFG,
+        TINY_SEED_OSS_CFG,
+        TINY_ERNIE45_CFG,
     ],
     ids=[
         "qwen2", "qwen3", "mistral", "olmo", "olmo2", "granite", "cohere",
         "glm", "glm4", "smollm3", "nemotron", "stablelm",
         "gpt2", "gptj", "gpt_neox", "opt", "phi", "bloom", "falcon",
-        "gpt_bigcode", "mpt",
+        "gpt_bigcode", "mpt", "exaone4", "olmo3", "seed_oss", "ernie4_5",
     ],
 )
 def test_greedy_parity(cfg):
@@ -447,6 +455,55 @@ TINY_GEMMA2_CFG = {
     "hidden_activation": "gelu_pytorch_tanh",
     "torch_dtype": "float32",
 }
+
+
+TINY_GEMMA3_CFG = {
+    "architectures": ["Gemma3ForCausalLM"],
+    "model_type": "gemma3_text",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 6,  # 5 sliding : 1 full (the real pattern)
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 1000000.0,
+    "rope_local_base_freq": 10000.0,
+    "rope_scaling": {"rope_type": "linear", "factor": 2.0},
+    "tie_word_embeddings": True,
+    "eos_token_id": 2,
+    "query_pre_attn_scalar": 32,
+    "sliding_window": 16,
+    "hidden_activation": "gelu_pytorch_tanh",
+    "torch_dtype": "float32",
+}
+
+
+def test_gemma3_greedy_parity():
+    """Gemma-3 text: per-head QK-norm + dual rope (local 10k on sliding
+    layers, scaled global 1M on every 6th layer) + SWA rings, vs HF."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_gemma3_")
+    write_tiny_model_dir(d, cfg=TINY_GEMMA3_CFG)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42, 77, 88]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=16, do_sample=False
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    out = eng.generate(
+        input_ids=prompt, sampling_params={"max_new_tokens": 16, "temperature": 0.0}
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
 
 
 def test_gemma2_greedy_parity():

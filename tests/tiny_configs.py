@@ -98,6 +98,45 @@ TINY_SMOLLM3_CFG = {
     "pad_token_id": 2,  # smollm3 defaults to 128004, beyond the tiny vocab
 }
 
+TINY_EXAONE4_CFG = {
+    **{k: v for k, v in TINY_LLAMA_CFG.items()},
+    "architectures": ["Exaone4ForCausalLM"],
+    "model_type": "exaone4",
+    "num_hidden_layers": 4,
+    "sliding_window": 16,
+    "sliding_window_pattern": 4,  # LLLG: layers 0-2 sliding, 3 global NoPE
+    "layer_types": ["sliding_attention"] * 3 + ["full_attention"],
+}
+
+TINY_OLMO3_CFG = {
+    **{k: v for k, v in TINY_LLAMA_CFG.items()},
+    "architectures": ["Olmo3ForCausalLM"],
+    "model_type": "olmo3",
+    "num_hidden_layers": 4,
+    "sliding_window": 16,
+    "layer_types": ["sliding_attention"] * 3 + ["full_attention"],
+    # Exercises the DUAL rope path: full layers scale, sliding layers don't.
+    "rope_scaling": {"rope_type": "linear", "factor": 2.0},
+}
+
+TINY_SEED_OSS_CFG = {
+    **{k: v for k, v in TINY_LLAMA_CFG.items()},
+    "architectures": ["SeedOssForCausalLM"],
+    "model_type": "seed_oss",
+    "attention_bias": True,
+    "attention_out_bias": False,
+    "head_dim": 32,
+}
+
+TINY_ERNIE45_CFG = {
+    **{k: v for k, v in TINY_LLAMA_CFG.items()},
+    "architectures": ["Ernie4_5ForCausalLM"],
+    "model_type": "ernie4_5",
+    "use_bias": False,
+    "head_dim": 32,
+    "pad_token_id": 0,
+}
+
 TINY_NEMOTRON_CFG = {
     **{k: v for k, v in TINY_LLAMA_CFG.items() if k != "rms_norm_eps"},
     "architectures": ["NemotronForCausalLM"],
