@@ -165,3 +165,38 @@ def apply_rope(
         return out.astype(x.dtype)
 
     return rotate(q), rotate(k)
+
+
+def apply_rope_mrope(
+    q: jnp.ndarray,  # [B, E, H, D]
+    k: jnp.ndarray,  # [B, E, Hkv, D]
+    mrope_positions: jnp.ndarray,  # [B, 3, E] (t, h, w) position ids
+    cos_sin_cache: jnp.ndarray,  # [max_pos, D]
+    sections,  # (t, h, w) frequency-slot counts, sum == D/2
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multimodal rotary (Qwen2-VL M-RoPE, neox style): frequency slot j
+    takes its rotation angle from the t/h/w position id per `sections`
+    (reference: transformers apply_multimodal_rotary_pos_emb; the reference
+    serving stack computes the same in MRotaryEmbedding). Text tokens carry
+    three equal ids, which reduces to standard RoPE."""
+    rot = cos_sin_cache.shape[-1]
+    half = rot // 2
+    # [B, 3, E, D] -> cos/sin [B, 3, E, D/2]
+    rows = cos_sin_cache[mrope_positions]
+    cos3, sin3 = jnp.split(rows, 2, axis=-1)
+    sec_id = np.repeat(np.arange(3), np.asarray(sections))  # [D/2]
+    sel = jnp.asarray(np.eye(3, dtype=np.float32)[sec_id])  # [D/2, 3]
+    cos = jnp.einsum("bseh,hs->beh", cos3, sel)[:, :, None, :]
+    sin = jnp.einsum("bseh,hs->beh", sin3, sel)[:, :, None, :]
+
+    def rotate(x):
+        x_rot = x[..., :rot]
+        x_pass = x[..., rot:]
+        x1, x2 = jnp.split(x_rot, 2, axis=-1)
+        out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                              axis=-1)
+        if x_pass.shape[-1]:
+            out = jnp.concatenate([out, x_pass], axis=-1)
+        return out.astype(x.dtype)
+
+    return rotate(q), rotate(k)

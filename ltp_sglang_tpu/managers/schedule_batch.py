@@ -140,6 +140,11 @@ class Req:
         # Multimodal items (multimodal/processor.py MultimodalItem): the
         # prompt's placeholder spans plus pixel features / projected embeds.
         self.mm_items = None
+        # M-RoPE (qwen2-vl family): [3, prompt_len] rope position ids +
+        # the delta applied to generated-token positions
+        # (multimodal/mrope.py; reference get_rope_index).
+        self.mrope_pos = None
+        self.mrope_delta = 0
 
         # Embedding mode (EmbeddingReqInput analog): no decode; the extend
         # forward pools hidden states into self.embedding and finishes.

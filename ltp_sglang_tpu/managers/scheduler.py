@@ -1148,6 +1148,37 @@ class Scheduler:
         req.spec_draft_req_idx = None
         req.spec_draft_len = 0
 
+    def _prepare_mrope(self, batch: ScheduleBatch, fb):
+        """M-RoPE (qwen2-vl family): replace fb.positions [B, E] with the
+        3-row rope ids [B, 3, E] (multimodal/mrope.py). Text tokens carry
+        three equal compressed ids (sequence index + per-request delta);
+        image spans enumerate the merged patch grid. The positions array
+        feeds ONLY rope in the forward (masks come from the length fields),
+        so the shape change is contained to the model's _rope_layer."""
+        from ltp_sglang_tpu.multimodal.mrope import ensure_req_mrope
+
+        B, E = fb.input_ids.shape
+        mp = np.broadcast_to(fb.positions[:, None, :], (B, 3, E)).copy()
+        for i, r in enumerate(batch.reqs):
+            ensure_req_mrope(r)
+            e = int(fb.extend_lens[i])
+            if e == 0:
+                continue
+            span = np.arange(
+                int(fb.prefix_lens[i]), int(fb.prefix_lens[i]) + e
+            )
+            L = r.mrope_pos.shape[1]
+            if L == 0:  # text-only request on an mrope model
+                vals = np.broadcast_to(span[None, :] + r.mrope_delta, (3, e))
+            else:
+                vals = np.where(
+                    (span < L)[None, :],
+                    r.mrope_pos[:, np.clip(span, 0, L - 1)],
+                    (span + r.mrope_delta)[None, :],
+                )
+            mp[i, :, :e] = vals
+        fb.positions = np.ascontiguousarray(mp, np.int32)
+
     def _prepare_mm(self, batch: ScheduleBatch, fb):
         """VLM extend prep: lazily encode this batch's images (runner vision
         jit + hash cache), then build the [B, E] injection arrays for the
@@ -1233,6 +1264,8 @@ class Scheduler:
             getattr(r, "mm_items", None) for r in batch.reqs
         ):
             self._prepare_mm(batch, fb)
+        if getattr(self.runner.model, "needs_mrope", False):
+            self._prepare_mrope(batch, fb)
         want_lp = any(r.return_logprob for r in batch.reqs)
         want_ids_lp = any(r.token_ids_logprob for r in batch.reqs)
         want_hid = (

@@ -38,6 +38,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlavaLlamaForCausalLM": (
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),
+    "Qwen2_5_VLForConditionalGeneration": (
+        "ltp_sglang_tpu.models.qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"
+    ),
+    "Qwen2VLForConditionalGeneration": (
+        "ltp_sglang_tpu.models.qwen2_5_vl", "Qwen2VLForConditionalGeneration"
+    ),
     "OlmoForCausalLM": ("ltp_sglang_tpu.models.olmo", "OlmoForCausalLM"),
     "Olmo2ForCausalLM": ("ltp_sglang_tpu.models.olmo", "Olmo2ForCausalLM"),
     "GraniteForCausalLM": ("ltp_sglang_tpu.models.granite", "GraniteForCausalLM"),
@@ -81,6 +87,8 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
         "ltp_sglang_tpu.models.granitemoe", "GraniteMoeForCausalLM"
     ),
     "DbrxForCausalLM": ("ltp_sglang_tpu.models.dbrx", "DbrxForCausalLM"),
+    "PhimoeForCausalLM": ("ltp_sglang_tpu.models.phimoe", "PhiMoEForCausalLM"),
+    "PhiMoEForCausalLM": ("ltp_sglang_tpu.models.phimoe", "PhiMoEForCausalLM"),
     "LlamaForSequenceClassification": (
         "ltp_sglang_tpu.models.classification", "LlamaForSequenceClassification"
     ),

@@ -35,6 +35,9 @@ class MultimodalItem:
     pad_value: int  # radix-distinguishing pseudo-token id (>= vocab)
     feature: np.ndarray  # pixel_values [3, H, W] (pre-encode)
     embeds: Optional[np.ndarray] = None  # [length, Dm] once encoded
+    # Qwen-VL family: (t, h_llm, w_llm) merged feature grid for M-RoPE
+    # (multimodal/mrope.py); None for flat-token VLMs (llava).
+    llm_grid: Optional[tuple] = None
 
 
 def load_image(data) -> "np.ndarray":
@@ -118,6 +121,14 @@ class MultimodalProcessor:
         self.image_token_index = model.image_token_index
         self.num_image_tokens = model.num_image_tokens
         self.preprocessor = ClipImagePreprocessor.from_model_dir(model_dir)
+        # Fixed-resolution VLMs (qwen-vl family here): every image resizes
+        # to one square so the vision tower's window partition / grids stay
+        # compile-time static.
+        fixed = getattr(model, "fixed_image_size", None)
+        if fixed:
+            self.preprocessor.shortest_edge = fixed
+            self.preprocessor.crop = fixed
+        self.llm_grid = getattr(model, "mm_llm_grid", None)
 
     def process(
         self, input_ids: List[int], images: List[Any]
@@ -140,7 +151,7 @@ class MultimodalProcessor:
             pad = self.vocab_size + hash_feature(feature) % (1 << 30)
             items.append(MultimodalItem(
                 offset=len(out), length=self.num_image_tokens,
-                pad_value=pad, feature=feature,
+                pad_value=pad, feature=feature, llm_grid=self.llm_grid,
             ))
             out.extend([pad] * self.num_image_tokens)
             img_i += 1

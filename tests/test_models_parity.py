@@ -197,6 +197,29 @@ TINY_GRANITEMOE_CFG = {
     "torch_dtype": "float32",
 }
 
+TINY_PHIMOE_CFG = {
+    "architectures": ["PhimoeForCausalLM"],
+    "model_type": "phimoe",
+    "hidden_size": 128,
+    "intermediate_size": 96,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "num_local_experts": 4,
+    "num_experts_per_tok": 2,
+    "router_jitter_noise": 0.01,
+    "attention_bias": True,
+    "lm_head_bias": True,
+    "sliding_window": None,
+    "torch_dtype": "float32",
+}
+
 TINY_DBRX_CFG = {
     "architectures": ["DbrxForCausalLM"],
     "model_type": "dbrx",
@@ -222,8 +245,8 @@ TINY_DBRX_CFG = {
 @pytest.mark.parametrize(
     "cfg",
     [TINY_MIXTRAL_CFG, TINY_QWEN3_MOE_CFG, TINY_OLMOE_CFG, TINY_GRANITEMOE_CFG,
-     TINY_DBRX_CFG],
-    ids=["mixtral", "qwen3_moe", "olmoe", "granitemoe", "dbrx"],
+     TINY_DBRX_CFG, TINY_PHIMOE_CFG],
+    ids=["mixtral", "qwen3_moe", "olmoe", "granitemoe", "dbrx", "phimoe"],
 )
 def test_moe_greedy_parity(cfg):
     import torch
