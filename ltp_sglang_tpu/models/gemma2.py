@@ -105,6 +105,32 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
         hidden = params["embed"]["weight"][step.input_ids] * jnp.asarray(
             self.embed_scale, dtype=self.dtype
         )
+        if step.mm_embeds is not None:
+            # VLM injection AFTER the embed scale (HF gemma3 masked_scatter
+            # replaces the scaled embeds with raw projected features).
+            hidden = jnp.where(
+                step.mm_mask[:, :, None], step.mm_embeds.astype(hidden.dtype),
+                hidden,
+            )
+        # Gemma3 VLM: image tokens attend BIDIRECTIONALLY within their own
+        # span (HF token_type_ids mask). Span identity comes free from the
+        # radix pad ids: image positions carry their image's hash id, so
+        # same-id ∧ both-image == same-span. Expressed through the attention
+        # contract's tree_mask (causal-within-block ∨ same-span; prefix
+        # stays fully visible). Caveat: on SWA ring layers the block-column
+        # mapping assumes positions < ring (true until a prompt wraps the
+        # ring; images that deep in context lose the forward half of the
+        # bidirectional mask, never correctness of causal attention).
+        mm_bidir = None
+        if getattr(self, "mm_bidirectional", False) and step.mm_mask is not None:
+            ids = step.input_ids
+            img = step.mm_mask
+            same = (
+                (ids[:, :, None] == ids[:, None, :])
+                & img[:, :, None] & img[:, None, :]
+            )
+            ee = jnp.arange(E, dtype=jnp.int32)
+            mm_bidir = (ee[None, :, None] >= ee[None, None, :]) | same
         cache_locs_flat = step.cache_locs.reshape(-1)
 
         layers, quant_stacked = self._split_quant_leaves(params["layers"])
@@ -220,6 +246,7 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
                 self.sm_scale,
                 logit_cap=self.attn_logit_softcap,
                 sliding_window=window,
+                tree_mask=mm_bidir,
             )
             if vsc is not None:
                 attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)

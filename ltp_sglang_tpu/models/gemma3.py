@@ -88,3 +88,109 @@ class Gemma3ForCausalLM(Gemma2ForCausalLM):
                     for i in range(L)
                 ]), dtype=self.dtype)
         return params
+
+
+class Gemma3ForConditionalGeneration(Gemma3ForCausalLM):
+    """Gemma-3 VLM: SigLIP tower + avg-pool projector + gemma3 text.
+
+    Reference: srt/models/gemma3_mm.py + multimodal/processors/gemma3.py.
+    Projector (HF Gemma3MultiModalProjector): SigLIP last_hidden_state
+    [B, P^2, Dv] -> avg-pool the patch grid down to mm_tokens_per_image
+    -> gemma-style RMS norm -> matmul to the text width. Image tokens
+    attend bidirectionally within their span (mm_bidirectional; mask built
+    in models/gemma2.py forward from the radix pad ids)."""
+
+    mm_bidirectional = True
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        from ltp_sglang_tpu.models.siglip import SiglipVisionTower
+
+        hf_raw = config.hf_config
+        self.vision_config = hf_raw.get("vision_config", {})
+        self.vision = SiglipVisionTower(self.vision_config, dtype=self.dtype)
+        self.image_token_index = hf_raw.get(
+            "image_token_index", hf_raw.get("image_token_id", 262144)
+        )
+        self.num_image_tokens = int(hf_raw.get("mm_tokens_per_image", 256))
+        g = self.vision.image_size // self.vision.patch
+        ts = int(self.num_image_tokens ** 0.5)
+        assert ts * ts == self.num_image_tokens and g % ts == 0, (g, ts)
+        self._pool_k = g // ts
+        self._patches_side = g
+
+    def init_params(self, seed: int = 0):
+        import jax as _jax
+
+        params = super().init_params(seed)
+        key = _jax.random.PRNGKey(seed + 7)
+        k1, k2 = _jax.random.split(key)
+        Dv, Dm = self.vision.hidden, self.config.hidden_size
+        params["vision"] = self.vision.init_params(k1)
+        params["projector"] = {
+            "norm": jnp.zeros((Dv,), self.dtype),  # gemma (1+w) norm
+            "proj": (jnp.asarray(
+                np.asarray(
+                    _jax.random.normal(k2, (Dv, Dm)) * 0.02
+                ), self.dtype)),
+        }
+        return params
+
+    def param_specs(self):
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        specs = super().param_specs()
+        dummy = self.vision.init_params(_jax.random.PRNGKey(0))
+        specs["vision"] = _jax.tree.map(
+            lambda a: P(*([None] * a.ndim)), dummy
+        )
+        specs["projector"] = {"norm": P(None), "proj": P(None, None)}
+        return specs
+
+    def convert_hf_weights(self, weights):
+        lm_weights = {}
+        vis_prefix = "vision_tower.vision_model."
+        proj_prefix = "multi_modal_projector."
+        for name, w in weights.items():
+            if name.startswith("model.language_model."):
+                lm_weights["model." + name[len("model.language_model."):]] = w
+            elif name.startswith("language_model.model."):
+                lm_weights["model." + name[len("language_model.model."):]] = w
+            elif name.startswith("language_model."):
+                lm_weights[name[len("language_model."):]] = w
+            elif name.startswith("model.vision_tower."):
+                vis_prefix = "model.vision_tower.vision_model."
+            elif name.startswith("model.multi_modal_projector."):
+                proj_prefix = "model.multi_modal_projector."
+        if not lm_weights:
+            lm_weights = weights
+        params = super().convert_hf_weights(lm_weights)
+        params["vision"] = self.vision.convert_hf_weights(weights, vis_prefix)
+        params["projector"] = {
+            "norm": jnp.asarray(
+                np.asarray(weights[proj_prefix + "mm_soft_emb_norm.weight"]),
+                self.dtype),
+            "proj": jnp.asarray(
+                np.asarray(
+                    weights[proj_prefix + "mm_input_projection_weight"]
+                ), self.dtype),
+        }
+        return params
+
+    def encode_images(self, params, pixel_values):
+        """[B, 3, S, S] -> projected features [B, mm_tokens, Dm_text]."""
+        from ltp_sglang_tpu.layers.norm import rms_norm
+
+        feats = self.vision.forward(params["vision"], pixel_values)
+        B, P2, Dv = feats.shape
+        g, k = self._patches_side, self._pool_k
+        x = feats.reshape(B, g, g, Dv)
+        x = x.reshape(B, g // k, k, g // k, k, Dv).mean(axis=(2, 4))
+        x = x.reshape(B, -1, Dv)
+        x = rms_norm(x, params["projector"]["norm"],
+                     self.vision.eps, gemma_style=True)
+        return jnp.einsum(
+            "bnd,de->bne", x, params["projector"]["proj"],
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)

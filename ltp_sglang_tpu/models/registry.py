@@ -21,6 +21,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Gemma2ForCausalLM": ("ltp_sglang_tpu.models.gemma2", "Gemma2ForCausalLM"),
     "Gemma3ForCausalLM": ("ltp_sglang_tpu.models.gemma3", "Gemma3ForCausalLM"),
     "Gemma3TextModel": ("ltp_sglang_tpu.models.gemma3", "Gemma3ForCausalLM"),
+    "Gemma3ForConditionalGeneration": (
+        "ltp_sglang_tpu.models.gemma3", "Gemma3ForConditionalGeneration"
+    ),
     "MistralForCausalLM": ("ltp_sglang_tpu.models.mistral", "MistralForCausalLM"),
     "Qwen2MoeForCausalLM": ("ltp_sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
