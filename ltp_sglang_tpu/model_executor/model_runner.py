@@ -980,6 +980,8 @@ class ModelRunner:
                     hidden.astype(jnp.float32) * mask[:, :, None], axis=1
                 )
                 pooled = s / jnp.maximum(extend_lens, 1)[:, None]
+            elif pooling == "cls":  # encoder models (bert/xlm-roberta)
+                pooled = hidden[:, 0].astype(jnp.float32)
             else:  # "last"
                 last_idx = jnp.maximum(extend_lens - 1, 0)
                 pooled = jnp.take_along_axis(

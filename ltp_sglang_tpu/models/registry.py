@@ -92,6 +92,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "DbrxForCausalLM": ("ltp_sglang_tpu.models.dbrx", "DbrxForCausalLM"),
     "PhimoeForCausalLM": ("ltp_sglang_tpu.models.phimoe", "PhiMoEForCausalLM"),
     "PhiMoEForCausalLM": ("ltp_sglang_tpu.models.phimoe", "PhiMoEForCausalLM"),
+    "BertModel": ("ltp_sglang_tpu.models.bert", "BertModel"),
+    "BertForMaskedLM": ("ltp_sglang_tpu.models.bert", "BertModel"),
+    "XLMRobertaModel": ("ltp_sglang_tpu.models.bert", "BertModel"),
     "LlamaForSequenceClassification": (
         "ltp_sglang_tpu.models.classification", "LlamaForSequenceClassification"
     ),

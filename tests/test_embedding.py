@@ -120,3 +120,50 @@ def test_embedding_and_generation_interleave(engine):
     )
     assert gen["output_ids"] == gen2["output_ids"]
     assert len(emb["embedding"]) > 0
+
+
+def test_bert_encoder_embedding_parity():
+    """BertModel (encoder-only, bidirectional) through the encode API vs HF
+    last_hidden_state with cls/mean pooling."""
+    import json
+    import os
+
+    import torch
+    from transformers import BertConfig, BertModel as HFBert
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    cfg = BertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=2,
+    )
+    torch.manual_seed(9)
+    hf = HFBert(cfg).to(torch.float32).eval()
+    d = tempfile.mkdtemp(prefix="tiny_bert_")
+    hf.save_pretrained(d, safe_serialization=True)
+    with open(os.path.join(d, "config.json")) as f:
+        raw = json.load(f)
+    raw["architectures"] = ["BertModel"]
+    raw["pooling_type"] = "cls"
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(raw, f)
+
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=1024, max_running_requests=8,
+        chunked_prefill_size=-1,
+    ))
+    ids = [[101, 7, 9, 11, 102], [101, 30, 40, 102]]
+    out = eng.encode(input_ids=ids)
+    with torch.no_grad():
+        for row, o in zip(ids, out):
+            hstate = hf(
+                input_ids=torch.tensor([row]),
+                attention_mask=torch.ones((1, len(row)), dtype=torch.long),
+            ).last_hidden_state[0]
+            np.testing.assert_allclose(
+                np.asarray(o["embedding"]), hstate[0].numpy(),
+                rtol=2e-4, atol=2e-4,
+            )
