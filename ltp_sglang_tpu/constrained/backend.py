@@ -84,9 +84,32 @@ class GrammarBackend:
                 elif kind == "json_schema":
                     pattern = schema_to_regex(value)
                 elif kind == "ebnf":
-                    from ltp_sglang_tpu.constrained.ebnf import ebnf_to_regex
+                    from ltp_sglang_tpu.constrained.ebnf import (
+                        ebnf_is_recursive,
+                        ebnf_to_regex,
+                    )
 
-                    pattern = ebnf_to_regex(value)
+                    if ebnf_is_recursive(value):
+                        # Recursive grammars get the exact PDA engine
+                        # (unbounded nesting; pda.py). Non-recursive ones
+                        # keep the DFA pipeline — full inlining is exact and
+                        # its per-state masks precompute.
+                        from ltp_sglang_tpu.constrained.pda import (
+                            PDAGrammarSpec,
+                            PDATokenFSM,
+                        )
+
+                        spec = PDAGrammarSpec(value)
+                        fsm = PDATokenFSM(
+                            spec, self._trie, self.vocab_size, self.eos_ids
+                        )
+                        self._fsm_cache[key] = fsm
+                        logger.info(
+                            "compiled recursive EBNF as PDA (%d rules)",
+                            len(spec.rules),
+                        )
+                        return self._instantiate(fsm)
+                    pattern = ebnf_to_regex(value, max_depth=64)
                 else:
                     raise ValueError(f"unsupported grammar kind: {kind}")
                 dfa = compile_regex(pattern)
@@ -98,6 +121,7 @@ class GrammarBackend:
         return self._instantiate(fsm)
 
     def _instantiate(self, fsm):
+        from ltp_sglang_tpu.constrained.pda import PDAGrammar, PDATokenFSM
         from ltp_sglang_tpu.constrained.structural_tag import (
             StructuralTagFSM,
             StructuralTagGrammar,
@@ -105,6 +129,8 @@ class GrammarBackend:
 
         if isinstance(fsm, StructuralTagFSM):
             return StructuralTagGrammar(fsm, self._token_strings)
+        if isinstance(fsm, PDATokenFSM):
+            return PDAGrammar(fsm, self._token_strings)
         return RegexGrammar(fsm, self._token_strings)
 
     def try_get_cached(self, key: Tuple[str, str]):

@@ -253,3 +253,36 @@ def ebnf_to_regex(text: str, max_depth: int = 6) -> str:
             f"within depth {max_depth}"
         )
     return out
+
+
+def ebnf_is_recursive(text: str) -> bool:
+    """True when any rule can (transitively) reference itself — the regex
+    inlining path cannot be exact then and the PDA engine (pda.py) serves
+    the grammar instead."""
+    rules = parse_ebnf(text)
+
+    def refs(node, acc):
+        kind = node[0]
+        if kind == "ref":
+            acc.add(node[1])
+        elif kind in ("alt", "seq"):
+            for sub in node[1]:
+                refs(sub, acc)
+        elif kind == "rep":
+            refs(node[1], acc)
+        return acc
+
+    graph = {name: refs(node, set()) for name, node in rules.items()}
+    color = {}
+
+    def visit(u):
+        color[u] = 1
+        for w in graph.get(u, ()):  # undefined refs error later in compile
+            if color.get(w) == 1:
+                return True
+            if color.get(w) != 2 and visit(w):
+                return True
+        color[u] = 2
+        return False
+
+    return any(color.get(n) != 2 and visit(n) for n in graph)

@@ -327,10 +327,15 @@ def test_async_grammar_compile_does_not_stall_decode(engine):
     backend = engine.scheduler.grammar_backend
     real_get = backend.get_grammar
     slow_pattern = r"slowslowslow[0-9]+"
+    # Event-gated compile: no wall-clock bounds (r03 weak #5 flake). The
+    # gate opens only AFTER the plain request finished, so "the plain
+    # request completed while the compile was still pending" holds by
+    # construction, deterministically.
+    gate = threading.Event()
 
     def slow_get(key):
         if key[1] == slow_pattern:
-            _time.sleep(1.5)
+            assert gate.wait(timeout=30), "test gate never released"
         return real_get(key)
 
     backend.get_grammar = slow_get
@@ -346,25 +351,29 @@ def test_async_grammar_compile_does_not_stall_decode(engine):
                     "regex": slow_pattern,
                 },
             )
-            results["slow_done_at"] = _time.time()
 
         t = threading.Thread(target=run_slow)
         t.start()
-        _time.sleep(0.15)  # let the slow request get parked
-        t0 = _time.time()
+        # Wait (bounded) until the request is actually PARKED.
+        for _ in range(1000):
+            if engine.scheduler.grammar_queue:
+                break
+            _time.sleep(0.01)
+        assert engine.scheduler.grammar_queue, "request never parked"
         results["plain"] = engine.generate(
             prompt="b", sampling_params={"max_new_tokens": 4, "temperature": 0.0}
         )
-        results["plain_done_at"] = _time.time()
+        # The compile is still gated, so the slow request CANNOT be done.
+        assert "slow" not in results
+        assert len(results["plain"]["output_ids"]) == 4
+        gate.set()
         t.join(timeout=30)
         assert not t.is_alive()
-        # The plain request must not have waited for the 1.5 s compile.
-        assert results["plain_done_at"] - t0 < 1.2
-        assert results["plain_done_at"] < results["slow_done_at"]
         assert results["slow"]["text"].startswith("slowslowslow"), results[
             "slow"
         ]["text"]
     finally:
+        gate.set()
         backend.get_grammar = real_get
 
 
@@ -392,3 +401,98 @@ def test_grammar_compile_timeout_aborts(engine):
     finally:
         backend.get_grammar = real_get
         engine.scheduler.grammar_compile_timeout = old_timeout
+
+
+# ------------------------- PDA (recursive EBNF) -------------------------
+def test_pda_ebnf_depth12_nested_json():
+    """Recursive EBNF is EXACT via the PDA engine — nesting far past the
+    regex path's old inlining bound must accept and mask correctly
+    (VERDICT r03 #8; reference xgrammar PDA)."""
+    from ltp_sglang_tpu.constrained.pda import PDAGrammarSpec, PDATokenFSM
+    from ltp_sglang_tpu.constrained.token_fsm import VocabTrie
+
+    g = r'''
+root ::= value
+value ::= object | array | "1" | "\"s\""
+object ::= "{" ( "\"k\":" value ) "}"
+array ::= "[" value ("," value)* "]"
+'''
+    toks = [None, "[", "]", "{", "}", '"k":', ",", "1", '"s"', "[[", "]]"]
+    trie = VocabTrie(toks)
+    fsm = PDATokenFSM(PDAGrammarSpec(g), trie, len(toks), eos_ids=[0])
+
+    from ltp_sglang_tpu.constrained.pda import PDAGrammar
+
+    gr = PDAGrammar(fsm, toks)
+    depth = 12
+    for _ in range(depth // 2):
+        assert gr.accept_token(9)  # "[["
+    assert gr.accept_token(7)  # "1"
+    # Mid-nesting: EOS must be FORBIDDEN, "]" allowed.
+    mask = np.ones((len(toks),), bool)
+    gr.fill_vocab_mask(mask)
+    assert mask[0], "EOS must be forbidden mid-nesting"
+    assert not mask[2], '"]" must be allowed'
+    for _ in range(depth // 2):
+        assert gr.accept_token(10)  # "]]"
+    gr.fill_vocab_mask(mask)
+    assert not mask[0], "EOS allowed at a complete value"
+    assert gr.accept_token(0)  # EOS
+    assert gr.is_terminated()
+    # Rejection beyond the structure: trailing "]" is invalid.
+    gr2 = PDAGrammar(fsm, toks)
+    assert gr2.accept_token(7)
+    assert not gr2.accept_token(2)
+
+
+def test_pda_left_recursion_rejected_at_compile():
+    from ltp_sglang_tpu.constrained.pda import PDAGrammarSpec
+
+    with pytest.raises(ValueError, match="left-recursive"):
+        PDAGrammarSpec('root ::= root "a" | "b"\n')
+    # Indirect (through a nullable prefix) left recursion too.
+    with pytest.raises(ValueError, match="left-recursive"):
+        PDAGrammarSpec('root ::= b "x"\nb ::= c? root\nc ::= "y"\n')
+
+
+def test_pda_ebnf_e2e_generation_and_submit_error(engine):
+    """Recursive EBNF end-to-end: the constrained output parses under the
+    grammar at any depth; a left-recursive grammar aborts at submit time
+    with a clear error (no mid-generation dead end)."""
+    g = r'''
+root ::= value
+value ::= "[" value "]" | "x"
+'''
+    out = engine.generate(
+        prompt="go: ",
+        sampling_params={"max_new_tokens": 24, "temperature": 0.0, "ebnf": g},
+    )
+    # A random model may not COMPLETE the value in the budget, but every
+    # emitted prefix must be valid under the grammar at ANY depth — the old
+    # regex path went dead (all-forbidden mask -> abort) past depth 6.
+    t = out["text"]
+    assert re.fullmatch(r"\[*(x\]*)?", t), t
+    assert t.count("]") <= t.count("["), t
+    fr = out["meta_info"]["finish_reason"]
+    assert fr["type"] != "abort", fr
+    # Force a COMPLETED deep parse: depth-12 closing enforced by budget.
+    g2 = ('root ::= v12\n'
+          + "".join(f'v{i} ::= "[" v{i-1} "]" | "x"\n' for i in range(12, 0, -1))
+          + 'v0 ::= "x"\n')
+    out2 = engine.generate(
+        prompt="go: ",
+        sampling_params={"max_new_tokens": 32, "temperature": 0.0, "ebnf": g2},
+    )
+    t2 = out2["text"]
+    assert re.fullmatch(r"\[{0,12}x\]{0,12}", t2) and \
+        t2.count("[") == t2.count("]"), t2
+
+    bad = engine.generate(
+        prompt="go: ",
+        sampling_params={
+            "max_new_tokens": 8, "temperature": 0.0,
+            "ebnf": 'root ::= root "a" | "b"\n',
+        },
+    )
+    fr = bad["meta_info"]["finish_reason"]
+    assert fr["type"] == "abort" and "left-recursive" in str(fr), fr
