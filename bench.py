@@ -269,6 +269,47 @@ def run_http(cfg, bs, prompt_len, gen_len, page_size, window, reps=2):
     )
 
 
+def ep_ragged_smoke() -> str:
+    """ep=1 jax.lax.ragged_all_to_all smoke on the REAL chip: the EP token
+    dispatch's TPU transport never executes under the CPU test mesh (its
+    dense emulation does), so this verifies the primitive's offset-semantics
+    binding every benched round. LTP_EP_TRANSPORT=dense is the documented
+    runtime fallback if the primitive regresses (layers/moe.py)."""
+    import numpy as _np
+
+    from jax.sharding import Mesh
+
+    from ltp_sglang_tpu.layers.moe import moe_ffn, moe_ffn_ep_a2a
+
+    old = os.environ.get("LTP_EP_TRANSPORT")
+    os.environ["LTP_EP_TRANSPORT"] = "ragged"
+    try:
+        rng = _np.random.default_rng(0)
+        T, Dm, I, E, k = 8, 128, 256, 4, 2
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.standard_normal((T, Dm)), jnp.float32)
+        w = jnp.asarray(rng.random((T, k)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, E, (T, k)), jnp.int32)
+        gw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.05, jnp.float32)
+        uw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.05, jnp.float32)
+        dw = jnp.asarray(rng.standard_normal((E, I, Dm)) * 0.05, jnp.float32)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
+        out = moe_ffn_ep_a2a(x, w, idx, gw, uw, dw, mesh, axis="tp")
+        ref = moe_ffn(x, w, idx, gw, uw, dw)
+        _np.testing.assert_allclose(
+            _np.asarray(out), _np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+        return "ok"
+    except Exception as e:  # noqa: BLE001 — recorded, not fatal
+        return f"failed: {e}"
+    finally:
+        if old is None:
+            os.environ.pop("LTP_EP_TRANSPORT", None)
+        else:
+            os.environ["LTP_EP_TRANSPORT"] = old
+
+
 def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -361,6 +402,8 @@ def main():
         "bf16_tok_per_s": round(bf16["best"], 2),
         "bf16_median_tok_per_s": round(bf16["median"], 2),
     }
+    if on_tpu:
+        result["ep_ragged_smoke"] = ep_ragged_smoke()
     if "prefill_mfu" in bf16:
         result["prefill_mfu"] = round(bf16["prefill_mfu"], 4)
         result["prefill_tok_per_s"] = round(bf16["prefill_tok_per_s"], 1)

@@ -74,6 +74,9 @@ class ServerArgs:
     hicache_write_threshold: int = 2
     # File-backed host arena (the storage tier; reference HiCacheStorage).
     hicache_storage_dir: Optional[str] = None
+    # Run running-batch decode steps INSIDE prefill programs as 1-token
+    # extends (ForwardMode.MIXED; reference scheduler.py:1646 mixed batches)
+    # so decodes don't stall behind long chunks.
     enable_mixed_chunk: bool = False
     disable_overlap_schedule: bool = False
     retract_decode_steps: int = 20
@@ -103,7 +106,7 @@ class ServerArgs:
     context_buckets: Optional[List[int]] = None
 
     # Speculative decoding
-    speculative_algorithm: Optional[str] = None  # EAGLE | EAGLE3 | NGRAM
+    speculative_algorithm: Optional[str] = None  # EAGLE | EAGLE3 | STANDALONE
     speculative_draft_model_path: Optional[str] = None
     speculative_num_steps: int = 5
     speculative_eagle_topk: int = 4

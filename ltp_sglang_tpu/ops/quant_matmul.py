@@ -50,8 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget for one w4 block (double-buffered by the pipeline). Sized so
 # blocks + stack fit the 16 MB scoped-vmem limit even at prefill Mb=128
-# (out/acc [128, Nb] f32 revisited blocks).
-_W4_BLOCK_BYTES = 2 << 20
+# (out/acc [128, Nb] f32 revisited blocks). Env-tunable for A/B runs.
+_W4_BLOCK_BYTES = int(
+    float(os.environ.get("LTP_INT4_BLOCK_MB", "2")) * (1 << 20)
+)
 # Stack budget for the per-subtile int32 widen (+ bf16 halves).
 _SUBTILE_I32_BYTES = 2 << 20
 

@@ -158,3 +158,68 @@ def test_grammar_window_generation(dummy_dir):
         if k[0] == "window" and isinstance(k[-1], tuple) and k[-1][1]
     ]
     assert masked_windows, list(cache)
+
+
+def test_mixed_chunk_equivalence_and_mode():
+    """--enable-mixed-chunk: running decodes ride prefill programs as
+    1-token extends (ForwardMode.MIXED). Outputs must be bit-identical to
+    the unmixed scheduler, and MIXED batches must actually be produced."""
+    import tempfile
+
+    from tiny_configs import write_tiny_model_dir
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+    from ltp_sglang_tpu.model_executor.forward_batch import ForwardMode
+
+    d = tempfile.mkdtemp(prefix="mixed_llama_")
+    write_tiny_model_dir(d)
+
+    def mk(mixed):
+        return Engine(ServerArgs(
+            model_path=d, dtype="float32",
+            max_total_tokens=4096, max_running_requests=8,
+            chunked_prefill_size=8, enable_mixed_chunk=mixed,
+            disable_window_pipeline=True, decode_window_size=1,
+        ))
+
+    base, mixed = mk(False), mk(True)
+    seen_modes = set()
+    orig = mixed.scheduler.run_batch
+
+    def spy(batch):
+        seen_modes.add(batch.forward_mode)
+        return orig(batch)
+
+    mixed.scheduler.run_batch = spy
+
+    rng = np.random.default_rng(0)
+    prompts = [
+        [int(x) for x in rng.integers(3, 500, size=n)]
+        for n in (30, 21, 26, 17)
+    ]
+    sp = {"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True}
+
+    # Stagger submissions so decodes are running when later prefills arrive.
+    def run(eng):
+        outs = []
+        import threading
+        results = [None] * len(prompts)
+
+        def worker(i):
+            results[i] = eng.generate(input_ids=prompts[i], sampling_params=dict(sp))
+
+        threads = []
+        for i in range(len(prompts)):
+            t = threading.Thread(target=worker, args=(i,))
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=60)
+        return results
+
+    ref = run(base)
+    got = run(mixed)
+    for r, g in zip(ref, got):
+        assert g["output_ids"] == r["output_ids"], (g["output_ids"], r["output_ids"])
+    assert ForwardMode.MIXED in seen_modes, seen_modes
