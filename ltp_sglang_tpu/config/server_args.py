@@ -74,6 +74,9 @@ class ServerArgs:
     hicache_write_threshold: int = 2
     # File-backed host arena (the storage tier; reference HiCacheStorage).
     hicache_storage_dir: Optional[str] = None
+    # Host->device load-back layer-range chunks (per-layer overlap;
+    # reference LayerDoneCounter, managers/cache_controller.py:32-62).
+    hicache_layer_chunks: int = 4
     # Run running-batch decode steps INSIDE prefill programs as 1-token
     # extends (ForwardMode.MIXED; reference scheduler.py:1646 mixed batches)
     # so decodes don't stall behind long chunks.

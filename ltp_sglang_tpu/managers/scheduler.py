@@ -117,6 +117,7 @@ class Scheduler:
                 storage_dir=server_args.hicache_storage_dir,
                 write_policy=server_args.hicache_write_policy,
                 write_threshold=server_args.hicache_write_threshold,
+                layer_chunks=server_args.hicache_layer_chunks,
             )
         elif server_args.radix_cache_backend == "cpp":
             from ltp_sglang_tpu.mem_cache.radix_cache_cpp import CppRadixCache

@@ -81,9 +81,10 @@ class HiRadixCache(RadixCache):
     def __init__(self, req_to_token_pool, token_to_kv_pool_allocator, runner,
                  page_size: int = 1, host_tokens: int = 1 << 20,
                  storage_dir=None, write_policy: str = "write_through_selective",
-                 write_threshold: int = 2):
+                 write_threshold: int = 2, layer_chunks: int = 4):
         super().__init__(req_to_token_pool, token_to_kv_pool_allocator, page_size)
         self.runner = runner
+        self.layer_chunks = max(1, int(layer_chunks))
         self.arena = HostKVArena(runner, host_tokens, storage_dir=storage_dir)
         self.num_host_hits = 0
         self.num_writebacks = 0
@@ -138,16 +139,32 @@ class HiRadixCache(RadixCache):
         slots = np.asarray(slots, np.int32)
         hv = np.asarray(node.host_value)
 
-        def gather():
-            # jnp.asarray starts the device_put; the transfer itself also
-            # overlaps whatever the chip is running.
+        # LAYER-CHUNKED pipeline (the TPU translation of the reference's
+        # LayerDoneCounter, managers/cache_controller.py:32-62): the load is
+        # split into layer ranges; each chunk's host gather + H2D starts as
+        # soon as the previous finishes, and the fence below SCATTERS chunks
+        # as they arrive — so chunk k's device scatter overlaps chunk k+1's
+        # host gather/H2D, and at fence time only the tail chunk's work
+        # remains, instead of the whole transfer.
+        L = self.runner.k_cache.shape[0]
+        n_chunks = min(int(self.layer_chunks), L) or 1
+        bounds = np.linspace(0, L, n_chunks + 1, dtype=np.int64)
+        slots_dev = jnp.asarray(slots)
+
+        def gather_chunk(lo, hi):
+            # jnp.asarray starts the device_put; the transfer overlaps both
+            # in-flight device work and later chunks' memmap page-ins.
             return (
-                jnp.asarray(slots),
-                jnp.asarray(self.arena.k[:, hv]),
-                jnp.asarray(self.arena.v[:, hv]),
+                jnp.asarray(self.arena.k[lo:hi, hv]),
+                jnp.asarray(self.arena.v[lo:hi, hv]),
             )
 
-        self._pending_loads.append(self._loader.submit(gather))
+        chunks = []
+        for ci in range(n_chunks):
+            lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+            if hi > lo:
+                chunks.append((lo, self._loader.submit(gather_chunk, lo, hi)))
+        self._pending_loads.append((slots_dev, chunks))
         node.value = slots
         self.evictable_size_ += n
         self.num_host_hits += 1
@@ -156,16 +173,19 @@ class HiRadixCache(RadixCache):
     def drain_pending_loads(self):
         """Fence: dispatch every pending host->device load's scatter before
         a forward can read the claimed slots (LayerDoneCounter consumer
-        analog, scheduler.py:1703-1706)."""
+        analog, scheduler.py:1703-1706). Chunks scatter as their transfers
+        complete (per-layer-range overlap; see _load_back)."""
         if not self._pending_loads:
             return
         pending, self._pending_loads = self._pending_loads, []
         r = self.runner
-        for fut in pending:
-            slots, k_rows, v_rows = fut.result()
-            r.k_cache, r.v_cache = _hicache_write(
-                r.k_cache, r.v_cache, slots, k_rows, v_rows
-            )
+        for slots_dev, chunks in pending:
+            for lo, fut in chunks:
+                k_rows, v_rows = fut.result()
+                r.k_cache, r.v_cache = _hicache_write_layers(
+                    r.k_cache, r.v_cache, jnp.int32(lo), slots_dev,
+                    k_rows, v_rows,
+                )
 
     # ------------------------------------------------------- write policies
     def _write_through_node(self, node: TreeNode) -> bool:
@@ -365,4 +385,15 @@ class HiRadixCache(RadixCache):
 def _hicache_write(kc, vc, slots, k_rows, v_rows):
     kc = kc.at[:, slots].set(k_rows.astype(kc.dtype))
     vc = vc.at[:, slots].set(v_rows.astype(vc.dtype))
+    return kc, vc
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _hicache_write_layers(kc, vc, layer_lo, slots, k_rows, v_rows):
+    """Scatter one layer-range chunk [Lc, n, r, ln] into the pools at layer
+    offset layer_lo (per-layer-overlap load-back; see _load_back)."""
+    Lc = k_rows.shape[0]
+    li = layer_lo + jnp.arange(Lc, dtype=jnp.int32)
+    kc = kc.at[li[:, None], slots[None, :]].set(k_rows.astype(kc.dtype))
+    vc = vc.at[li[:, None], slots[None, :]].set(v_rows.astype(vc.dtype))
     return kc, vc

@@ -169,3 +169,28 @@ def test_async_loadback_parity_under_churn():
     # must clear it.
     cache.drain_pending_loads()
     assert not cache._pending_loads
+
+
+@pytest.mark.parametrize("chunks", [1, 3, 32])
+def test_layer_chunked_loadback_parity(chunks):
+    """The per-layer-range load-back pipeline (hicache_layer_chunks; the
+    reference LayerDoneCounter analog) must be bit-identical for any chunk
+    count, including chunks > num_layers (clamped)."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="hicache_chunks_")
+    write_tiny_model_dir(d)
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=96, max_running_requests=4,
+        enable_hierarchical_cache=True, hicache_layer_chunks=chunks,
+    ))
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    prompt_a = list(range(3, 3 + 60))
+    prompt_b = list(range(200, 200 + 60))
+    ref_a = eng.generate(input_ids=prompt_a, sampling_params=sp)
+    eng.generate(input_ids=prompt_b, sampling_params=sp)
+    again = eng.generate(input_ids=prompt_a, sampling_params=sp)
+    assert again["output_ids"] == ref_a["output_ids"]
+    assert eng.scheduler.tree_cache.num_host_hits > 0
