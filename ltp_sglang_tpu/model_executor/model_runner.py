@@ -209,8 +209,8 @@ class ModelRunner:
         # program. Composes with the base serving path only for now.
         self.pp_size = mesh_ctx.pp_size if mesh_ctx else 1
         if self.pp_size > 1:
-            if mesh_ctx.tp_size != 1 or mesh_ctx.dp_size != 1:
-                raise NotImplementedError("pp currently requires tp=1, dp=1")
+            if mesh_ctx.dp_size != 1:
+                raise NotImplementedError("pp currently requires dp=1")
             if model_config.num_layers % self.pp_size:
                 raise ValueError("num_layers must divide pp_size")
             if self.model_config.quantization:
@@ -623,8 +623,15 @@ class ModelRunner:
             # (row-major [r, ln] interleaves heads; head sharding needs the
             # pallas path disabled, which multi-device already implies).
             if self.pp_size > 1:
-                k_sharding = v_sharding = self.mesh_ctx.sharding(
-                    P("pp", None, None, None)
+                # pp x tp: stage-sharded layers, head-row-sharded KV inside
+                # each stage when the row dim divides.
+                tp_ax_k = "tp" if rk % self.mesh_ctx.tp_size == 0 else None
+                tp_ax_v = "tp" if rv % self.mesh_ctx.tp_size == 0 else None
+                k_sharding = self.mesh_ctx.sharding(
+                    P("pp", None, tp_ax_k, None)
+                )
+                v_sharding = self.mesh_ctx.sharding(
+                    P("pp", None, tp_ax_v, None)
                 )
             else:
                 # K and V shard independently (MLA latent mode keeps a

@@ -106,9 +106,16 @@ def pp_forward(
         )
         return logits, kc, vc
 
+    # Manual ONLY over "pp": tensor parallelism inside each stage stays
+    # GSPMD (the stacked layer leaves keep their "tp" shardings on the
+    # trailing dims; XLA inserts the tp collectives inside the manual
+    # region). This is how pp composes with tp without hand-written
+    # per-stage collectives (reference scheduler.py:815-945 composes the
+    # same way via NCCL groups).
     fn = jax.shard_map(
         stage_fn,
         mesh=mesh,
+        axis_names=frozenset({"pp"}),
         in_specs=(
             _layer_specs(layers),
             P("pp"), P("pp"),

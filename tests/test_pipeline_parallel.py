@@ -56,3 +56,19 @@ def test_pp_radix_and_second_turn(model_dir, single_out):
     a = eng.generate(input_ids=PROMPTS[0], sampling_params=dict(SP))
     b = eng.generate(input_ids=PROMPTS[0], sampling_params=dict(SP))
     assert a["output_ids"] == b["output_ids"] == single_out[0]
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 2), (2, 4), (4, 2)])
+def test_pp_x_tp_parity(model_dir, single_out, pp, tp):
+    """PP composed with TP (reference scheduler.py:815-945): manual shard_map
+    over "pp" only; the stacked layer leaves keep their "tp" shardings and
+    GSPMD inserts the in-stage collectives."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(ServerArgs(
+        model_path=model_dir, dtype="float32", pp_size=pp, tp_size=tp,
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    outs = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    assert [o["output_ids"] for o in outs] == single_out
