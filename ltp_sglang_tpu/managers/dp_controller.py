@@ -383,6 +383,104 @@ class DataParallelController:
         self.runner._dirty_rows.clear()
         return True
 
+    # --------------------------------------------------- decode windows (K>1)
+    def _try_window_step(self) -> bool:
+        """All-decode K-step device windows across the dp groups (lifts the
+        r03 "dp-attention forces K=1" restriction). Eligible only when NO
+        group has prefill/grammar work pending, every group's running batch
+        can window at a common K > 1, and no request needs per-step host
+        work (penalties / logprobs keep the K=1 path for now). Each group
+        allocates its window slots inside its own KV region; one combined
+        window program serves all groups (global forward-mode sync holds:
+        everybody decodes)."""
+        from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
+
+        cap = self.server_args.decode_window_size
+        if cap <= 1:
+            return False
+        model = self.runner.model
+        if (getattr(model, "forward_window_token", None) is None
+                and getattr(model, "forward_window_token_paged", None) is None):
+            return False
+        active = []
+        for s in self.schedulers:
+            if (s.waiting_queue or s.chunked_req is not None
+                    or s.grammar_queue or s._inflight is not None):
+                return False
+            rb = s.running_batch
+            if rb is not None and not rb.is_empty():
+                active.append((s, rb))
+        if not active:
+            return False
+        K = cap
+        for s, rb in active:
+            if any(
+                r.sampling_params.frequency_penalty != 0.0
+                or r.sampling_params.presence_penalty != 0.0
+                or r.sampling_params.repetition_penalty != 1.0
+                or r.return_logprob or r.token_ids_logprob
+                for r in rb.reqs
+            ):
+                return False
+            K = min(K, s._choose_window(rb, cap=cap))
+            if K <= 1 or not rb.check_decode_mem(K):
+                return False
+
+        wbs = []
+        for s, rb in active:
+            rb.prepare_for_decode_window(K)
+            wbs.append(rb.get_window_batch(s.server_args, s.runner.dump_req_row))
+        B = max(wb.input_ids.shape[0] for wb in wbs)
+        C = max(wb.kv_bucket for wb in wbs)
+        V = self.model_config.vocab_size
+
+        def pad_to(a, fill=0):
+            if a.shape[0] == B:
+                return a
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        def cat(field, fill=0):
+            return np.concatenate([pad_to(getattr(wb, field), fill) for wb in wbs])
+
+        sis = [wb.sampling_info.padded(B) for wb in wbs]
+        masks = [wb.vocab_mask for wb in wbs]
+        vocab_mask = None
+        if any(m is not None for m in masks):
+            vocab_mask = np.concatenate([
+                pad_to(m, False) if m is not None else np.zeros((B, V), bool)
+                for m in masks
+            ])
+        combined = DecodeWindowBatch(
+            batch_size=sum(wb.batch_size for wb in wbs),
+            input_ids=cat("input_ids"),
+            seq0=cat("seq0"),
+            slots=cat("slots"),
+            # Pad rows of group g must use g's dump row (its own KV region).
+            req_indices=np.concatenate([
+                pad_to(wb.req_indices, s.runner.dump_req_row)
+                for (s, _), wb in zip(active, wbs)
+            ]),
+            kv_bucket=C,
+            sampling_info=_concat_sampling(sis),
+            lora_ids=cat("lora_ids"),
+            vocab_mask=vocab_mask,
+            want_logprobs=False,
+        )
+        tokens, aux = self.runner.forward_window(combined)
+        tokens = np.asarray(tokens)
+        for g, (s, rb) in enumerate(active):
+            n = len(rb.reqs)
+            s._process_decode_window_tokens(
+                rb.reqs, rb.window_slots, K, tokens[g * B : g * B + n]
+            )
+            rb.filter_batch()
+            if rb.is_empty():
+                s.running_batch = None
+        self.last_progress_time = time.time()
+        return True
+
     # ------------------------------------------------------------ main loop
     def event_loop_step(self) -> bool:
         self.last_progress_time = time.time()
@@ -390,6 +488,8 @@ class DataParallelController:
             hook()
         for s in self.schedulers:
             s._move_ready_grammar_requests()
+        if self._try_window_step():
+            return True
         batches = [s.get_next_batch_to_run() for s in self.schedulers]
         if all(b is None for b in batches):
             for s in self.schedulers:

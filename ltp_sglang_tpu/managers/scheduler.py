@@ -799,7 +799,7 @@ class Scheduler:
         return batch
 
     # ------------------------------------------------------------ decode path
-    def _choose_window(self, batch: ScheduleBatch) -> int:
+    def _choose_window(self, batch: ScheduleBatch, cap: Optional[int] = None) -> int:
         """Pick the decode-window length K for this batch: bounded by config,
         remaining generation budget, and context headroom. Penalties and
         chosen-token logprobs run IN the window program (count updates and
@@ -807,7 +807,7 @@ class Scheduler:
         grammar requests window under a constant vocab mask whenever the DFA
         closure from the current state has a stable mask
         (token_fsm.TokenFSM.stable_mask) — else K=1."""
-        w = self.server_args.decode_window_size
+        w = cap if cap is not None else self.server_args.decode_window_size
         batch.window_vocab_mask = None
         if w <= 1:
             return 1

@@ -80,7 +80,9 @@ def test_dp_group0_decodes_while_group1_prefills(model_dir, ref_outputs):
     next controller step runs decode(g0) + extend(g1) in ONE forward, and
     both outputs match the single-device reference."""
     prompts, refs = ref_outputs
-    eng = _mkengine(2, 1, model_dir)
+    # K=1 pins the per-step semantics this test asserts (one decode token
+    # per controller step); K>1 windows have their own test below.
+    eng = _mkengine(2, 1, model_dir, decode_window_size=1)
     sched = eng.scheduler
 
     from ltp_sglang_tpu.managers.io_struct import GenerateReqInput
@@ -169,3 +171,38 @@ def test_dp_grouped_sampled_and_stop(model_dir):
     )
     for o in outs:
         assert 1 <= len(o["output_ids"]) <= 8
+
+
+def test_dp_grouped_decode_windows_k8(model_dir, ref_outputs):
+    """Decode windows K>1 under dp-attention (lifts the r03 K=1
+    restriction): dp=2 x tp=2 with decode_window_size=8 must be bit-exact
+    vs single-device, and the controller's window path must actually run."""
+    prompts, ref = ref_outputs
+    eng = _mkengine(2, 2, model_dir, decode_window_size=8)
+    ctl = eng.scheduler
+    ran_windows = {"n": 0}
+    orig = ctl._try_window_step
+
+    def spy():
+        ok = orig()
+        ran_windows["n"] += int(ok)
+        return ok
+
+    ctl._try_window_step = spy
+    outs = eng.generate(
+        input_ids=prompts,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert [o["output_ids"] for o in outs] == ref
+    assert ran_windows["n"] > 0, "dp window path never engaged"
+    # Second turn (radix reuse) + a sampled batch also served under windows.
+    outs2 = eng.generate(
+        input_ids=prompts[:2],
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert [o["output_ids"] for o in outs2] == ref[:2]
+    s = eng.generate(
+        input_ids=prompts[0],
+        sampling_params={"max_new_tokens": 8, "temperature": 1.0, "top_k": 20},
+    )
+    assert len(s["output_ids"]) == 8
