@@ -16,12 +16,46 @@ from typing import Dict, List, Optional, Tuple
 
 
 class Worker:
+    """Worker health + circuit-breaker state (reference
+    sgl-router/src/core/worker.rs: consecutive failures open the circuit for
+    a cooldown; the first request after cooldown is the half-open trial —
+    success closes the circuit, failure re-opens it)."""
+
+    CB_FAILURE_THRESHOLD = 3
+    CB_COOLDOWN_S = 30.0
+
     def __init__(self, url: str):
         self.url = url
         self.healthy = True
         self.inflight = 0
         self.total = 0
         self.last_failure = 0.0
+        self.consecutive_failures = 0
+        self.circuit_open_until = 0.0
+        self.circuit_opens = 0  # lifetime count (metrics)
+
+    @property
+    def circuit_state(self) -> str:
+        if self.consecutive_failures < self.CB_FAILURE_THRESHOLD:
+            return "closed"
+        if time.time() < self.circuit_open_until:
+            return "open"
+        return "half_open"  # cooldown elapsed: next request is the trial
+
+    def available(self) -> bool:
+        return self.healthy and self.circuit_state != "open"
+
+    def note_success(self):
+        self.consecutive_failures = 0
+
+    def note_failure(self):
+        self.last_failure = time.time()
+        self.consecutive_failures += 1
+        if self.consecutive_failures >= self.CB_FAILURE_THRESHOLD:
+            newly = self.circuit_open_until < time.time()
+            self.circuit_open_until = time.time() + self.CB_COOLDOWN_S
+            if newly:
+                self.circuit_opens += 1
 
 
 class BasePolicy:
@@ -37,7 +71,7 @@ class RoundRobinPolicy(BasePolicy):
         self._i = 0
 
     def select(self, workers, prompt_key):
-        alive = [w for w in workers if w.healthy]
+        alive = [w for w in workers if w.available()]
         w = alive[self._i % len(alive)]
         self._i += 1
         return w
@@ -45,14 +79,14 @@ class RoundRobinPolicy(BasePolicy):
 
 class RandomPolicy(BasePolicy):
     def select(self, workers, prompt_key):
-        return random.choice([w for w in workers if w.healthy])
+        return random.choice([w for w in workers if w.available()])
 
 
 class PowerOfTwoPolicy(BasePolicy):
     """Pick two random workers, route to the less loaded."""
 
     def select(self, workers, prompt_key):
-        alive = [w for w in workers if w.healthy]
+        alive = [w for w in workers if w.available()]
         if len(alive) == 1:
             return alive[0]
         a, b = random.sample(alive, 2)
@@ -61,7 +95,7 @@ class PowerOfTwoPolicy(BasePolicy):
 
 class ShortestQueuePolicy(BasePolicy):
     def select(self, workers, prompt_key):
-        alive = [w for w in workers if w.healthy]
+        alive = [w for w in workers if w.available()]
         return min(alive, key=lambda w: w.inflight)
 
 
@@ -137,7 +171,7 @@ class CacheAwarePolicy(BasePolicy):
                 self._last_load[w.url] = w.inflight
 
     def select(self, workers, prompt_key):
-        alive = {w.url: w for w in workers if w.healthy}
+        alive = {w.url: w for w in workers if w.available()}
         if self.core is not None:
             self._sync(workers)
             wid = self.core.select(
@@ -145,7 +179,7 @@ class CacheAwarePolicy(BasePolicy):
                 self.min_match, self.balance_abs_threshold,
             )
             by_id = {self._ids[w.url]: w for w in workers if w.url in self._ids}
-            if wid >= 0 and wid in by_id and by_id[wid].healthy:
+            if wid >= 0 and wid in by_id and by_id[wid].available():
                 return by_id[wid]
             return min(alive.values(), key=lambda w: w.inflight)
         match_len, url = self.tree.best_match(prompt_key)

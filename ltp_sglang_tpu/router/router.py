@@ -30,12 +30,49 @@ PROXY_ROUTES = [
 ]
 
 
+class RouterMetrics:
+    """Router-level Prometheus (reference sgl-router/src/metrics.rs):
+    requests/errors/retries per worker, circuit-breaker opens, and a request
+    latency histogram, on a dedicated registry at GET /metrics."""
+
+    def __init__(self):
+        from prometheus_client import (
+            CollectorRegistry,
+            Counter,
+            Gauge,
+            Histogram,
+        )
+
+        self.registry = CollectorRegistry()
+        self.requests = Counter(
+            "router_requests_total", "Requests routed", ["worker"],
+            registry=self.registry)
+        self.errors = Counter(
+            "router_request_errors_total", "Upstream failures", ["worker"],
+            registry=self.registry)
+        self.retries = Counter(
+            "router_retries_total", "Requests retried on another worker",
+            registry=self.registry)
+        self.circuit_opens = Counter(
+            "router_circuit_open_total", "Circuit-breaker opens", ["worker"],
+            registry=self.registry)
+        self.inflight = Gauge(
+            "router_inflight_requests", "In-flight per worker", ["worker"],
+            registry=self.registry)
+        self.latency = Histogram(
+            "router_request_duration_seconds", "E2E proxy latency",
+            registry=self.registry,
+            buckets=(.05, .1, .25, .5, 1, 2.5, 5, 10, 30, 60, 120))
+
+
 class Router:
     def __init__(self, worker_urls: List[str], policy: str = "cache_aware",
-                 health_check_interval: float = 10.0):
+                 health_check_interval: float = 10.0, max_retries: int = 2):
         self.workers = [Worker(u.rstrip("/")) for u in worker_urls]
         self.policy = POLICIES[policy]()
         self.health_check_interval = health_check_interval
+        self.max_retries = max_retries
+        self.metrics = RouterMetrics()
         self.app = web.Application(client_max_size=64 * 1024 * 1024)
         for route in PROXY_ROUTES:
             self.app.router.add_post(route, self.proxy)
@@ -44,6 +81,7 @@ class Router:
         self.app.router.add_post("/add_worker", self.add_worker)
         self.app.router.add_post("/remove_worker", self.remove_worker)
         self.app.router.add_get("/v1/models", self.proxy_get)
+        self.app.router.add_get("/metrics", self.prometheus)
         self.app.on_startup.append(self._start_health_task)
         self._session = None
 
@@ -83,47 +121,96 @@ class Router:
             body = await request.json()
         except Exception:
             return web.json_response({"error": "invalid JSON"}, status=400)
-        alive = [w for w in self.workers if w.healthy]
-        if not alive:
-            return web.json_response({"error": "no healthy workers"}, status=503)
         key = self._prompt_key(body)
-        worker = self.policy.select(self.workers, key)
-        self.policy.note_routed(worker, key)
-        worker.inflight += 1
-        worker.total += 1
-        try:
-            url = worker.url + request.path
-            if body.get("stream"):
-                resp = web.StreamResponse(
-                    headers={"Content-Type": "text/event-stream"}
-                )
-                await resp.prepare(request)
+        t0 = time.time()
+        tried: set = set()
+        last_err = None
+        # Retries (reference core/worker.rs): a failed worker is marked and
+        # the request re-routes to another available worker, as long as no
+        # response bytes reached the client (mid-stream failures can't be
+        # transparently replayed).
+        for attempt in range(self.max_retries + 1):
+            candidates = [
+                w for w in self.workers if w.available() and w.url not in tried
+            ]
+            if not candidates:
+                break
+            worker = self.policy.select(candidates, key)
+            self.policy.note_routed(worker, key)
+            tried.add(worker.url)
+            if attempt > 0:
+                self.metrics.retries.inc()
+            worker.inflight += 1
+            worker.total += 1
+            self.metrics.requests.labels(worker.url).inc()
+            self.metrics.inflight.labels(worker.url).set(worker.inflight)
+            streamed = False
+            try:
+                url = worker.url + request.path
+                if body.get("stream"):
+                    async with self._session.post(url, json=body) as up:
+                        if up.status >= 500:
+                            raise aiohttp.ClientError(f"upstream {up.status}")
+                        resp = web.StreamResponse(
+                            headers={"Content-Type": "text/event-stream"}
+                        )
+                        await resp.prepare(request)
+                        streamed = True
+                        async for chunk in up.content.iter_any():
+                            await resp.write(chunk)
+                    await resp.write_eof()
+                    worker.note_success()
+                    self.metrics.latency.observe(time.time() - t0)
+                    return resp
                 async with self._session.post(url, json=body) as up:
-                    async for chunk in up.content.iter_any():
-                        await resp.write(chunk)
-                await resp.write_eof()
-                return resp
-            async with self._session.post(url, json=body) as up:
-                data = await up.read()
-                return web.Response(
-                    body=data, status=up.status, content_type="application/json"
-                )
-        except Exception as e:
-            worker.healthy = False
-            worker.last_failure = time.time()
+                    if up.status >= 500:
+                        raise aiohttp.ClientError(f"upstream {up.status}")
+                    data = await up.read()
+                    worker.note_success()
+                    self.metrics.latency.observe(time.time() - t0)
+                    return web.Response(
+                        body=data, status=up.status,
+                        content_type="application/json",
+                    )
+            except Exception as e:
+                last_err = f"worker {worker.url}: {e}"
+                was_open = worker.circuit_state == "open"
+                worker.note_failure()
+                self.metrics.errors.labels(worker.url).inc()
+                if worker.circuit_state == "open" and not was_open:
+                    self.metrics.circuit_opens.labels(worker.url).inc()
+                    logger.warning("circuit OPEN for %s", worker.url)
+                if streamed:
+                    # Bytes already reached the client: cannot replay.
+                    return web.json_response(
+                        {"error": f"stream interrupted: {last_err}"}, status=502
+                    )
+            finally:
+                worker.inflight -= 1
+                self.metrics.inflight.labels(worker.url).set(worker.inflight)
+        if not any(w.available() for w in self.workers):
             return web.json_response(
-                {"error": f"worker {worker.url} failed: {e}"}, status=502
+                {"error": "no healthy workers"}, status=503
             )
-        finally:
-            worker.inflight -= 1
+        return web.json_response(
+            {"error": f"all retries failed: {last_err}"}, status=502
+        )
 
     async def proxy_get(self, request: web.Request):
-        alive = [w for w in self.workers if w.healthy]
+        alive = [w for w in self.workers if w.available()]
         if not alive:
             return web.json_response({"error": "no healthy workers"}, status=503)
         async with self._session.get(alive[0].url + request.path) as up:
             return web.Response(body=await up.read(), status=up.status,
                                 content_type="application/json")
+
+    async def prometheus(self, request):
+        from prometheus_client import generate_latest
+
+        return web.Response(
+            body=generate_latest(self.metrics.registry),
+            content_type="text/plain",
+        )
 
     async def health(self, request):
         alive = sum(1 for w in self.workers if w.healthy)
@@ -135,6 +222,8 @@ class Router:
                 {
                     "url": w.url, "healthy": w.healthy,
                     "inflight": w.inflight, "total": w.total,
+                    "circuit": w.circuit_state,
+                    "consecutive_failures": w.consecutive_failures,
                 }
                 for w in self.workers
             ]

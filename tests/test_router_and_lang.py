@@ -227,3 +227,95 @@ def test_lang_runtime_endpoint(backend_engine):
         asyncio.run_coroutine_threadsafe(ts.close(), loop).result(30)
         loop.call_soon_threadsafe(loop.stop)
         server.loop_thread.stop()
+
+
+def test_router_retries_and_circuit_breaker(backend_engine):
+    """Fault injection (reference sgl-router core/worker.rs + metrics.rs):
+    a dying worker's requests retry onto a healthy one; repeated failures
+    open its circuit (excluded from selection); the cooldown half-open
+    trial re-closes it on success; Prometheus records all of it."""
+    from aiohttp import web as _web
+
+    from ltp_sglang_tpu.entrypoints.http_server import HttpServer
+    from ltp_sglang_tpu.router.policies import Worker
+    from ltp_sglang_tpu.router.router import Router
+
+    engine, _ = backend_engine
+    # Fresh HttpServer: the module fixture's app is bound to an earlier
+    # test's event loop.
+    server = HttpServer(engine)
+    server.loop_thread.start()
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    async def go():
+        # Healthy worker = the real engine server; flaky worker = 500s.
+        good = TestClient(TestServer(server.app))
+        await good.start_server()
+        good_url = str(good.make_url("")).rstrip("/")
+
+        flaky_state = {"fail": True}
+
+        async def flaky_generate(request):
+            if flaky_state["fail"]:
+                return _web.json_response({"error": "boom"}, status=500)
+            # Delegate to the real engine app for a valid response.
+            up = await good.post("/generate", json=await request.json())
+            return _web.Response(body=await up.read(), status=up.status,
+                                 content_type="application/json")
+
+        flaky_app = _web.Application()
+        flaky_app.router.add_post("/generate", flaky_generate)
+        flaky_app.router.add_get(
+            "/health", lambda r: _web.Response(text="OK")
+        )
+        flaky = TestClient(TestServer(flaky_app))
+        await flaky.start_server()
+        flaky_url = str(flaky.make_url("")).rstrip("/")
+
+        router = Router([flaky_url, good_url], policy="round_robin",
+                        health_check_interval=1000)
+        rc = TestClient(TestServer(router.app))
+        await rc.start_server()
+
+        req = {"input_ids": [1, 2, 3],
+               "sampling_params": {"max_new_tokens": 2, "temperature": 0.0}}
+        # Enough requests that round-robin hits the flaky worker 3+ times:
+        # every one must still succeed via retry onto the good worker.
+        for _ in range(6):
+            resp = await rc.post("/generate", json=req)
+            assert resp.status == 200, await resp.text()
+
+        ws = {w["url"]: w for w in await (await rc.get("/workers")).json()}
+        assert ws[flaky_url]["circuit"] == "open", ws
+        assert ws[flaky_url]["consecutive_failures"] >= 3
+
+        # With the circuit open the flaky worker is skipped outright.
+        resp = await rc.post("/generate", json=req)
+        assert resp.status == 200
+
+        # Prometheus shows the retries/errors/opens.
+        metrics = await (await rc.get("/metrics")).text()
+        assert "router_retries_total" in metrics
+        assert 'router_request_errors_total{worker="' + flaky_url in metrics
+        assert 'router_circuit_open_total{worker="' + flaky_url in metrics
+
+        # Cooldown elapses -> half-open trial; the worker recovered, so a
+        # success closes the circuit again.
+        flaky_state["fail"] = False
+        rw = next(w for w in router.workers if w.url == flaky_url)
+        rw.circuit_open_until = 0.0  # fast-forward the cooldown
+        assert rw.circuit_state == "half_open"
+        for _ in range(4):
+            resp = await rc.post("/generate", json=req)
+            assert resp.status == 200
+        assert rw.circuit_state == "closed", rw.consecutive_failures
+
+        await rc.close()
+        await flaky.close()
+        await good.close()
+
+    try:
+        loop.run_until_complete(go())
+    finally:
+        server.loop_thread.stop()
