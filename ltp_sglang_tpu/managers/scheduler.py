@@ -184,7 +184,18 @@ class Scheduler:
         self.spec_worker = None
         if server_args.speculative_algorithm:
             algo = server_args.speculative_algorithm.upper()
-            if algo in ("EAGLE", "EAGLE3", "NEXTN"):
+            if algo in ("EAGLE3", "NEXTN"):
+                # NEXTN (deepseek MTP) heads share the eagle3 worker shape:
+                # aux/pre-norm hiddens in, own norms + head out.
+                if server_args.speculative_eagle_topk > 1:
+                    raise NotImplementedError(
+                        "EAGLE3 top-k tree draft: use speculative_eagle_topk=1"
+                        " (chain) for now"
+                    )
+                from ltp_sglang_tpu.speculative.eagle3 import Eagle3Worker
+
+                self.spec_worker = Eagle3Worker(model_runner, server_args)
+            elif algo == "EAGLE":
                 if server_args.speculative_eagle_topk > 1:
                     from ltp_sglang_tpu.speculative.eagle_tree import (
                         EagleTreeWorker,
@@ -914,7 +925,7 @@ class Scheduler:
     def _run_spec_round(self, batch: ScheduleBatch) -> BatchResult:
         if getattr(self.spec_worker, "kind", "") == "eagle_tree":
             return self._run_spec_round_eagle_tree(batch)
-        if getattr(self.spec_worker, "kind", "") == "eagle":
+        if getattr(self.spec_worker, "kind", "") in ("eagle", "eagle3"):
             return self._run_spec_round_eagle(batch)
         from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
         from ltp_sglang_tpu.speculative.spec_worker import SpecRoundBatch

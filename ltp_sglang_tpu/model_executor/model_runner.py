@@ -903,11 +903,21 @@ class ModelRunner:
             elif want_hidden:
                 # EAGLE prefill: expose post-norm hiddens so the draft head
                 # can cover prompt positions (speculative/eagle_worker.py).
-                hidden_out, k_cache, v_cache = model.forward(
-                    params, step, k_cache, v_cache, lora=lora,
-                    return_hidden=True, **swa_kw,
-                )
-                logits = model._lm_head(params, hidden_out, step, False)
+                # EAGLE3 workers instead consume the concat aux hiddens
+                # (spec_aux_hidden; speculative/eagle3.py).
+                if getattr(self, "spec_aux_hidden", False):
+                    hidden_full, aux_cat, k_cache, v_cache = model.forward(
+                        params, step, k_cache, v_cache, lora=lora,
+                        return_hidden=True, return_aux=True, **swa_kw,
+                    )
+                    logits = model._lm_head(params, hidden_full, step, False)
+                    hidden_out = aux_cat
+                else:
+                    hidden_out, k_cache, v_cache = model.forward(
+                        params, step, k_cache, v_cache, lora=lora,
+                        return_hidden=True, **swa_kw,
+                    )
+                    logits = model._lm_head(params, hidden_out, step, False)
             else:
                 hidden_out = jnp.zeros((0,), jnp.float32)
                 logits, k_cache, v_cache = model.forward(

@@ -926,6 +926,7 @@ class LlamaForCausalLM:
         return_hidden: bool = False,
         input_embeds: Optional[jnp.ndarray] = None,  # PP mid-stage input
         pp_raw_hidden: bool = False,  # PP non-last stage: skip norm + head
+        return_aux: bool = False,  # EAGLE3: also return concat aux hiddens
     ):
         """Returns (logits, k_cache, v_cache): last-token logits [B, V], or
         per-position logits [B, E, V] when all_logits (speculative verify)."""
@@ -964,8 +965,23 @@ class LlamaForCausalLM:
             lora_layers = None
         layers, quant_stacked = self._split_quant_leaves(params["layers"])
 
+        # EAGLE3 aux-hidden capture (speculative/eagle3.py; reference
+        # llama_eagle3 capture_aux_hidden_states): the residual stream at
+        # three depths, concatenated [B, E, 3*Dm] for the draft head's fc.
+        aux_ids = None
+        if return_aux:
+            Lm = cfg.num_layers
+            aux_ids = jnp.asarray(
+                getattr(self, "aux_capture_layers", None)
+                or [1, max(Lm // 2 - 1, 0), max(Lm - 4, 0)],
+                jnp.int32,
+            )
+
         def layer_body(carry, xs):
-            h, kc, vc = carry
+            if aux_ids is not None:
+                h, kc, vc, aux = carry
+            else:
+                h, kc, vc = carry
             if lora_layers is not None:
                 lp, li, ll = xs
             else:
@@ -1148,6 +1164,10 @@ class LlamaForCausalLM:
                 h = h + attn_res + mlp_out
             else:
                 h = h + (mlp_out if rm == 1.0 else mlp_out * jnp.asarray(rm, h.dtype))
+            if aux_ids is not None:
+                sel = (li == aux_ids)[:, None, None, None]  # [3, 1, 1, 1]
+                aux = jnp.where(sel, h[None], aux)
+                return (h, kc, vc, aux), None
             return (h, kc, vc), None
 
         # Local layer count: under pipeline parallelism (shard_map over
@@ -1156,11 +1176,18 @@ class LlamaForCausalLM:
         xs = (layers, jnp.arange(L, dtype=jnp.int32))
         if lora_layers is not None:
             xs = xs + (lora_layers,)
-        (hidden, k_cache, v_cache), _ = jax.lax.scan(
-            layer_body,
-            (hidden, k_cache, v_cache),
-            xs,
-        )
+        if aux_ids is not None:
+            aux0 = jnp.zeros((3,) + hidden.shape, hidden.dtype)
+            (hidden, k_cache, v_cache, aux), _ = jax.lax.scan(
+                layer_body, (hidden, k_cache, v_cache, aux0), xs,
+            )
+            aux_cat = jnp.concatenate([aux[0], aux[1], aux[2]], axis=-1)
+        else:
+            (hidden, k_cache, v_cache), _ = jax.lax.scan(
+                layer_body,
+                (hidden, k_cache, v_cache),
+                xs,
+            )
 
         if pp_raw_hidden:
             # Pipeline-parallel non-final stage: hand the raw residual stream
@@ -1170,6 +1197,8 @@ class LlamaForCausalLM:
         if return_hidden:
             # Embedding mode (reference: models with pooling heads served via
             # is_embedding; pooling happens in the caller).
+            if return_aux:
+                return hidden, aux_cat, k_cache, v_cache
             return hidden, k_cache, v_cache
         logits = self._lm_head(params, hidden, step, all_logits)
         return logits, k_cache, v_cache

@@ -60,11 +60,12 @@ class EagleState:
     """1-layer draft KV pool + page table for the eagle head."""
 
     def __init__(self, head_config: ModelConfig, server_args, num_tokens: int,
-                 max_reqs: int, table_width: int, kv_dtype, use_pallas: bool):
+                 max_reqs: int, table_width: int, kv_dtype, use_pallas: bool,
+                 head_cls=None):
         from ltp_sglang_tpu.model_loader.loader import load_model_weights
         from ltp_sglang_tpu.ops.kv_cache_ops import kv_write_pallas, kv_write_xla
 
-        self.model = EagleDraftHead(
+        self.model = (head_cls or EagleDraftHead)(
             head_config,
             kv_write_impl=kv_write_pallas if use_pallas else kv_write_xla,
         )
@@ -90,6 +91,7 @@ class EagleState:
 class EagleWorker:
     kind = "eagle"
     needs_host_catchup = False
+    head_cls = None  # eagle3 subclass overrides
 
     def __init__(self, runner, server_args):
         self.runner = runner
@@ -113,6 +115,7 @@ class EagleWorker:
             table_width=runner.table_width,
             kv_dtype=runner.kv_dtype,
             use_pallas=use_pallas,
+            head_cls=self.head_cls,
         )
         _, self._table_rows, self._table_merge = get_kv_cache_ops(
             "tpu" if use_pallas else "cpu"
@@ -134,7 +137,10 @@ class EagleWorker:
         starts = np.zeros((B,), np.int32)
         counts = np.zeros((B,), np.int32)
         rows = np.full((B,), d.dump_row, np.int32)
-        h_carry = np.zeros((B, hidden.shape[-1]), np.float32)
+        # Pair-space carry (Dm even when `hidden` is the eagle3 3*Dm aux).
+        h_carry = np.zeros(
+            (B, self.runner.model_config.hidden_size), np.float32
+        )
         for i, r in enumerate(reqs):
             if r.spec_draft_req_idx is None:
                 s = d.req_to_token.alloc(1)
@@ -186,13 +192,26 @@ class EagleWorker:
             # carried as h_prev for the first spec round.
             r.spec_hidden = h_last[i]
 
+    def _prep_hidden(self, dp, hid):
+        """Map the target-side hidden handed to the draft into the head's
+        pair space. Identity for EAGLE-1/2 (post-norm hidden); EAGLE3
+        overrides with fc over the concat aux hiddens [.., 3D] -> [.., D]."""
+        return hid
+
+    def _pair_embed_table(self, tp, dp):
+        """Embedding table for the draft's (embed, hidden) pairs: the
+        TARGET's for EAGLE-1/2 heads (no own table), the draft's own for
+        EAGLE3."""
+        return tp["embed"]["weight"]
+
     def _build_prefill_fn(self, E, C):
         head = self.draft.model
         table_rows = self._table_rows
 
         def fn(tp, dp, kc, vc, tbl, ids, hid_t, h_carry, kv_idx_in, slots,
                rows, starts, counts, prefix_lens, extend_lens):
-            emb = tp["embed"]["weight"][ids]  # [B, E, Dm] chunk-token embeds
+            hid_t = self._prep_hidden(dp, hid_t)
+            emb = self._pair_embed_table(tp, dp)[ids]  # [B, E, Dm] pairs
             # Slot i holds position p = starts+i, chunk index q = p - prefix.
             # Pair(p) = (emb[q], h_{p-1}) with h_{p-1} = hid_t[q-1] for q>=1
             # and the carried previous-chunk hidden for q == 0.

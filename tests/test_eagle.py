@@ -128,3 +128,42 @@ def test_eagle_tree_sampled_goes_through_spec_path(dirs):
         ],
     )
     assert all(len(o["output_ids"]) == 12 for o in outs)
+
+
+def test_eagle3_chain_greedy_equivalence(dirs, ref_out):
+    """EAGLE3 (speculative/eagle3.py): aux-hidden capture + fc map + own
+    draft vocab with d2t offsets. Verification is exact, so a random head
+    must reproduce the baseline greedy outputs bit-for-bit."""
+    import tempfile as _tf
+
+    from tiny_configs import write_tiny_eagle3_dir
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d, _ = dirs
+    e3 = _tf.mkdtemp(prefix="eagle3_head_")
+    write_tiny_eagle3_dir(e3)
+    spec = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=4096, max_running_requests=8,
+        speculative_algorithm="EAGLE3",
+        speculative_draft_model_path=e3,
+        speculative_num_steps=3,
+        speculative_eagle_topk=1,
+    ))
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0}
+    out = spec.generate(input_ids=prompts, sampling_params=sp)
+    for r, o in zip(ref_out, out):
+        assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
+    sw = spec.scheduler.spec_worker
+    assert sw.kind == "eagle3"
+    assert sw.num_rounds > 0
+    assert sw.avg_accept_length >= 1.0
+    # Sampled requests go through the same rejection-sampling accept.
+    s = spec.generate(
+        input_ids=[4, 5, 6],
+        sampling_params={"max_new_tokens": 8, "temperature": 1.0, "top_k": 16},
+    )
+    assert len(s["output_ids"]) == 8

@@ -446,3 +446,53 @@ def write_tiny_eagle_dir(tmpdir, cfg=None, seed=1):
     }
     save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
     return tmpdir
+
+
+def write_tiny_eagle3_dir(tmpdir, cfg=None, seed=2, draft_vocab=256):
+    """EAGLE3 draft-head dir: fc [D, 3D], midlayer.* with 2D-input qkv, own
+    embed/norm/lm_head over a reduced draft vocab + d2t offsets (HF
+    EAGLE3-* checkpoint layout)."""
+    import json
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    cfg = dict(cfg or TINY_LLAMA_CFG)
+    cfg["draft_vocab_size"] = draft_vocab
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    rng = np.random.default_rng(seed)
+    D = cfg["hidden_size"]
+    I = cfg["intermediate_size"]
+    Hq = cfg["num_attention_heads"]
+    Hkv = cfg["num_key_value_heads"]
+    hd = cfg.get("head_dim", D // Hq)
+    Vt = cfg["vocab_size"]
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    # Non-trivial draft->target map: target_id = idx + d2t[idx].
+    idx = np.arange(draft_vocab, dtype=np.int64)
+    target_ids = (idx * 2 + 1) % Vt
+    tensors = {
+        "embed_tokens.weight": w(Vt, D),
+        "fc.weight": w(D, 3 * D),
+        "midlayer.self_attn.q_proj.weight": w(Hq * hd, 2 * D),
+        "midlayer.self_attn.k_proj.weight": w(Hkv * hd, 2 * D),
+        "midlayer.self_attn.v_proj.weight": w(Hkv * hd, 2 * D),
+        "midlayer.self_attn.o_proj.weight": w(D, Hq * hd),
+        "midlayer.mlp.gate_proj.weight": w(I, D),
+        "midlayer.mlp.up_proj.weight": w(I, D),
+        "midlayer.mlp.down_proj.weight": w(D, I),
+        "midlayer.input_layernorm.weight": np.ones((D,), np.float32),
+        "midlayer.hidden_norm.weight": np.ones((D,), np.float32),
+        "midlayer.post_attention_layernorm.weight": np.ones((D,), np.float32),
+        "norm.weight": np.ones((D,), np.float32),
+        "lm_head.weight": w(draft_vocab, D),
+        "d2t": (target_ids - idx).astype(np.int64),
+    }
+    save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    return tmpdir
