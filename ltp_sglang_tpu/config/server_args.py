@@ -94,6 +94,11 @@ class ServerArgs:
     pp_size: int = 1
     ep_size: int = 1
     enable_dp_attention: bool = False
+    # Two-batch overlap (reference two_batch_overlap.py): the EP MoE splits
+    # its per-chip tokens into two independent micro-batch pipelines so
+    # XLA's latency-hiding scheduler overlaps one's a2a with the other's
+    # expert GEMMs (layers/moe.py moe_ffn_ep_a2a tbo=True).
+    enable_two_batch_overlap: bool = False
     # Request dispatch across dp-attention groups (reference
     # data_parallel_controller.py:48-56).
     load_balance_method: str = "shortest_queue"  # round_robin | minimum_tokens

@@ -310,6 +310,7 @@ def moe_ffn_ep_a2a(
     mesh,
     axis: str = "tp",
     return_stats: bool = False,
+    tbo: bool = False,
 ):
     """Expert-parallel MoE FFN with real token all-to-all (DeepEP analog,
     layers/moe/token_dispatcher/deepep.py:262-494 / ep_moe/layer.py:63).
@@ -317,17 +318,27 @@ def moe_ffn_ep_a2a(
     Each chip takes its T/ep token slice, ships each (token, k) pair to the
     expert's owner, computes locally, ships results back and combines. With
     `return_stats`, also returns per-chip received-pair counts [ep] so tests
-    can assert the dispatch spreads ~T*k/ep work per chip."""
+    can assert the dispatch spreads ~T*k/ep work per chip.
+
+    `tbo` = TWO-BATCH OVERLAP (reference two_batch_overlap.py:53 +
+    operations_strategy.py): the per-chip token slice splits into two
+    independent micro-batch pipelines (dispatch-a2a -> experts ->
+    combine-a2a each), expressed back-to-back in one program with NO data
+    dependency between them — XLA's latency-hiding scheduler is then free
+    to run micro-batch 1's dispatch a2a while micro-batch 0's expert GEMMs
+    execute (what the reference hand-schedules with its operations list).
+    tests/test_eplb.py asserts the independence on the traced jaxpr."""
     T, Dm = x.shape
     k = indices.shape[1]
     ep = mesh.shape[axis]
-    pad = (-T) % ep
+    chunk = 2 * ep if tbo else ep
+    pad = (-T) % chunk
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
         weights = jnp.pad(weights, ((0, pad), (0, 0)))  # zero weight: no-op
         indices = jnp.pad(indices, ((0, pad), (0, 0)))
 
-    def inner(x_, w_, idx_, gw, uw, dw):
+    def one_microbatch(x_, w_, idx_, gw, uw, dw):
         Eloc = expert_count(gw)
         x_recv, ids_recv, plan = _ep_dispatch(x_, idx_, Eloc, axis, ep)
         out_rows = _ep_experts(x_recv, ids_recv, gw, uw, dw)
@@ -340,6 +351,14 @@ def moe_ffn_ep_a2a(
         yl = jnp.sum(out_pairs * w_[:, :, None], axis=1).astype(x_.dtype)
         n_recv = plan.recv_sizes.sum()[None]
         return yl, n_recv
+
+    def inner(x_, w_, idx_, gw, uw, dw):
+        if not tbo:
+            return one_microbatch(x_, w_, idx_, gw, uw, dw)
+        h = x_.shape[0] // 2
+        y0, n0 = one_microbatch(x_[:h], w_[:h], idx_[:h], gw, uw, dw)
+        y1, n1 = one_microbatch(x_[h:], w_[h:], idx_[h:], gw, uw, dw)
+        return jnp.concatenate([y0, y1]), n0 + n1
 
     from jax.sharding import PartitionSpec as P
 
@@ -432,7 +451,7 @@ def moe_ffn_ep(
 
 def moe_ffn_auto(
     x, weights, indices, gate_w, up_w, down_w, mesh_ctx=None, axis: str = "tp",
-    expert_perm=None,
+    expert_perm=None, tbo: bool = False,
 ):
     """Pick EP (shard_map over the tp axis) on multi-device pure-TP meshes
     whose expert count divides; otherwise the single-program grouped GEMM.
@@ -463,6 +482,7 @@ def moe_ffn_auto(
                 x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis
             )
         return moe_ffn_ep_a2a(
-            x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis
+            x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis,
+            tbo=tbo,
         )
     return moe_ffn(x, weights, indices, gate_w, up_w, down_w)

@@ -248,6 +248,8 @@ class ModelRunner:
             kv_write_impl=kv_write_impl,
         )
         self.model.mesh_ctx = mesh_ctx
+        # Two-batch overlap for the EP MoE a2a (layers/moe.py tbo).
+        self.model.moe_tbo = bool(server_args.enable_two_batch_overlap)
         if (
             server_args.enable_dp_attention
             and mesh_ctx is not None

@@ -617,6 +617,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
             mesh_ctx=self.mesh_ctx,
+            tbo=getattr(self, "moe_tbo", False),
             expert_perm=lp.get("expert_perm"),
         )
         if self.n_shared_experts:

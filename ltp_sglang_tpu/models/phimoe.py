@@ -148,6 +148,7 @@ class PhiMoEForCausalLM(MixtralForCausalLM):
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
             mesh_ctx=self.mesh_ctx,
+            tbo=getattr(self, "moe_tbo", False),
             expert_perm=lp.get("expert_perm"),
         )
         return out.reshape(*lead, Dm)

@@ -139,6 +139,7 @@ class Qwen2MoeForCausalLM(Qwen2ForCausalLM):
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
             mesh_ctx=self.mesh_ctx,
+            tbo=getattr(self, "moe_tbo", False),
             expert_perm=lp.get("expert_perm"),
         )
         g = apply_linear(lp["shared_gate_proj"], x)

@@ -84,7 +84,14 @@ def _pick_blocks(Kh: int, N: int, G: int):
                  if d % step == 0 and d % 128 == 0]
         if not cands:
             continue
-        Kb = min(cands)
+        # A/B hook: prefer the LARGEST Kb (fewer K grid steps, one
+        # accumulation pass) instead of the default smallest (longest DMA
+        # rows). Default measured faster on the 1B geometry; re-measure per
+        # geometry with LTP_INT4_LARGE_KB=1.
+        if os.environ.get("LTP_INT4_LARGE_KB") == "1":
+            Kb = max(c for c in cands if c <= _W4_BLOCK_BYTES // 128)
+        else:
+            Kb = min(cands)
         max_nb = max(_W4_BLOCK_BYTES // Kb, 128)
         nb_cands = [d for d in _divisors_desc(N)
                     if d <= max_nb and (d % 128 == 0 or d == N)]
