@@ -880,6 +880,23 @@ class HttpServer:
                 if isinstance(stops, str):
                     stops = [stops]
                 sp["stop"] = list(stops) + list(tpl.stop_strs)
+        if body.get("tools") and body.get("tool_choice") not in (
+            None, "auto", "none"
+        ):
+            # tool_choice="required" / named function: constrain generation
+            # to a valid tool call with schema-conforming arguments
+            # (reference function_call/ebnf_composer.py; here composed onto
+            # the regex/DFA pipeline).
+            from ltp_sglang_tpu.function_call.regex_composer import (
+                compose_tool_call_regex,
+            )
+
+            rx = compose_tool_call_regex(
+                body["tools"], body.get("tool_choice"),
+                self.engine.server_args.tool_call_parser,
+            )
+            if rx is not None:
+                sp["regex"] = rx
         gen_body = {"text": prompt, "sampling_params": sp}
         if images:
             gen_body["image_data"] = images

@@ -81,3 +81,60 @@ def test_reasoning_streaming():
     content += dc
     assert reasoning == "abcdef"
     assert content == "answer"
+
+
+def test_tool_call_regex_composer():
+    """tool_choice="required"/named-function constrained composition
+    (reference ebnf_composer.py): the composed regex accepts exactly valid
+    calls with schema-conforming arguments and rejects everything else."""
+    from ltp_sglang_tpu.constrained.regex_engine import compile_regex
+    from ltp_sglang_tpu.function_call.regex_composer import (
+        compose_tool_call_regex,
+    )
+
+    tools = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {
+                "type": "object",
+                "properties": {"city": {"type": "string"}},
+                "required": ["city"],
+            },
+        }},
+        {"type": "function", "function": {
+            "name": "add",
+            "parameters": {
+                "type": "object",
+                "properties": {"a": {"type": "integer"},
+                               "b": {"type": "integer"}},
+                "required": ["a", "b"],
+            },
+        }},
+    ]
+    rx = compose_tool_call_regex(tools, "required", "qwen25")
+    dfa = compile_regex(rx)
+    good = ('<tool_call>\n{"name": "get_weather", "arguments": '
+            '{"city":"Paris"}}\n</tool_call>')
+    assert dfa.walk(0, good) in dfa.accepting
+    good2 = ('<tool_call>\n{"name": "add", "arguments": '
+             '{"a":1,"b":22}}\n</tool_call>')
+    assert dfa.walk(0, good2) in dfa.accepting
+    # Unknown function / schema-violating args / free text: rejected.
+    for bad in (
+        '<tool_call>\n{"name": "rm_rf", "arguments": {}}\n</tool_call>',
+        '<tool_call>\n{"name": "add", "arguments": '
+        '{"a":"x","b":2}}\n</tool_call>',
+        "sure! let me call a tool",
+    ):
+        s = dfa.walk(0, bad)
+        assert s == -1 or s not in dfa.accepting, bad
+
+    # Named tool_choice restricts to that one function.
+    rx1 = compose_tool_call_regex(
+        tools, {"type": "function", "function": {"name": "add"}}, "qwen25"
+    )
+    dfa1 = compile_regex(rx1)
+    assert dfa1.walk(0, good2) in dfa1.accepting
+    assert dfa1.walk(0, good) == -1 or dfa1.walk(0, good) not in dfa1.accepting
+    # auto/none -> unconstrained.
+    assert compose_tool_call_regex(tools, "auto", "qwen25") is None
