@@ -47,25 +47,31 @@ class PDPair:
 
 class PDLoadBalancer:
     def __init__(self, prefill_urls: List[str], decode_urls: List[str],
-                 bootstrap_ports: Optional[List[int]] = None):
-        if not prefill_urls or not decode_urls:
+                 bootstrap_ports: Optional[List[int]] = None,
+                 allow_empty: bool = False):
+        if not allow_empty and (not prefill_urls or not decode_urls):
             raise ValueError("need at least one prefill and one decode URL")
         ports = bootstrap_ports or [None] * len(prefill_urls)
-        self.prefill = [PDPair(p, "", bp) for p, bp in zip(prefill_urls, ports)]
-        self.decode_urls = [d.rstrip("/") for d in decode_urls]
+        # id-keyed maps so workers can join/leave at runtime (K8s service
+        # discovery); the C++ core keys its load table by the same ids.
+        self._next_id = itertools.count()
+        self._pairs: Dict[int, PDPair] = {
+            next(self._next_id): PDPair(p, "", bp)
+            for p, bp in zip(prefill_urls, ports)
+        }
+        self._decodes: Dict[int, str] = {
+            next(self._next_id): d.rstrip("/") for d in decode_urls
+        }
         self._rr = itertools.count()
         # C++ router core for cache-aware PD pairing
-        # (csrc/router_core.cpp rc_select_pair; prefill ids 0..P-1, decode
-        # ids P..P+D-1). Falls back to round-robin when g++ is unavailable.
+        # (csrc/router_core.cpp rc_select_pair). Falls back to round-robin
+        # when g++ is unavailable.
         self.core = None
         try:
             from ltp_sglang_tpu.router.router_core import RouterCore
 
             self.core = RouterCore()
-            self._p_ids = list(range(len(self.prefill)))
-            self._d_ids = [len(self.prefill) + i
-                           for i in range(len(self.decode_urls))]
-            for wid in self._p_ids + self._d_ids:
+            for wid in list(self._pairs) + list(self._decodes):
                 self.core.add_worker(wid)
         except Exception as e:
             logger.warning("C++ router core unavailable (%s); round-robin", e)
@@ -77,10 +83,47 @@ class PDLoadBalancer:
         self.app.on_startup.append(self._startup)
         self._session: Optional[aiohttp.ClientSession] = None
 
+    @property
+    def prefill(self) -> List[PDPair]:
+        return list(self._pairs.values())
+
+    @property
+    def decode_urls(self) -> List[str]:
+        return list(self._decodes.values())
+
+    # -- K8s service discovery hooks (router/service_discovery.py) --
+    def sd_add_worker(self, pw):
+        url = pw.url.rstrip("/")
+        if pw.pod_type == "prefill":
+            if any(p.prefill_url == url for p in self._pairs.values()):
+                return
+            wid = next(self._next_id)
+            self._pairs[wid] = PDPair(url, "", pw.bootstrap_port)
+        else:
+            if url in self._decodes.values():
+                return
+            wid = next(self._next_id)
+            self._decodes[wid] = url
+        if self.core is not None:
+            self.core.add_worker(wid)
+
+    def sd_remove_worker(self, url: str):
+        url = url.rstrip("/")
+        for wid, pair in list(self._pairs.items()):
+            if pair.prefill_url == url:
+                del self._pairs[wid]
+                if self.core is not None:
+                    self.core.remove_worker(wid)
+        for wid, d in list(self._decodes.items()):
+            if d == url:
+                del self._decodes[wid]
+                if self.core is not None:
+                    self.core.remove_worker(wid)
+
     async def _startup(self, app):
         self._session = aiohttp.ClientSession()
         # Discover bootstrap ports from each prefill server.
-        for pair in self.prefill:
+        for pair in self._pairs.values():
             if pair.bootstrap_port is not None:
                 continue
             try:
@@ -95,20 +138,24 @@ class PDLoadBalancer:
 
     def _pick(self, body: Optional[dict] = None):
         """Returns (pair, decode_url, (p_id, d_id) or None)."""
+        p_ids, d_ids = list(self._pairs), list(self._decodes)
+        if not p_ids or not d_ids:
+            raise web.HTTPServiceUnavailable(
+                text='{"error": "no prefill/decode workers"}',
+                content_type="application/json",
+            )
         if self.core is not None and body is not None:
             key = _prompt_bytes(body)
-            sel = self.core.select_pair(key, self._p_ids, self._d_ids)
+            sel = self.core.select_pair(key, p_ids, d_ids)
             if sel is not None:
                 p_id, d_id = sel
                 self.core.insert(key, p_id)
                 self.core.load_add(p_id, 1)
                 self.core.load_add(d_id, 1)
-                return (self.prefill[p_id],
-                        self.decode_urls[d_id - len(self.prefill)],
-                        (p_id, d_id))
+                return (self._pairs[p_id], self._decodes[d_id], (p_id, d_id))
         i = next(self._rr)
-        return (self.prefill[i % len(self.prefill)],
-                self.decode_urls[i % len(self.decode_urls)], None)
+        return (self._pairs[p_ids[i % len(p_ids)]],
+                self._decodes[d_ids[i % len(d_ids)]], None)
 
     async def generate(self, request):
         try:

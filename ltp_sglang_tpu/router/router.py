@@ -243,6 +243,24 @@ class Router:
         self.workers = [w for w in self.workers if w.url != url]
         return web.json_response({"success": True})
 
+    # -- K8s service discovery hooks (router/service_discovery.py) --
+    def sd_add_worker(self, pw):
+        url = pw.url.rstrip("/")
+        if not any(w.url == url for w in self.workers):
+            self.workers.append(Worker(url))
+
+    def sd_remove_worker(self, url: str):
+        url = url.rstrip("/")
+        self.workers = [w for w in self.workers if w.url != url]
+
+
+def _parse_selector(items):
+    out = {}
+    for it in items or []:
+        k, _, v = it.partition("=")
+        out[k] = v
+    return out
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -254,18 +272,63 @@ def main():
     p.add_argument("--pd", action="store_true")
     p.add_argument("--prefill-urls", nargs="+")
     p.add_argument("--decode-urls", nargs="+")
+    # K8s service discovery (router/service_discovery.py; reference
+    # sgl-router/src/service_discovery.rs flags).
+    p.add_argument("--service-discovery", action="store_true")
+    p.add_argument("--selector", nargs="+", metavar="KEY=VALUE")
+    p.add_argument("--prefill-selector", nargs="+", metavar="KEY=VALUE")
+    p.add_argument("--decode-selector", nargs="+", metavar="KEY=VALUE")
+    p.add_argument("--service-discovery-namespace", default=None)
+    p.add_argument("--service-discovery-port", type=int, default=8000)
+    p.add_argument("--service-discovery-interval", type=float, default=60.0)
+    p.add_argument("--sd-api-server", default=None,
+                   help="K8s API base URL (default: in-cluster config)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
+
+    sd_cfg = None
+    if args.service_discovery:
+        from ltp_sglang_tpu.router.service_discovery import (
+            ServiceDiscoveryConfig,
+        )
+
+        sd_cfg = ServiceDiscoveryConfig(
+            selector=_parse_selector(args.selector),
+            namespace=args.service_discovery_namespace,
+            port=args.service_discovery_port,
+            check_interval=args.service_discovery_interval,
+            pd_mode=args.pd,
+            prefill_selector=_parse_selector(args.prefill_selector),
+            decode_selector=_parse_selector(args.decode_selector),
+            api_server=args.sd_api_server,
+        )
+
     if args.pd:
         from ltp_sglang_tpu.router.pd_lb import PDLoadBalancer
 
-        lb = PDLoadBalancer(args.prefill_urls or [], args.decode_urls or [])
+        lb = PDLoadBalancer(args.prefill_urls or [], args.decode_urls or [],
+                            allow_empty=sd_cfg is not None)
+        if sd_cfg is not None:
+            _attach_sd(lb.app, sd_cfg, lb)
         web.run_app(lb.app, host=args.host, port=args.port, print=None)
         return
-    if not args.worker_urls:
-        p.error("--worker-urls is required (or use --pd)")
-    router = Router(args.worker_urls, args.policy)
+    if not args.worker_urls and sd_cfg is None:
+        p.error("--worker-urls is required (or use --pd / --service-discovery)")
+    router = Router(args.worker_urls or [], args.policy)
+    if sd_cfg is not None:
+        _attach_sd(router.app, sd_cfg, router)
     web.run_app(router.app, host=args.host, port=args.port, print=None)
+
+
+def _attach_sd(app, sd_cfg, target):
+    from ltp_sglang_tpu.router.service_discovery import ServiceDiscovery
+
+    async def _start(app_):
+        sd = ServiceDiscovery(sd_cfg, target)
+        app_["service_discovery"] = sd
+        sd.start()
+
+    app.on_startup.append(_start)
 
 
 if __name__ == "__main__":
