@@ -185,16 +185,21 @@ class Scheduler:
         if server_args.speculative_algorithm:
             algo = server_args.speculative_algorithm.upper()
             if algo in ("EAGLE3", "NEXTN"):
-                # NEXTN (deepseek MTP) heads share the eagle3 worker shape:
-                # aux/pre-norm hiddens in, own norms + head out.
                 if server_args.speculative_eagle_topk > 1:
                     raise NotImplementedError(
-                        "EAGLE3 top-k tree draft: use speculative_eagle_topk=1"
-                        " (chain) for now"
+                        "EAGLE3/NEXTN top-k tree draft: use "
+                        "speculative_eagle_topk=1 (chain) for now"
                     )
-                from ltp_sglang_tpu.speculative.eagle3 import Eagle3Worker
+                if algo == "NEXTN":
+                    # DeepSeek MTP head: one full deepseek layer (MLA+MoE)
+                    # behind eh_proj (speculative/nextn.py).
+                    from ltp_sglang_tpu.speculative.nextn import NextNWorker
 
-                self.spec_worker = Eagle3Worker(model_runner, server_args)
+                    self.spec_worker = NextNWorker(model_runner, server_args)
+                else:
+                    from ltp_sglang_tpu.speculative.eagle3 import Eagle3Worker
+
+                    self.spec_worker = Eagle3Worker(model_runner, server_args)
             elif algo == "EAGLE":
                 if server_args.speculative_eagle_topk > 1:
                     from ltp_sglang_tpu.speculative.eagle_tree import (
@@ -925,7 +930,7 @@ class Scheduler:
     def _run_spec_round(self, batch: ScheduleBatch) -> BatchResult:
         if getattr(self.spec_worker, "kind", "") == "eagle_tree":
             return self._run_spec_round_eagle_tree(batch)
-        if getattr(self.spec_worker, "kind", "") in ("eagle", "eagle3"):
+        if getattr(self.spec_worker, "kind", "") in ("eagle", "eagle3", "nextn"):
             return self._run_spec_round_eagle(batch)
         from ltp_sglang_tpu.model_executor.model_runner import DecodeWindowBatch
         from ltp_sglang_tpu.speculative.spec_worker import SpecRoundBatch
@@ -1344,7 +1349,7 @@ class Scheduler:
         want_hid = (
             batch.forward_mode != ForwardMode.DECODE
             and self.spec_worker is not None
-            and getattr(self.spec_worker, "kind", "").startswith("eagle")
+            and getattr(self.spec_worker, "covers_prompt", False)
         )
         if want_hid:
             next_tokens, lp, logits, hidden = self.runner.forward(

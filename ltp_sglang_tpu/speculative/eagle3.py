@@ -194,6 +194,9 @@ class Eagle3DraftHead:
 class Eagle3Worker(EagleWorker):
     kind = "eagle3"
     head_cls = Eagle3DraftHead
+    # Verify captures the target's concat aux hiddens for the next pair;
+    # NEXTN subclasses flip this off and pair with the post-norm hidden.
+    wants_aux = True
 
     def __init__(self, runner, server_args):
         super().__init__(runner, server_args)
@@ -268,9 +271,15 @@ class Eagle3Worker(EagleWorker):
                 seq0 + K, jnp.maximum(seq0 - 1, 0),
                 jnp.full((B,), K + 1, jnp.int32), t_kv_idx,
             )
-            hid_t, aux_t, t_kc, t_vc = t_model.forward(
-                tp, step, t_kc, t_vc, return_hidden=True, return_aux=True
-            )  # [B, K+1, Dm], [B, K+1, 3*Dm]
+            if self.wants_aux:
+                hid_t, aux_t, t_kc, t_vc = t_model.forward(
+                    tp, step, t_kc, t_vc, return_hidden=True, return_aux=True
+                )  # [B, K+1, Dm], [B, K+1, 3*Dm]
+            else:
+                hid_t, t_kc, t_vc = t_model.forward(
+                    tp, step, t_kc, t_vc, return_hidden=True
+                )
+                aux_t = hid_t  # NEXTN pairs with the post-norm hidden
             ver_logits = t_model._lm_head(tp, hid_t, step, True)
             t_tbl = table_merge(
                 t_tbl, t_req, jnp.maximum(seq0 - 1, 0), t_slots, K + 1

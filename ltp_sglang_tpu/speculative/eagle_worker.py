@@ -77,11 +77,17 @@ class EagleState:
             else "auto",
             seed=server_args.random_seed + 1,
         )
-        Hkv, D = head_config.num_kv_heads, head_config.head_dim
-        r, ln = _row_dims(Hkv * D)
+        # Heads with asymmetric K/V rows (NEXTN's MLA latent) override
+        # kv_row_elems, like target models do (model_runner.py:613).
+        if hasattr(self.model, "kv_row_elems"):
+            k_e, v_e = self.model.kv_row_elems()
+        else:
+            k_e = v_e = head_config.num_kv_heads * head_config.head_dim
+        rk, lnk = _row_dims(k_e)
+        rv, lnv = _row_dims(v_e)
         S = num_tokens + 1
-        self.k_cache = jnp.zeros((1, S, r, ln), dtype=kv_dtype)
-        self.v_cache = jnp.zeros((1, S, r, ln), dtype=kv_dtype)
+        self.k_cache = jnp.zeros((1, S, rk, lnk), dtype=kv_dtype)
+        self.v_cache = jnp.zeros((1, S, rv, lnv), dtype=kv_dtype)
         self.req_table = jnp.zeros((max_reqs + 1, table_width), dtype=jnp.int32)
         self.req_to_token = ReqToTokenPool(max_reqs, table_width)
         self.allocator = TokenToKVPoolAllocator(num_tokens)
@@ -91,7 +97,16 @@ class EagleState:
 class EagleWorker:
     kind = "eagle"
     needs_host_catchup = False
-    head_cls = None  # eagle3 subclass overrides
+    head_cls = None  # eagle3/nextn subclasses override
+    # Eagle-family workers cover prompt positions in the draft cache from
+    # the target prefill's hiddens (scheduler want_hidden path).
+    covers_prompt = True
+
+    def _head_kv_elems(self, head_cfg: ModelConfig):
+        """K/V row elems of the draft cache (pre-model-build use only;
+        NEXTN overrides for the MLA latent row)."""
+        e = head_cfg.num_kv_heads * head_cfg.head_dim
+        return e, e
 
     def __init__(self, runner, server_args):
         self.runner = runner
@@ -106,8 +121,8 @@ class EagleWorker:
             runner.mesh_ctx is None or runner.mesh_ctx.is_single_device
         )
         if use_pallas:
-            k_e = head_cfg.num_kv_heads * head_cfg.head_dim
-            use_pallas = k_e % 128 == 0
+            k_e, v_e = self._head_kv_elems(head_cfg)
+            use_pallas = k_e % 128 == 0 and v_e % 128 == 0
         self.draft = EagleState(
             head_cfg, server_args,
             num_tokens=runner.max_total_num_tokens,

@@ -496,3 +496,62 @@ def write_tiny_eagle3_dir(tmpdir, cfg=None, seed=2, draft_vocab=256):
     }
     save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
     return tmpdir
+
+
+def write_tiny_nextn_dir(tmpdir, cfg, seed=3):
+    """DeepSeek NEXTN (MTP) draft dir: model.layers.<L>.* holds ONE full
+    deepseek decoder layer (MLA + MoE) plus model.{embed_tokens, enorm,
+    hnorm, eh_proj} and model.shared_head.{norm, head} (reference
+    deepseek_nextn.py checkpoint layout; L = target num_hidden_layers)."""
+    import json
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    cfg = dict(cfg)
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    rng = np.random.default_rng(seed)
+    D = cfg["hidden_size"]
+    V = cfg["vocab_size"]
+    H = cfg["num_attention_heads"]
+    R = cfg["kv_lora_rank"]
+    nope, rope = cfg["qk_nope_head_dim"], cfg["qk_rope_head_dim"]
+    vh = cfg["v_head_dim"]
+    Im = cfg["moe_intermediate_size"]
+    E = cfg["n_routed_experts"]
+    Is = Im * cfg.get("n_shared_experts", 0)
+    L = cfg["num_hidden_layers"]  # MTP layer index in the checkpoint
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    pre = f"model.layers.{L}"
+    tensors = {
+        "model.embed_tokens.weight": w(V, D),
+        "model.enorm.weight": np.ones((D,), np.float32),
+        "model.hnorm.weight": np.ones((D,), np.float32),
+        "model.eh_proj.weight": w(D, 2 * D),
+        f"{pre}.input_layernorm.weight": np.ones((D,), np.float32),
+        f"{pre}.post_attention_layernorm.weight": np.ones((D,), np.float32),
+        f"{pre}.self_attn.q_proj.weight": w(H * (nope + rope), D),
+        f"{pre}.self_attn.kv_a_proj_with_mqa.weight": w(R + rope, D),
+        f"{pre}.self_attn.kv_a_layernorm.weight": np.ones((R,), np.float32),
+        f"{pre}.self_attn.kv_b_proj.weight": w(H * (nope + vh), R),
+        f"{pre}.self_attn.o_proj.weight": w(D, H * vh),
+        f"{pre}.mlp.gate.weight": w(E, D),
+        "model.shared_head.norm.weight": np.ones((D,), np.float32),
+        "model.shared_head.head.weight": w(V, D),
+    }
+    for e in range(E):
+        tensors[f"{pre}.mlp.experts.{e}.gate_proj.weight"] = w(Im, D)
+        tensors[f"{pre}.mlp.experts.{e}.up_proj.weight"] = w(Im, D)
+        tensors[f"{pre}.mlp.experts.{e}.down_proj.weight"] = w(D, Im)
+    if Is:
+        tensors[f"{pre}.mlp.shared_experts.gate_proj.weight"] = w(Is, D)
+        tensors[f"{pre}.mlp.shared_experts.up_proj.weight"] = w(Is, D)
+        tensors[f"{pre}.mlp.shared_experts.down_proj.weight"] = w(D, Is)
+    save_file(tensors, os.path.join(tmpdir, "model.safetensors"))
+    return tmpdir
