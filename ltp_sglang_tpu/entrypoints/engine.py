@@ -255,6 +255,7 @@ class Engine:
         sampling_params: Optional[Union[Dict, List[Dict]]] = None,
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         return_logprob: bool = False,
+        logprob_start_len: int = -1,
         top_logprobs_num: int = 0,
         stream: bool = False,
         session_params: Optional[Dict] = None,
@@ -267,6 +268,7 @@ class Engine:
             input_ids=input_ids,
             sampling_params=sampling_params,
             return_logprob=return_logprob,
+            logprob_start_len=logprob_start_len,
             top_logprobs_num=top_logprobs_num,
             stream=stream,
             session_params=session_params,
@@ -508,6 +510,24 @@ class Engine:
         req.mm_items = mm_items
         req.lora_path = one.lora_path
         req.token_ids_logprob = one.token_ids_logprob
+        req.logprob_start_len = int(
+            one.logprob_start_len if one.logprob_start_len is not None else -1
+        )
+        if req.logprob_start_len >= len(ids):
+            raise ValueError(
+                f"logprob_start_len {req.logprob_start_len} >= prompt length "
+                f"{len(ids)}"
+            )
+        if req.logprob_start_len >= 0 and (
+            getattr(self.model_runner, "pp_size", 1) > 1
+            or getattr(self.model_runner, "spec_aux_hidden", False)
+        ):
+            # PP keeps no full-sequence hiddens on the last stage; EAGLE3
+            # repurposes the hidden output for aux features. Loud > silent.
+            raise ValueError(
+                "input logprobs (logprob_start_len >= 0) are unsupported "
+                "under pipeline parallelism / EAGLE3 aux-hidden speculative"
+            )
         req.data_parallel_rank = getattr(one, "data_parallel_rank", None)
         if sp.regex:
             req.grammar_key = ("regex", sp.regex)
@@ -557,6 +577,16 @@ class Engine:
                         [lp, tok, None] for lp, tok in req.output_token_logprobs
                     ],
                     "output_top_logprobs": req.output_top_logprobs,
+                    **(
+                        {
+                            "input_token_logprobs": [
+                                [lp, tok, None]
+                                for lp, tok in req.input_token_logprobs
+                            ]
+                        }
+                        if req.logprob_start_len >= 0
+                        else {}
+                    ),
                 }
                 if req.return_logprob
                 else {}

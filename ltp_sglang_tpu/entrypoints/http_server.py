@@ -89,6 +89,23 @@ class EngineLoopThread:
             payload["embedding"] = req.embedding
         if req.token_ids_logprob:
             payload["token_ids_logprobs"] = list(req.output_token_ids_logprobs)
+        if req.return_logprob:
+            payload["meta_info"] = {
+                "output_token_logprobs": [
+                    [lp, tok, None] for lp, tok in req.output_token_logprobs
+                ],
+                "output_top_logprobs": list(req.output_top_logprobs),
+                **(
+                    {
+                        "input_token_logprobs": [
+                            [lp, tok, None]
+                            for lp, tok in req.input_token_logprobs
+                        ]
+                    }
+                    if req.logprob_start_len >= 0
+                    else {}
+                ),
+            }
         try:
             aio_loop.call_soon_threadsafe(out.put_nowait, payload)
         except RuntimeError:
@@ -255,6 +272,9 @@ class HttpServer:
             input_ids=body.get("input_ids"),
             sampling_params=body.get("sampling_params"),
             rid=body.get("rid"),
+            return_logprob=bool(body.get("return_logprob", False)),
+            logprob_start_len=int(body.get("logprob_start_len", -1)),
+            top_logprobs_num=int(body.get("top_logprobs_num", 0)),
             stream=body.get("stream", False),
             lora_path=body.get("lora_path"),
             token_ids_logprob=body.get("token_ids_logprob"),
@@ -415,6 +435,7 @@ class HttpServer:
                 "prompt_tokens": out["prompt_tokens"],
                 "completion_tokens": len(out["output_ids"]),
                 "finish_reason": out["finish_reason"],
+                **(out.get("meta_info") or {}),  # logprob fields
             },
         }
 

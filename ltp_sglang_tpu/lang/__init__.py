@@ -7,4 +7,4 @@ from ltp_sglang_tpu.lang.api import (
     system,
     user,
 )
-from ltp_sglang_tpu.lang.backend import RuntimeEndpoint
+from ltp_sglang_tpu.lang.backend import Anthropic, OpenAI, RuntimeEndpoint

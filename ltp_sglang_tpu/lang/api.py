@@ -33,6 +33,9 @@ class Select:
     name: Optional[str]
     choices: List[str]
     temperature: float = 0.0
+    # "grammar" (TPU-native default: one constrained decode pass) or a
+    # reference scoring method from lang/choices.py.
+    choices_method: str = "grammar"
 
 
 @dataclasses.dataclass
@@ -53,8 +56,9 @@ def gen(name: Optional[str] = None, max_tokens: int = 128, stop=None,
 
 
 def select(name: Optional[str] = None, choices: Optional[List[str]] = None,
-           temperature: float = 0.0) -> Select:
-    return Select(name, list(choices or []), temperature)
+           temperature: float = 0.0,
+           choices_method: str = "grammar") -> Select:
+    return Select(name, list(choices or []), temperature, choices_method)
 
 
 def system(*parts) -> Role:
@@ -134,6 +138,25 @@ class ProgramState:
     def _run_select(self, s: Select):
         import re as _re
 
+        if s.choices_method != "grammar":
+            from ltp_sglang_tpu.lang.choices import select_by_logprobs
+
+            res = select_by_logprobs(
+                self.backend, self.text, s.choices, s.choices_method
+            )
+            if s.name:
+                self.vars[s.name] = res["choice"]
+            self.text += res["choice"]
+            return
+        if hasattr(self.backend, "select"):
+            # Third-party backends (OpenAI/Anthropic) bring their own
+            # selection — no grammar surface to constrain against.
+            piece = self.backend.select(self.text, s.choices)
+            if s.name:
+                self.vars[s.name] = piece
+            self.text += piece
+            return
+
         pattern = "(?:" + "|".join(_re.escape(c) for c in s.choices) + ")"
         out = self.backend.generate(
             prompt=self.text,
@@ -184,13 +207,42 @@ class CompiledFunction:
         self.fn(state, **kwargs)
         return state
 
+    # ----------------------------------------------------- trace / compile
+    def trace(self, **kwargs):
+        """Record the program's IR without touching the model (lang/tracer).
+        kwargs name the program's arguments (values are ignored — they become
+        placeholders). Raises ir.StopTracing for data-dependent programs."""
+        from ltp_sglang_tpu.lang.tracer import trace as _trace
+
+        return _trace(self.fn, list(kwargs.keys()))
+
+    def compile(self, **kwargs):
+        """Trace + compile (lang/compiler.CompiledProgram): dependency graph
+        + shared-prefix extraction for radix-primed batch execution."""
+        from ltp_sglang_tpu.lang.compiler import compile_func
+
+        return compile_func(self.trace(**kwargs))
+
     def run_batch(self, args_list: List[Dict[str, Any]], backend=None,
                   max_workers: int = 16) -> List[ProgramState]:
         """Run the program over many argument dicts concurrently
         (python/sglang run_batch): threads overlap the per-program waits so
-        the engine continuously batches across programs."""
+        the engine continuously batches across programs. Traceable programs
+        go through the compiler (shared constant prefix primed once in the
+        radix cache); data-dependent ones fall back to eager threads."""
         from concurrent.futures import ThreadPoolExecutor
 
+        if args_list:
+            from ltp_sglang_tpu.lang.ir import StopTracing
+
+            try:
+                prog = self.compile(**args_list[0])
+            except (StopTracing, TypeError):
+                prog = None
+            if prog is not None:
+                return prog.run_batch(
+                    args_list, backend=backend, max_workers=max_workers
+                )
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
             return list(ex.map(
                 lambda kw: self.run(backend=backend, **kw), args_list

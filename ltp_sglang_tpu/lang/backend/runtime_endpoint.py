@@ -56,7 +56,8 @@ class RuntimeEndpoint:
         return out
 
     def generate(self, prompt=None, sampling_params=None, input_ids=None,
-                 image_data=None, **_):
+                 image_data=None, return_logprob=False, logprob_start_len=-1,
+                 top_logprobs_num=0, **_):
         body: Dict[str, Any] = {"sampling_params": sampling_params or {}}
         if prompt is not None:
             body["text"] = prompt
@@ -64,6 +65,10 @@ class RuntimeEndpoint:
             body["input_ids"] = input_ids
         if image_data:
             body["image_data"] = self._encode_images(list(image_data))
+        if return_logprob:
+            body["return_logprob"] = True
+            body["logprob_start_len"] = int(logprob_start_len)
+            body["top_logprobs_num"] = int(top_logprobs_num)
         return self._post("/generate", body)
 
     def get_server_info(self) -> Dict[str, Any]:

@@ -157,6 +157,11 @@ class Req:
         # Logprobs
         self.output_token_logprobs: List[tuple] = []  # (logprob, token_id)
         self.output_top_logprobs: List[tuple] = []  # ([vals], [ids]) per step
+        # Prompt logprobs (reference input_token_logprobs, logits_processor
+        # extend path): positions >= logprob_start_len score the NEXT prompt
+        # token. -1 disables (the common serving path pays nothing).
+        self.logprob_start_len = -1
+        self.input_token_logprobs: List[tuple] = []  # (logprob, token_id)
 
         # Incremental detokenization state (DecodeStatus analog).
         self.read_offset = 0
@@ -185,7 +190,18 @@ class Req:
             from ltp_sglang_tpu.mem_cache.radix_cache import radix_key
 
             # Cap matching at len-1 so at least one token is computed.
-            key = radix_key(self.fill_ids[:-1], self.lora_id)
+            match_len = len(self.fill_ids) - 1
+            if (
+                self.return_logprob
+                and self.logprob_start_len >= 0
+                and not self.output_ids
+            ):
+                # Prompt-logprob requests must COMPUTE the scored span even
+                # if it is radix-cached (reference truncates the reused
+                # prefix at logprob_start_len the same way). Token t's score
+                # comes from position t-1, so the reuse cap is start-1.
+                match_len = min(match_len, max(0, self.logprob_start_len - 1))
+            key = radix_key(self.fill_ids[:match_len], self.lora_id)
             if hasattr(tree_cache, "attach_snap"):  # SWA-aware cache
                 match = tree_cache.match_prefix(key, req=self)
                 tree_cache.attach_snap(self, match.swa_snap_node)

@@ -1346,25 +1346,55 @@ class Scheduler:
             self._prepare_mrope(batch, fb)
         want_lp = any(r.return_logprob for r in batch.reqs)
         want_ids_lp = any(r.token_ids_logprob for r in batch.reqs)
-        want_hid = (
+        spec_hid = (
             batch.forward_mode != ForwardMode.DECODE
             and self.spec_worker is not None
             and getattr(self.spec_worker, "covers_prompt", False)
         )
+        # Prompt logprobs (input_token_logprobs): extend steps whose rows
+        # request logprob_start_len >= 0 also return post-norm hiddens; the
+        # lm_head then re-runs over all positions in chunks
+        # (runner.input_logprobs). EAGLE3's aux-hidden mode repurposes the
+        # hidden output — the two cannot share a step (guarded at admission).
+        want_in_lp = batch.forward_mode != ForwardMode.DECODE and any(
+            r.return_logprob and r.logprob_start_len >= 0 for r in batch.reqs
+        )
+        if want_in_lp and getattr(self.runner, "spec_aux_hidden", False):
+            want_in_lp = False
+        want_hid = spec_hid or want_in_lp
         if want_hid:
             next_tokens, lp, logits, hidden = self.runner.forward(
                 fb, return_logits=want_ids_lp, want_logprobs=want_lp,
                 want_hidden=True,
             )
-            # Cover the prompt span in the eagle draft cache while the
-            # hiddens are still on device.
-            self.spec_worker.on_prefill(batch, fb, hidden)
+            if spec_hid:
+                # Cover the prompt span in the eagle draft cache while the
+                # hiddens are still on device.
+                self.spec_worker.on_prefill(batch, fb, hidden)
         else:
             next_tokens, lp, logits = self.runner.forward(
                 fb, return_logits=want_ids_lp, want_logprobs=want_lp
             )
         res = BatchResult(batch, next_tokens, batch.forward_mode, logprobs=lp)
         res.logits = logits if want_ids_lp else None
+        if want_in_lp and not getattr(self.runner, "spec_aux_hidden", False):
+            B, E = fb.input_ids.shape
+            targets = np.zeros((B, E), np.int32)
+            for i, r in enumerate(batch.reqs):
+                p0 = int(fb.prefix_lens[i])
+                e = int(fb.extend_lens[i])
+                fill = r.fill_ids
+                for j in range(e):
+                    t = p0 + j + 1
+                    if t < len(fill):
+                        targets[i, j] = fill[t]
+            res.input_logprobs = np.asarray(
+                self.runner.input_logprobs(hidden, targets)
+            )
+            res.in_lp_spans = [
+                (int(fb.prefix_lens[i]), int(fb.extend_lens[i]))
+                for i in range(len(batch.reqs))
+            ]
         return res
 
     # ----------------------------------------------------------- post-process
@@ -1389,6 +1419,11 @@ class Scheduler:
                 np.asarray(result.logprobs[1]),
                 np.asarray(result.logprobs[2]),
             )
+        self._pending_input_lp = (
+            (result.input_logprobs, result.in_lp_spans)
+            if getattr(result, "input_logprobs", None) is not None
+            else None
+        )
         if result.mode == ForwardMode.EXTEND or result.mode == ForwardMode.MIXED:
             self._process_extend_result(batch, tokens)
         elif result.window_k == 0:
@@ -1449,8 +1484,32 @@ class Scheduler:
                 (tvals[i, :k].tolist(), tidx[i, :k].tolist())
             )
 
+    def _record_input_logprobs(self, req: Req, i: int):
+        """Store this chunk's prompt logprobs on the request (reference
+        input_token_logprobs: entry t scores prompt token t, produced by
+        position t-1; token 0 gets a None score when start == 0)."""
+        pend = getattr(self, "_pending_input_lp", None)
+        if pend is None or not req.return_logprob or req.logprob_start_len < 0:
+            return
+        lps, spans = pend
+        p0, e = spans[i]
+        start = req.logprob_start_len
+        n_prompt = len(req.origin_input_ids)
+        if start == 0 and p0 == 0 and not req.input_token_logprobs:
+            req.input_token_logprobs.append((None, req.origin_input_ids[0]))
+        for j in range(e):
+            t = p0 + j + 1  # prompt token scored by position p0+j
+            if t >= n_prompt:
+                break
+            if t < max(start, 1):
+                continue
+            req.input_token_logprobs.append(
+                (float(lps[i, j]), req.origin_input_ids[t])
+            )
+
     def _process_extend_result(self, batch: ScheduleBatch, tokens: np.ndarray):
         for i, req in enumerate(batch.reqs):
+            self._record_input_logprobs(req, i)
             if req.is_chunked > 0:
                 # Mid-chunk: no token is emitted; publish computed KV to the
                 # tree so concurrent requests can share it.

@@ -1427,6 +1427,43 @@ class ModelRunner:
             return out + (hidden,)
         return out
 
+    def input_logprobs(self, hidden, targets: np.ndarray):
+        """Prompt logprobs (reference input_token_logprobs,
+        layers/logits_processor.py extend path): given the extend step's
+        post-norm hiddens [B, E, Dm] (from forward(want_hidden=True)) and the
+        NEXT prompt token at each position [B, E], return the logprob each
+        position assigns its target [B, E] f32. The lm_head runs over
+        position chunks (lax.map) so the [B, chunk, V] logits buffer — not
+        [B, E, V] — bounds peak memory."""
+        B, E, _ = hidden.shape
+        key = ("input_lp", B, E)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            model = self.model
+            ck = 128
+            n_ck = -(-E // ck)
+            Ep = n_ck * ck
+
+            def lp_fn(params, hid, tgt):
+                hid = jnp.pad(hid, ((0, 0), (0, Ep - E), (0, 0)))
+                tgt = jnp.pad(tgt, ((0, 0), (0, Ep - E)))
+                hid = hid.reshape(B, n_ck, ck, -1).transpose(1, 0, 2, 3)
+                tgt = tgt.reshape(B, n_ck, ck).transpose(1, 0, 2)
+
+                def one(args):
+                    h, t = args  # [B, ck, Dm], [B, ck]
+                    logits = model._lm_head(params, h, None, True)
+                    lse = jax.nn.logsumexp(logits, axis=-1)
+                    got = jnp.take_along_axis(logits, t[..., None], -1)[..., 0]
+                    return got - lse
+
+                out = jax.lax.map(one, (hid, tgt))  # [n_ck, B, ck]
+                return out.transpose(1, 0, 2).reshape(B, Ep)[:, :E]
+
+            fn = jax.jit(lp_fn)
+            self._step_cache[key] = fn
+        return fn(self.params, hidden, jnp.asarray(targets, jnp.int32))
+
     def forward_window(self, wb: DecodeWindowBatch):
         """Run a K-step decode window; returns tokens [B, K] (device array)."""
         self._flush_dirty_rows()
