@@ -145,6 +145,20 @@ class ServerArgs:
     lora_paths: Optional[List[str]] = None
     max_loras_per_batch: int = 8
 
+    # Double sparsity (reference server_args.py:206-211 /
+    # layers/attention/double_sparsity_backend.py): decode attention reads a
+    # small per-layer "label" cache (heavy channels of K), picks the
+    # ds_heavy_token_num highest-scoring tokens per request, and attends
+    # exactly over only those rows. TPU design note: selection is per
+    # REQUEST (union over heads) — the DMA row layout stores all kv heads in
+    # one row, so per-head token sets would read-amplify the gather 8x.
+    enable_double_sparsity: bool = False
+    ds_channel_config_path: Optional[str] = None  # json: per-layer channels
+    ds_heavy_channel_num: int = 32
+    ds_heavy_token_num: int = 256
+    ds_heavy_channel_type: str = "auto"  # auto (k-proj norm) | q | k | qk
+    ds_sparse_decode_threshold: int = 4096  # dense below this kv bucket
+
     # PD disaggregation
     disaggregation_mode: str = "null"  # null | prefill | decode
     # 0 = pick an ephemeral port (exposed as engine.pd_prefill.port).
@@ -168,7 +182,10 @@ class ServerArgs:
         if self.prefill_token_buckets is None:
             self.prefill_token_buckets = [64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384]
         if self.context_buckets is None:
-            self.context_buckets = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072]
+            # 128/192 rungs cut short-context decode's attention reads ~25%
+            # (KV pages pad to the bucket); measured +3% decode tok/s on the
+            # llama-3B bench geometry (ctx 64..160) on v5e.
+            self.context_buckets = [128, 192, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072]
 
     # ------------------------------------------------------------------ CLI
     @staticmethod

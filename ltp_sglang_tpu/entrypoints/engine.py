@@ -622,31 +622,69 @@ class Engine:
             })
 
     # ------------------------------------------------------------- control
+    def _fused_alias(self, node: Dict, part: str):
+        """Resolve an unfused projection name against fused params
+        (layers/linear.fuse_dense_projections): callers address q_proj etc.
+        by the checkpoint name; fused params answer with a column slice."""
+        cfg = self.model_config
+        qn = cfg.num_attention_heads * cfg.head_dim
+        kn = cfg.num_kv_heads * cfg.head_dim
+        im = cfg.hf_config.get("intermediate_size", 0)
+        table = {
+            "q_proj": ("qkv_proj", 0, qn),
+            "k_proj": ("qkv_proj", qn, kn),
+            "v_proj": ("qkv_proj", qn + kn, kn),
+            "gate_proj": ("gate_up_proj", 0, im),
+            "up_proj": ("gate_up_proj", im, im),
+        }
+        hit = table.get(part)
+        if hit and isinstance(node, dict) and hit[0] in node:
+            return hit[0], (hit[1], hit[2])
+        return None
+
+    def _walk_params(self, name: str):
+        """-> (container dict, leaf key, column (off, width) or None)."""
+        parts = name.split("/")
+        node = self.model_runner.params
+        cols = None
+        for part in parts[:-1]:
+            if isinstance(node, dict) and part not in node:
+                alias = self._fused_alias(node, part)
+                if alias is not None:
+                    node, cols = node[alias[0]], alias[1]
+                    continue
+            node = node[part]
+        return node, parts[-1], cols
+
     def get_weights_by_name(self, name: str):
         """Fetch a parameter leaf by slash-separated path
         (update/get weight RPC parity, model_runner.py:708-954)."""
-        node = self.model_runner.params
-        for part in name.split("/"):
-            node = node[part]
-        return np.asarray(node)
+        node, leaf, cols = self._walk_params(name)
+        arr = np.asarray(node[leaf])
+        if cols is not None:
+            arr = arr[..., cols[0] : cols[0] + cols[1]]
+        return arr
 
     def update_weights_from_tensor(self, named_tensors):
         """In-place update of param leaves: [(slash_path, np.ndarray), ...]
         (RLHF weight-sync path, update_weights_from_tensor:869)."""
         import jax.numpy as jnp
 
-        params = self.model_runner.params
         for name, tensor in named_tensors:
-            parts = name.split("/")
-            node = params
-            for part in parts[:-1]:
-                node = node[part]
-            old = node[parts[-1]]
-            if tuple(old.shape) != tuple(tensor.shape):
+            node, leaf, cols = self._walk_params(name)
+            old = node[leaf]
+            want = tuple(old.shape)
+            if cols is not None:
+                want = want[:-1] + (cols[1],)
+            if want != tuple(tensor.shape):
                 raise ValueError(
-                    f"shape mismatch for {name}: {old.shape} vs {tensor.shape}"
+                    f"shape mismatch for {name}: {want} vs {tensor.shape}"
                 )
-            node[parts[-1]] = jnp.asarray(tensor, dtype=old.dtype)
+            t = jnp.asarray(tensor, dtype=old.dtype)
+            if cols is not None:
+                node[leaf] = old.at[..., cols[0] : cols[0] + cols[1]].set(t)
+            else:
+                node[leaf] = t
         return True
 
     def init_weights_update_group(self, master_address: str, master_port: int,

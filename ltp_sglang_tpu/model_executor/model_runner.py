@@ -417,6 +417,19 @@ class ModelRunner:
             )
 
             fuse_quant_projections(self.params["layers"])
+        if (
+            getattr(self.model, "supports_quant_fusion", False)
+            and not self.server_args.lora_paths
+            and isinstance(self.params.get("layers"), dict)
+        ):
+            # Dense bf16 analog of the int4 fusion above: 7 HBM-bound
+            # matmul streams per layer become 4 wider ones
+            # (layers/linear.fuse_dense_projections; measured 12.5 -> ~11.5
+            # ms/step on v5e llama-3B decode). LoRA keeps per-name deltas,
+            # so fused names are skipped when adapters are configured.
+            from ltp_sglang_tpu.layers.linear import fuse_dense_projections
+
+            fuse_dense_projections(self.params["layers"])
         if self.model_config.quantization in (
             "awq", "awq_marlin", "gptq", "gptq_marlin"
         ):
@@ -727,6 +740,10 @@ class ModelRunner:
             L_alloc = L
         self.k_cache = jnp.zeros((L_alloc, S, rk, lnk), dtype=self.kv_dtype, device=k_sharding)
         self.v_cache = jnp.zeros((L_alloc, S, rv, lnv), dtype=self.kv_dtype, device=v_sharding)
+        self.ds_enabled = False
+        self.label_cache = None
+        if self.server_args.enable_double_sparsity:
+            self._init_double_sparsity(L, S, Hkv, D, k_sharding)
         # Whole-row table DMAs (table_write_rows_pallas) fault when the row
         # spans a partial int32 tile: (9,128) / (10,128) int32 copies crash
         # the TPU worker while (8,128) / (16,128) run (measured on v5e).
@@ -744,6 +761,86 @@ class ModelRunner:
         logger.info(
             "KV pool: %d tokens x %d layers x %d kv heads x %d dims (%s), %d req slots",
             self.max_total_num_tokens, L, Hkv, D, str(self.kv_dtype), max_reqs,
+        )
+
+    def _init_double_sparsity(self, L, S, Hkv, D, sharding):
+        """Double sparsity (reference double_sparsity_backend.py): allocate
+        the per-layer label pool [L, S, Hkv, r] mirroring the KV slot space,
+        and resolve the heavy-channel set — from ds_channel_config_path
+        (offline calibration json: {"layer.N": {"q"|"k"|"qk": [[...]...]}}),
+        else the calibration-free "auto" pick from K-projection column norms
+        (ops/attention/double_sparsity.auto_channels)."""
+        sa = self.server_args
+        if self.swa_enabled:
+            raise NotImplementedError("double sparsity + SWA pools")
+        if self.pp_size > 1:
+            raise NotImplementedError("double sparsity + pipeline parallelism")
+        if sa.speculative_algorithm:
+            # Draft/verify extends run outside the label-writing step program;
+            # stale labels would silently mis-select. Loud > silent.
+            raise NotImplementedError("double sparsity + speculative decoding")
+        r = int(sa.ds_heavy_channel_num)
+        if r > D:
+            raise ValueError(f"ds_heavy_channel_num {r} > head_dim {D}")
+        from ltp_sglang_tpu.ops.attention.double_sparsity import auto_channels
+
+        ch = None
+        if sa.ds_channel_config_path:
+            import json as _json
+
+            with open(sa.ds_channel_config_path) as f:
+                cfg = _json.load(f)
+            sel = sa.ds_heavy_channel_type
+            if sel == "auto":
+                sel = "qk"
+            ch = np.zeros((L, Hkv, r), np.int32)
+            for li in range(L):
+                key = next(
+                    (k for k in (f"model.layers.{li}", str(li)) if k in cfg),
+                    None,
+                )
+                if key is None:
+                    raise ValueError(f"ds channel config misses layer {li}")
+                rows = np.asarray(cfg[key][sel], np.int32)  # [H, D-sorted]
+                if rows.shape[0] == Hkv:
+                    ch[li] = np.sort(rows[:, :r], axis=-1)
+                else:  # per-q-head config: fold onto kv heads (GQA)
+                    g = rows.shape[0] // Hkv
+                    ch[li] = np.sort(
+                        rows.reshape(Hkv, g, -1)[:, 0, :r], axis=-1
+                    )
+        else:
+            k_proj = None
+            layers = self.params.get("layers") if isinstance(
+                self.params, dict
+            ) else None
+            if isinstance(layers, dict):
+                kp = layers.get("k_proj")
+                if isinstance(kp, dict) and hasattr(kp.get("kernel"), "shape"):
+                    k_proj = kp["kernel"]
+                elif isinstance(layers.get("qkv_proj"), dict):
+                    kern = layers["qkv_proj"].get("kernel")
+                    if hasattr(kern, "shape"):
+                        qn = self.model_config.num_attention_heads * D
+                        k_proj = kern[..., qn : qn + Hkv * D]
+            ch = auto_channels(k_proj, L, Hkv, D, r)
+        self.ds_enabled = True
+        self.label_cache = jnp.zeros(
+            (L, S, Hkv, r), dtype=self.kv_dtype, device=sharding
+        )
+        self.model.ds_channels = jnp.asarray(ch)
+        self.model.ds_cfg = {
+            "r": r,
+            "heavy_k": int(sa.ds_heavy_token_num),
+            "threshold": int(sa.ds_sparse_decode_threshold),
+        }
+        # The window fns do not thread the label pool; decode runs the
+        # single-step program (same forced-K=1 pattern as PP).
+        sa.decode_window_size = 1
+        logger.info(
+            "double sparsity: r=%d heavy_k=%d threshold=%d label pool %.1f MB",
+            r, sa.ds_heavy_token_num, sa.ds_sparse_decode_threshold,
+            self.label_cache.size * self.label_cache.dtype.itemsize / 1e6,
         )
 
     # -------------------------------------------------- SWA ring snapshots
@@ -815,6 +912,7 @@ class ModelRunner:
                        has_vocab_mask: bool = False, want_hidden: bool = False,
                        has_mm: bool = False, has_swa: bool = False):
         model = self.model
+        ds_on = getattr(self, "ds_enabled", False)
         table_write_rows = self._table_write_rows
         table_merge_window = self._table_merge_window
         nan_detect = self.server_args.enable_nan_detection
@@ -850,6 +948,7 @@ class ModelRunner:
             mm_mask,  # [B, E] bool or dummy [1, 1]
             k_swa,  # [Ls, (R+1)*ring, r, ln] SWA ring pool, or dummy
             v_swa,
+            label_cache,  # [L, S, Hkv, r] double-sparsity labels, or dummy
         ):
             B, E = input_ids.shape
             if mode_is_decode:
@@ -915,16 +1014,26 @@ class ModelRunner:
                     logits = model._lm_head(params, hidden_full, step, False)
                     hidden_out = aux_cat
                 else:
-                    hidden_out, k_cache, v_cache = model.forward(
+                    fwd = model.forward(
                         params, step, k_cache, v_cache, lora=lora,
                         return_hidden=True, **swa_kw,
+                        **({"label_cache": label_cache} if ds_on else {}),
                     )
+                    if ds_on:
+                        hidden_out, k_cache, v_cache, label_cache = fwd
+                    else:
+                        hidden_out, k_cache, v_cache = fwd
                     logits = model._lm_head(params, hidden_out, step, False)
             else:
                 hidden_out = jnp.zeros((0,), jnp.float32)
-                logits, k_cache, v_cache = model.forward(
+                fwd = model.forward(
                     params, step, k_cache, v_cache, lora=lora, **swa_kw,
+                    **({"label_cache": label_cache} if ds_on else {}),
                 )
+                if ds_on:
+                    logits, k_cache, v_cache, label_cache = fwd
+                else:
+                    logits, k_cache, v_cache = fwd
             if has_swa:
                 (k_cache, k_swa), (v_cache, v_swa) = k_cache, v_cache
             if nan_detect:
@@ -959,9 +1068,12 @@ class ModelRunner:
                 top_vals = jnp.zeros((0, 0), jnp.float32)
                 top_idx = jnp.zeros((0, 0), jnp.int32)
             return (tokens, (chosen, top_vals, top_idx), out_logits, hidden_out,
-                    k_cache, v_cache, table, k_swa, v_swa, nan_flag)
+                    k_cache, v_cache, table, k_swa, v_swa, label_cache,
+                    nan_flag)
 
-        donate = (1, 2, 3) + ((28, 29) if has_swa else ())
+        donate = (1, 2, 3) + ((28, 29) if has_swa else ()) + (
+            (30,) if getattr(self, "ds_enabled", False) else ()
+        )
         return jax.jit(step_fn, donate_argnums=donate)
 
     def _build_embed_fn(self, C: int, pooling: str):
@@ -1381,7 +1493,7 @@ class ModelRunner:
         )
         self._step_counter += 1
         (tokens, lp, logits, hidden, self.k_cache, self.v_cache, self.req_table,
-         k_swa_out, v_swa_out, nan_flag) = fn(
+         k_swa_out, v_swa_out, label_out, nan_flag) = fn(
             self.params,
             self.k_cache,
             self.v_cache,
@@ -1414,9 +1526,13 @@ class ModelRunner:
             else np.zeros((1, 1), bool),
             self.k_swa if self.swa_enabled else np.zeros((1,), np.float32),
             self.v_swa if self.swa_enabled else np.zeros((1,), np.float32),
+            self.label_cache if self.ds_enabled
+            else np.zeros((1, 1, 1, 1), np.float32),
         )
         if self.swa_enabled:
             self.k_swa, self.v_swa = k_swa_out, v_swa_out
+        if self.ds_enabled:
+            self.label_cache = label_out
         if self.server_args.enable_nan_detection and bool(nan_flag):
             raise FloatingPointError(
                 "NaN/Inf detected in logits (enable_nan_detection)"

@@ -158,6 +158,31 @@ def load_native_checkpoint(model, model_path: str):
             for name in sf.keys():
                 flat[name] = sf.get_tensor(name)
 
+    # A checkpoint saved from a running engine may carry FUSED projection
+    # leaves (layers/linear.fuse_dense_projections) while the freshly-inited
+    # reference structure has the unfused names: slice them back apart here —
+    # the runner re-fuses after load, so the round trip is bit-exact.
+    def _unfuse(fused_key, names, widths):
+        for leaf in ("kernel", "bias"):
+            src = flat.pop(f"layers/{fused_key}/{leaf}", None)
+            if src is None:
+                continue
+            off = 0
+            for nm, w in zip(names, widths):
+                flat[f"layers/{nm}/{leaf}"] = src[..., off : off + w]
+                off += w
+
+    if any(k.startswith("layers/qkv_proj/") for k in flat):
+        cfg = model.config
+        qn = cfg.num_attention_heads * cfg.head_dim
+        kn = cfg.num_kv_heads * cfg.head_dim
+        _unfuse("qkv_proj", ("q_proj", "k_proj", "v_proj"), (qn, kn, kn))
+    if any(k.startswith("layers/gate_up_proj/") for k in flat):
+        gu = flat.get("layers/gate_up_proj/kernel")
+        if gu is not None:
+            im = gu.shape[-1] // 2
+            _unfuse("gate_up_proj", ("gate_proj", "up_proj"), (im, im))
+
     def rebuild(node, prefix):
         if isinstance(node, dict):
             return {

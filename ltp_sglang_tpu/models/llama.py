@@ -94,6 +94,10 @@ class LlamaForCausalLM:
         self.paged_attn = None
         self.extend_attn = None  # set by ModelRunner when the layout allows
         self.mesh_ctx = None
+        # Double sparsity (set by ModelRunner when enable_double_sparsity):
+        # ds_cfg = {"r", "heavy_k", "threshold"}, ds_channels [L, Hkv, r].
+        self.ds_cfg = None
+        self.ds_channels = None
         self.sm_scale = config.head_dim**-0.5
         # Weight-only quantization (awq/gptq): projections carry packed
         # int4 leaves instead of dense kernels (layers/quantization).
@@ -106,9 +110,30 @@ class LlamaForCausalLM:
         )
         # FP8 (weight fp8 + scales; layers/quantization/fp8.py) vs INT4
         # (packed nibbles) vs W8A8-INT8 take different param leaves.
-        self.quant_is_fp8 = self.quant in ("fp8", "compressed-tensors", "w8a8_fp8")
-        self.quant_is_int8 = self.quant in ("w8a8_int8", "int8")
         qc = config.quant_config or {}
+        ct_int8 = False
+        if self.quant == "compressed-tensors":
+            # compressed-tensors checkpoints (reference layers/quantization/
+            # compressed_tensors/compressed_tensors.py:77 target_scheme_map):
+            # config_groups announce the weight scheme — num_bits=8
+            # type="int" routes to the int8-MXU path (w8a8_int8.py), float
+            # to the fp8 path. The "ignore" list needs no handling here:
+            # convert_hf_weights keeps any leaf without scales dense.
+            groups = qc.get("config_groups") or {}
+            for g in groups.values():
+                w = (g or {}).get("weights") or {}
+                if int(w.get("num_bits", 8)) == 8 and w.get("type") == "int":
+                    ct_int8 = True
+                elif int(w.get("num_bits", 8)) != 8:
+                    raise NotImplementedError(
+                        f"compressed-tensors num_bits={w.get('num_bits')}: "
+                        "only 8-bit int/float schemes are supported"
+                    )
+        self.quant_is_fp8 = (
+            self.quant in ("fp8", "w8a8_fp8")
+            or (self.quant == "compressed-tensors" and not ct_int8)
+        )
+        self.quant_is_int8 = self.quant in ("w8a8_int8", "int8") or ct_int8
         self.quant_group_size = int(qc.get("group_size", 128))
         wbs = qc.get("weight_block_size")
         self.fp8_block = int(wbs[0]) if wbs else 128
@@ -513,7 +538,7 @@ class LlamaForCausalLM:
         return h, normed, attn_res
 
     def _window_mlp(self, lp, lin, normed, tok_valid, quant_stacked):
-        if quant_stacked is not None and "gate_up_proj" in quant_stacked:
+        if "gate_up_proj" in (quant_stacked or {}) or "gate_up_proj" in lp:
             gate, up = jnp.split(lin("gate_up_proj", normed), 2, axis=-1)
             return lin("down_proj", jax.nn.silu(gate) * up)
         if quant_stacked is not None and "gate_proj" in quant_stacked:
@@ -627,7 +652,7 @@ class LlamaForCausalLM:
             else:
                 normed = self.norm(h, lp["input_layernorm"])
             attn_in = normed
-            if quant_stacked is not None and "qkv_proj" in quant_stacked:
+            if "qkv_proj" in (quant_stacked or {}) or "qkv_proj" in lp:
                 y = lin("qkv_proj", normed)
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
             else:
@@ -802,7 +827,7 @@ class LlamaForCausalLM:
             else:
                 normed = self.norm(h, lp["input_layernorm"])
             attn_in = normed
-            if quant_stacked is not None and "qkv_proj" in quant_stacked:
+            if "qkv_proj" in (quant_stacked or {}) or "qkv_proj" in lp:
                 y = lin("qkv_proj", normed)
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
             else:
@@ -927,6 +952,7 @@ class LlamaForCausalLM:
         input_embeds: Optional[jnp.ndarray] = None,  # PP mid-stage input
         pp_raw_hidden: bool = False,  # PP non-last stage: skip norm + head
         return_aux: bool = False,  # EAGLE3: also return concat aux hiddens
+        label_cache: Optional[jnp.ndarray] = None,  # [L,S,Hkv,r] double sparsity
     ):
         """Returns (logits, k_cache, v_cache): last-token logits [B, V], or
         per-position logits [B, E, V] when all_logits (speculative verify)."""
@@ -977,9 +1003,14 @@ class LlamaForCausalLM:
                 jnp.int32,
             )
 
+        ds_on = label_cache is not None and self.ds_cfg is not None
+
         def layer_body(carry, xs):
+            lc = None
             if aux_ids is not None:
                 h, kc, vc, aux = carry
+            elif ds_on:
+                h, kc, vc, lc = carry
             else:
                 h, kc, vc = carry
             if lora_layers is not None:
@@ -1015,8 +1046,12 @@ class LlamaForCausalLM:
                 normed = self.norm(h, lp["input_layernorm"])
             attn_in = normed
             gs = self.quant_group_size
-            if quant_stacked is not None and "qkv_proj" in quant_stacked:
-                y = apply_linear(quant_stacked["qkv_proj"], normed, gs, li=li)
+            if "qkv_proj" in (quant_stacked or {}) or "qkv_proj" in lp:
+                y = (
+                    apply_linear(quant_stacked["qkv_proj"], normed, gs, li=li)
+                    if quant_stacked is not None and "qkv_proj" in quant_stacked
+                    else apply_linear(lp["qkv_proj"], normed, gs)
+                )
                 q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
                 if lora_layers is not None:
                     T = normed.shape[0] * normed.shape[1]
@@ -1062,6 +1097,15 @@ class LlamaForCausalLM:
                 kc, vc, li, cache_locs_flat, k_st, v_st,
                 jnp.asarray(B * E, jnp.int32),
             )
+            if ds_on:
+                # Double sparsity: mirror the heavy channels of the new K
+                # rows into the label cache (ops/attention/double_sparsity).
+                from ltp_sglang_tpu.ops.attention.double_sparsity import (
+                    extract_labels,
+                )
+
+                labels_new = extract_labels(k_st, self.ds_channels[li])
+                lc = lc.at[li, cache_locs_flat].set(labels_new)
             if (
                 self.extend_attn is not None
                 and self.alibi_slopes is None
@@ -1079,6 +1123,29 @@ class LlamaForCausalLM:
                     q_att, kc, vc, li, step.pages, step.seq_lens,
                     step.prefix_lens, num_kv_heads=Hkv,
                     sm_scale=self.sm_scale,
+                )
+            elif (
+                ds_on
+                and E == 1
+                and step.kv_indices.shape[1] >= self.ds_cfg["threshold"]
+                and step.spec_mask is None
+                and self.layer_windows is None
+                and self.alibi_slopes is None
+            ):
+                # Double-sparsity decode: score against the label cache
+                # (r/D of the K bytes), top-k per request, exact attention
+                # over only the selected rows.
+                from ltp_sglang_tpu.ops.attention.double_sparsity import (
+                    ds_sparse_attention,
+                )
+
+                Cw = step.kv_indices.shape[1]
+                r = self.ds_cfg["r"]
+                labels = lc[li, step.kv_indices].reshape(B, Cw, Hkv, r)
+                attn_out = ds_sparse_attention(
+                    q_att, kc, vc, li, labels, step.kv_indices,
+                    step.seq_lens, self.ds_channels[li],
+                    self.ds_cfg["heavy_k"], self.sm_scale,
                 )
             else:
                 Cw = step.kv_indices.shape[1]
@@ -1123,8 +1190,13 @@ class LlamaForCausalLM:
                 normed = attn_in
             else:
                 normed = self.norm(h, lp["post_attention_layernorm"])
-            if quant_stacked is not None and "gate_up_proj" in quant_stacked:
-                gu = apply_linear(quant_stacked["gate_up_proj"], normed, gs, li=li)
+            if "gate_up_proj" in (quant_stacked or {}) or "gate_up_proj" in lp:
+                gu = (
+                    apply_linear(quant_stacked["gate_up_proj"], normed, gs, li=li)
+                    if quant_stacked is not None
+                    and "gate_up_proj" in quant_stacked
+                    else apply_linear(lp["gate_up_proj"], normed, gs)
+                )
                 gate, up = jnp.split(gu, 2, axis=-1)
                 if lora_layers is not None:
                     T = normed.shape[0] * normed.shape[1]
@@ -1168,6 +1240,8 @@ class LlamaForCausalLM:
                 sel = (li == aux_ids)[:, None, None, None]  # [3, 1, 1, 1]
                 aux = jnp.where(sel, h[None], aux)
                 return (h, kc, vc, aux), None
+            if ds_on:
+                return (h, kc, vc, lc), None
             return (h, kc, vc), None
 
         # Local layer count: under pipeline parallelism (shard_map over
@@ -1182,6 +1256,10 @@ class LlamaForCausalLM:
                 layer_body, (hidden, k_cache, v_cache, aux0), xs,
             )
             aux_cat = jnp.concatenate([aux[0], aux[1], aux[2]], axis=-1)
+        elif ds_on:
+            (hidden, k_cache, v_cache, label_cache), _ = jax.lax.scan(
+                layer_body, (hidden, k_cache, v_cache, label_cache), xs,
+            )
         else:
             (hidden, k_cache, v_cache), _ = jax.lax.scan(
                 layer_body,
@@ -1199,8 +1277,12 @@ class LlamaForCausalLM:
             # is_embedding; pooling happens in the caller).
             if return_aux:
                 return hidden, aux_cat, k_cache, v_cache
+            if ds_on:
+                return hidden, k_cache, v_cache, label_cache
             return hidden, k_cache, v_cache
         logits = self._lm_head(params, hidden, step, all_logits)
+        if ds_on:
+            return logits, k_cache, v_cache, label_cache
         return logits, k_cache, v_cache
 
     def _lm_head(self, params, hidden, step: StepArrays, all_logits: bool):

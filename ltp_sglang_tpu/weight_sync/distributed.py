@@ -182,28 +182,35 @@ def _resolve_hf(params, name: str):
     if name.startswith("model."):
         name = name[len("model."):]
     if name == "embed_tokens.weight":
-        return params["embed"], "weight", None, False
+        return params["embed"], "weight", None, False, None
     if name == "norm.weight":
-        return params, "norm", None, False
+        return params, "norm", None, False, None
     if name == "lm_head.weight":
         if "lm_head" not in params:
             raise KeyError(
                 "lm_head.weight: model ties embeddings; update "
                 "embed_tokens.weight instead"
             )
-        return params["lm_head"], "kernel", None, True
+        return params["lm_head"], "kernel", None, True, None
     if not name.startswith("layers."):
         raise KeyError(name)
     _, idx, rest = name.split(".", 2)
     i = int(idx)
     layers = params["layers"]
     if rest in ("input_layernorm.weight", "post_attention_layernorm.weight"):
-        return layers, rest.rsplit(".", 1)[0], i, False
+        return layers, rest.rsplit(".", 1)[0], i, False, None
     for prefix in ("self_attn.", "mlp."):
         if rest.startswith(prefix):
             sub, field = rest[len(prefix):].rsplit(".", 1)
+            cols = None
             if sub not in layers:
-                raise KeyError(name)
+                # Dense-fused projections (layers/linear.
+                # fuse_dense_projections): map the checkpoint name onto a
+                # column slice of the fused leaf.
+                alias = _fused_cols(layers, sub)
+                if alias is None:
+                    raise KeyError(name)
+                sub, cols = alias
             leaf = layers[sub]
             if field == "weight":
                 if "kernel" not in leaf:
@@ -212,10 +219,33 @@ def _resolve_hf(params, name: str):
                         "distributed sync updates dense kernels only — "
                         "requantize and reload via update_weights_from_disk"
                     )
-                return leaf, "kernel", i, True
+                return leaf, "kernel", i, True, cols
             if field == "bias":
-                return leaf, "bias", i, False
+                return leaf, "bias", i, False, cols
     raise KeyError(name)
+
+
+def _fused_cols(layers, sub: str):
+    """(fused_name, (offset, width)) for an unfused projection name, sizing
+    the slice from the sibling leaves' shapes."""
+    if sub in ("q_proj", "k_proj", "v_proj") and "qkv_proj" in layers:
+        kern = layers["qkv_proj"].get("kernel")
+        if kern is None:
+            return None
+        # widths derive from o_proj (K = Hq*D) and the total
+        n_total = kern.shape[-1]
+        qn = layers["o_proj"]["kernel"].shape[-2]
+        kn = (n_total - qn) // 2
+        off = {"q_proj": 0, "k_proj": qn, "v_proj": qn + kn}[sub]
+        width = qn if sub == "q_proj" else kn
+        return "qkv_proj", (off, width)
+    if sub in ("gate_proj", "up_proj") and "gate_up_proj" in layers:
+        kern = layers["gate_up_proj"].get("kernel")
+        if kern is None:
+            return None
+        im = kern.shape[-1] // 2
+        return "gate_up_proj", (0 if sub == "gate_proj" else im, im)
+    return None
 
 
 def apply_named_updates(runner, named_tensors):
@@ -234,23 +264,25 @@ def apply_named_updates(runner, named_tensors):
         arr = np.asarray(arr)
         if "/" in name or "." not in name:
             node, key = _resolve_native(params, name)
-            i, transpose = None, False
+            i, transpose, cols = None, False, None
         else:
-            node, key, i, transpose = _resolve_hf(params, name)
+            node, key, i, transpose, cols = _resolve_hf(params, name)
         if transpose:
             arr = arr.T
         old = node[key]
         want = tuple(old.shape[1:]) if i is not None else tuple(old.shape)
+        if cols is not None:
+            want = want[:-1] + (cols[1],)
         if tuple(arr.shape) != want:
             raise ValueError(
                 f"{name}: shape mismatch {arr.shape} vs expected {want}"
             )
         if i is not None:
-            gkey = id(old)
+            gkey = (id(old), cols)
             if gkey not in grouped:
-                grouped[gkey] = (node, key, [], [])
-            grouped[gkey][2].append(i)
-            grouped[gkey][3].append(arr)
+                grouped[gkey] = (node, key, cols, [], [])
+            grouped[gkey][3].append(i)
+            grouped[gkey][4].append(arr)
         else:
             full.append((node, key, arr))
 
@@ -258,9 +290,12 @@ def apply_named_updates(runner, named_tensors):
         old = node[key]
         new = jnp.asarray(arr, dtype=old.dtype)
         node[key] = jax.device_put(new, old.sharding)
-    for node, key, idxs, arrs in grouped.values():
+    for node, key, cols, idxs, arrs in grouped.values():
         old = node[key]
-        new = old.at[np.asarray(idxs, np.int32)].set(
-            jnp.asarray(np.stack(arrs), dtype=old.dtype)
-        )
+        stacked = jnp.asarray(np.stack(arrs), dtype=old.dtype)
+        rows = np.asarray(idxs, np.int32)
+        if cols is None:
+            new = old.at[rows].set(stacked)
+        else:
+            new = old.at[rows, ..., cols[0] : cols[0] + cols[1]].set(stacked)
         node[key] = jax.device_put(new, old.sharding)

@@ -285,11 +285,12 @@ def test_dp_attention_parity_and_sharding(model_dir, single_dev_out):
         )
     )
     runner = eng.model_runner
-    gate = runner.params["layers"]["gate_proj"]["kernel"]
+    # fused projections (fuse_dense_projections) inherit the column spec
+    gate = runner.params["layers"]["gate_up_proj"]["kernel"]
     spec = gate.sharding.spec
     assert tuple(spec) == (None, None, ("dp", "tp")), spec
     # attention weights stay dp-replicated / tp-sharded
-    q = runner.params["layers"]["q_proj"]["kernel"]
+    q = runner.params["layers"]["qkv_proj"]["kernel"]
     assert tuple(q.sharding.spec) == (None, None, "tp")
     outs = eng.generate(
         input_ids=PROMPTS,
