@@ -56,64 +56,190 @@ def rebalance_experts(counts: np.ndarray, ep_size: int) -> Tuple[np.ndarray, Dic
     return perm, stats
 
 
+def replicate_experts_adaptive(c: np.ndarray, n_redundant: int) -> np.ndarray:
+    """Load-adaptive replica counts (reference eplb_algorithms/deepseek.py
+    replicate_experts): each of the `n_redundant` extra physical slots goes
+    to whichever expert currently has the highest per-replica load — hot
+    experts can earn 3+ replicas while a merely-warm one gets none.
+    c [E] -> n_rep [E] int, sum(n_rep) == E + n_redundant."""
+    E = c.shape[0]
+    n_rep = np.ones(E, np.int64)
+    per = c.astype(np.float64).copy()
+    for _ in range(int(n_redundant)):
+        e = int(np.argmax(per))
+        n_rep[e] += 1
+        per[e] = c[e] / n_rep[e]
+    return n_rep
+
+
+def _pack_items(items, ep_size: int, cap: int, rank_base=0):
+    """LPT-pack (logical_id, load) items onto `ep_size` ranks of `cap`
+    slots. Returns (slots {e: [phys...]}, loads [ep_size], p2l [cap*ep])."""
+    items = sorted(items, key=lambda t: -t[1])
+    load = np.zeros(ep_size)
+    used = np.zeros(ep_size, np.int64)
+    slots: Dict[int, list] = {}
+    p2l = np.zeros(ep_size * cap, np.int64)
+    for e, w in items:
+        free = np.flatnonzero(used < cap)
+        r = free[np.argmin(load[free])]
+        p = (rank_base + r) * cap + used[r]
+        used[r] += 1
+        load[r] += w
+        slots.setdefault(e, []).append(p)
+        p2l[r * cap + used[r] - 1] = e
+    return slots, load, p2l
+
+
+def _slots_to_table(slots: Dict[int, list], L_E: int) -> np.ndarray:
+    """{e: [phys...]} -> [E, Rcols] cyclic replica table (single-replica
+    experts repeat their slot; the router picks a column by modulo)."""
+    rcols = max(len(s) for s in slots.values())
+    table = np.zeros((L_E, rcols), np.int64)
+    for e, s in slots.items():
+        for j in range(rcols):
+            table[e, j] = s[j % len(s)]
+    return table
+
+
 def rebalance_experts_redundant(
     counts: np.ndarray, ep_size: int, n_redundant: int
 ) -> Tuple[np.ndarray, np.ndarray, Dict]:
-    """Replicated placement (reference eplb/eplb_algorithms/deepseek.py
-    semantics, redesigned for the stacked-weight TPU layout): the
-    `n_redundant` hottest experts per layer get a second physical slot,
-    their load splits across the two replicas, and all E+R physical slots
-    are LPT-packed onto ranks.
+    """Replicated placement (reference eplb_algorithms/deepseek.py
+    rebalance_experts global path, redesigned for the stacked-weight TPU
+    layout): load-adaptive replica counts, then all E+R physical replicas
+    LPT-packed onto ranks.
 
-    counts [L, E] -> (replica_table [L, E, 2] logical -> its physical
-    slots, phys_to_logical [L, E+R], stats). Experts with one replica
-    repeat that slot in both table columns, so a per-token `% 2` pick is
-    uniform over replicas without branching.
-    """
+    counts [L, E] -> (replica_table [L, E, Rcols] logical -> physical
+    replica slots (cyclic), phys_to_logical [L, E+R], stats)."""
     L, E = counts.shape
     R = int(n_redundant)
     assert 0 < R <= E, (R, E)
     e_phys = E + R
     assert e_phys % ep_size == 0, (e_phys, ep_size)
     cap = e_phys // ep_size
-    table = np.zeros((L, E, 2), np.int64)
+    tables = []
     p2l = np.zeros((L, e_phys), np.int64)
     imb_before = np.zeros(L)
     imb_after = np.zeros(L)
     for li in range(L):
         c = counts[li].astype(np.float64)
-        n_rep = np.ones(E)
-        n_rep[np.argsort(-c)[:R]] = 2.0
-        # Physical items: (logical id, per-replica load), hottest first.
-        items = []
-        for e in range(E):
-            for _ in range(int(n_rep[e])):
-                items.append((e, c[e] / n_rep[e]))
-        items.sort(key=lambda t: -t[1])
-        load = np.zeros(ep_size)
-        used = np.zeros(ep_size, np.int64)
-        slots: Dict[int, list] = {e: [] for e in range(E)}
-        for e, w in items:
-            free = np.flatnonzero(used < cap)
-            r = free[np.argmin(load[free])]
-            p = r * cap + used[r]
-            used[r] += 1
-            load[r] += w
-            slots[e].append(p)
-            p2l[li, p] = e
-        for e in range(E):
-            s = slots[e]
-            table[li, e, 0] = s[0]
-            table[li, e, 1] = s[-1]
+        n_rep = replicate_experts_adaptive(c, R)
+        items = [
+            (e, c[e] / n_rep[e]) for e in range(E) for _ in range(n_rep[e])
+        ]
+        slots, load, p2l_li = _pack_items(items, ep_size, cap)
+        p2l[li] = p2l_li
+        tables.append(_slots_to_table(slots, E))
         mean = max(c.sum() / ep_size, 1e-9)
         pad = (-E) % ep_size  # naive contiguous layout, zero-padded
         cp = np.concatenate([c, np.zeros(pad)])
         imb_before[li] = cp.reshape(ep_size, -1).sum(1).max() / mean
         imb_after[li] = load.max() / mean
+    rcols = max(t.shape[1] for t in tables)
+    table = np.zeros((L, E, rcols), np.int64)
+    for li, t in enumerate(tables):
+        table[li] = np.concatenate(
+            [t] + [t[:, -1:]] * (rcols - t.shape[1]), axis=1
+        ) if t.shape[1] < rcols else t
     stats = {
         "imbalance_before": float(imb_before.mean()),
         "imbalance_after": float(imb_after.mean()),
         "n_redundant": R,
+        "max_replicas": int(rcols),
+    }
+    return table, p2l, stats
+
+
+def rebalance_experts_hierarchical(
+    counts: np.ndarray, ep_size: int, num_nodes: int, num_groups: int,
+    n_redundant: int,
+) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Hierarchical placement (reference eplb_algorithms/deepseek.py:85):
+    (1) balanced-pack the expert GROUPS onto nodes — group-limited routing
+    keeps a token's experts on one node so its dispatch rides the fast
+    intra-node fabric (ICI here, NVLink there); (2) adaptively replicate
+    each node's logical experts over the node's spare physical slots;
+    (3) LPT-pack replicas onto the node's chips.
+
+    counts [L, E] -> (replica_table [L, E, Rcols], p2l [L, E+R], stats)."""
+    L, E = counts.shape
+    R = int(n_redundant)
+    e_phys = E + R
+    assert E % num_groups == 0, (E, num_groups)
+    assert num_groups % num_nodes == 0, (num_groups, num_nodes)
+    assert ep_size % num_nodes == 0, (ep_size, num_nodes)
+    assert e_phys % ep_size == 0, (e_phys, ep_size)
+    group_size = E // num_groups
+    ranks_per_node = ep_size // num_nodes
+    cap = e_phys // ep_size
+    slots_per_node = cap * ranks_per_node
+    log_per_node = E // num_nodes
+    red_per_node = slots_per_node - log_per_node
+    assert red_per_node >= 0
+
+    tables = []
+    p2l = np.zeros((L, e_phys), np.int64)
+    imb_after = np.zeros(L)
+    imb_before = np.zeros(L)
+    for li in range(L):
+        c = counts[li].astype(np.float64)
+        gl = c.reshape(num_groups, group_size).sum(1)  # group loads
+        # (1) balanced packing: heaviest group to least-loaded node with
+        # room (groups_per_node fixed).
+        gpn = num_groups // num_nodes
+        nload = np.zeros(num_nodes)
+        nused = np.zeros(num_nodes, np.int64)
+        gnode = np.zeros(num_groups, np.int64)
+        for g in np.argsort(-gl):
+            free = np.flatnonzero(nused < gpn)
+            n = free[np.argmin(nload[free])]
+            gnode[g] = n
+            nused[n] += 1
+            nload[n] += gl[g]
+        slots_all: Dict[int, list] = {}
+        load_all = np.zeros(ep_size)
+        for n in range(num_nodes):
+            es = np.concatenate([
+                np.arange(g * group_size, (g + 1) * group_size)
+                for g in np.flatnonzero(gnode == n)
+            ])
+            cn = c[es]
+            n_rep = replicate_experts_adaptive(cn, red_per_node)
+            items = [
+                (int(es[j]), cn[j] / n_rep[j])
+                for j in range(len(es))
+                for _ in range(n_rep[j])
+            ]
+            slots, load, _ = _pack_items(
+                items, ranks_per_node, cap, rank_base=n * ranks_per_node
+            )
+            slots_all.update(slots)
+            load_all[n * ranks_per_node : (n + 1) * ranks_per_node] = load
+        for e, s in slots_all.items():
+            for p in s:
+                p2l[li, p] = e
+        tables.append(_slots_to_table(slots_all, E))
+        mean = max(c.sum() / ep_size, 1e-9)
+        pad = (-E) % ep_size
+        cp = np.concatenate([c, np.zeros(pad)])
+        imb_before[li] = cp.reshape(ep_size, -1).sum(1).max() / mean
+        imb_after[li] = load_all.max() / mean
+    rcols = max(t.shape[1] for t in tables)
+    table = np.zeros((L, E, rcols), np.int64)
+    for li, t in enumerate(tables):
+        table[li] = (
+            np.concatenate([t] + [t[:, -1:]] * (rcols - t.shape[1]), axis=1)
+            if t.shape[1] < rcols
+            else t
+        )
+    stats = {
+        "imbalance_before": float(imb_before.mean()),
+        "imbalance_after": float(imb_after.mean()),
+        "n_redundant": R,
+        "num_nodes": num_nodes,
+        "num_groups": num_groups,
+        "max_replicas": int(rcols),
     }
     return table, p2l, stats
 
@@ -127,13 +253,13 @@ def _phys_to_logical_from_leaf(perm_leaf, n_layers: int, E: int) -> np.ndarray:
     leaf = np.asarray(perm_leaf)
     if leaf.ndim == 2:  # [L, E] permutation: logical -> physical
         return np.argsort(leaf, axis=1)
-    # [L, E, 2] replica table.
+    # [L, E, Rcols] replica table.
     e_phys = int(leaf.max()) + 1
     p2l = np.zeros((n_layers, e_phys), np.int64)
     for li in range(n_layers):
         for e in range(leaf.shape[1]):
-            p2l[li, leaf[li, e, 0]] = e
-            p2l[li, leaf[li, e, 1]] = e
+            for j in range(leaf.shape[2]):
+                p2l[li, leaf[li, e, j]] = e
     return p2l
 
 

@@ -464,8 +464,12 @@ def moe_ffn_auto(
     parity, which halves a hot expert's per-slot load without branching."""
     if expert_perm is not None:
         if expert_perm.ndim == 2:
+            # [E, Rcols] replica table: experts with r replicas repeat them
+            # cyclically over the columns, so a flat (token, k) modulo pick
+            # spreads load near-uniformly across replicas.
             t, k = indices.shape
-            pick = (jnp.arange(t * k, dtype=jnp.int32) % 2).reshape(t, k)
+            rcols = expert_perm.shape[1]
+            pick = (jnp.arange(t * k, dtype=jnp.int32) % rcols).reshape(t, k)
             indices = expert_perm[indices, pick]
         else:
             indices = expert_perm[indices]
