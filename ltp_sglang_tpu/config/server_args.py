@@ -145,6 +145,11 @@ class ServerArgs:
     lora_paths: Optional[List[str]] = None
     max_loras_per_batch: int = 8
 
+    # Per-request custom logit processors (reference
+    # --enable-custom-logit-processor + sampling/custom_logit_processor.py).
+    # Opt-in: processor rows sample on host and force decode-window K=1.
+    enable_custom_logit_processor: bool = False
+
     # Double sparsity (reference server_args.py:206-211 /
     # layers/attention/double_sparsity_backend.py): decode attention reads a
     # small per-layer "label" cache (heavy channels of K), picks the

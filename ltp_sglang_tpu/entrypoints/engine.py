@@ -261,6 +261,7 @@ class Engine:
         session_params: Optional[Dict] = None,
         token_ids_logprob: Optional[List[int]] = None,
         image_data: Optional[Any] = None,
+        custom_logit_processor: Optional[Union[str, List[str]]] = None,
     ):
         """Synchronous batch generation (Engine.generate, engine.py:137)."""
         gri = GenerateReqInput(
@@ -274,6 +275,7 @@ class Engine:
             session_params=session_params,
             token_ids_logprob=token_ids_logprob,
             image_data=image_data,
+            custom_logit_processor=custom_logit_processor,
         )
         gri.normalize_batch_and_arguments()
 
@@ -529,6 +531,24 @@ class Engine:
                 "under pipeline parallelism / EAGLE3 aux-hidden speculative"
             )
         req.data_parallel_rank = getattr(one, "data_parallel_rank", None)
+        clp = getattr(one, "custom_logit_processor", None)
+        if clp:
+            if not self.server_args.enable_custom_logit_processor:
+                raise ValueError(
+                    "custom_logit_processor requires the server to be "
+                    "launched with --enable-custom-logit-processor"
+                )
+            if self.scheduler.spec_worker is not None:
+                raise ValueError(
+                    "custom_logit_processor is incompatible with speculative "
+                    "decoding (the verify pass samples in-program)"
+                )
+            from ltp_sglang_tpu.sampling.custom_logit_processor import (
+                deserialize_processor,
+            )
+
+            req.custom_logit_processor = deserialize_processor(clp)
+            req.custom_logit_processor_str = clp
         if sp.regex:
             req.grammar_key = ("regex", sp.regex)
         elif sp.json_schema:
@@ -638,7 +658,15 @@ class Engine:
             "up_proj": ("gate_up_proj", im, im),
         }
         hit = table.get(part)
-        if hit and isinstance(node, dict) and hit[0] in node:
+        # Only dense fused leaves: on quantized models (fuse_quant_projections
+        # packs w4/scales/perm with packed column widths) the unfused-name
+        # column math would silently slice the wrong bytes — keep KeyError.
+        if (
+            hit
+            and isinstance(node, dict)
+            and isinstance(node.get(hit[0]), dict)
+            and "kernel" in node[hit[0]]
+        ):
             return hit[0], (hit[1], hit[2])
         return None
 

@@ -279,6 +279,7 @@ class HttpServer:
             lora_path=body.get("lora_path"),
             token_ids_logprob=body.get("token_ids_logprob"),
             image_data=body.get("image_data"),
+            custom_logit_processor=body.get("custom_logit_processor"),
         )
         gri.normalize_batch_and_arguments()
         if not gri.is_single:

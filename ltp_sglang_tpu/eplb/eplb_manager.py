@@ -91,10 +91,11 @@ def _pack_items(items, ep_size: int, cap: int, rank_base=0):
     return slots, load, p2l
 
 
-def _slots_to_table(slots: Dict[int, list], L_E: int) -> np.ndarray:
-    """{e: [phys...]} -> [E, Rcols] cyclic replica table (single-replica
-    experts repeat their slot; the router picks a column by modulo)."""
-    rcols = max(len(s) for s in slots.values())
+def _slots_to_table(slots: Dict[int, list], L_E: int, rcols: int) -> np.ndarray:
+    """{e: [phys...]} -> [E, rcols] cyclic replica table (experts with fewer
+    replicas than rcols continue the cycle, so the router's modulo column
+    pick spreads traffic uniformly across each expert's true replicas;
+    `rcols` is the GLOBAL max replica count across layers)."""
     table = np.zeros((L_E, rcols), np.int64)
     for e, s in slots.items():
         for j in range(rcols):
@@ -118,7 +119,7 @@ def rebalance_experts_redundant(
     e_phys = E + R
     assert e_phys % ep_size == 0, (e_phys, ep_size)
     cap = e_phys // ep_size
-    tables = []
+    layer_slots = []
     p2l = np.zeros((L, e_phys), np.int64)
     imb_before = np.zeros(L)
     imb_after = np.zeros(L)
@@ -130,18 +131,18 @@ def rebalance_experts_redundant(
         ]
         slots, load, p2l_li = _pack_items(items, ep_size, cap)
         p2l[li] = p2l_li
-        tables.append(_slots_to_table(slots, E))
+        layer_slots.append(slots)
         mean = max(c.sum() / ep_size, 1e-9)
         pad = (-E) % ep_size  # naive contiguous layout, zero-padded
         cp = np.concatenate([c, np.zeros(pad)])
         imb_before[li] = cp.reshape(ep_size, -1).sum(1).max() / mean
         imb_after[li] = load.max() / mean
-    rcols = max(t.shape[1] for t in tables)
-    table = np.zeros((L, E, rcols), np.int64)
-    for li, t in enumerate(tables):
-        table[li] = np.concatenate(
-            [t] + [t[:, -1:]] * (rcols - t.shape[1]), axis=1
-        ) if t.shape[1] < rcols else t
+    rcols = max(
+        max(len(s) for s in slots.values()) for slots in layer_slots
+    )
+    table = np.stack(
+        [_slots_to_table(slots, E, rcols) for slots in layer_slots]
+    )
     stats = {
         "imbalance_before": float(imb_before.mean()),
         "imbalance_after": float(imb_after.mean()),
@@ -178,7 +179,7 @@ def rebalance_experts_hierarchical(
     red_per_node = slots_per_node - log_per_node
     assert red_per_node >= 0
 
-    tables = []
+    layer_slots = []
     p2l = np.zeros((L, e_phys), np.int64)
     imb_after = np.zeros(L)
     imb_before = np.zeros(L)
@@ -219,20 +220,18 @@ def rebalance_experts_hierarchical(
         for e, s in slots_all.items():
             for p in s:
                 p2l[li, p] = e
-        tables.append(_slots_to_table(slots_all, E))
+        layer_slots.append(slots_all)
         mean = max(c.sum() / ep_size, 1e-9)
         pad = (-E) % ep_size
         cp = np.concatenate([c, np.zeros(pad)])
         imb_before[li] = cp.reshape(ep_size, -1).sum(1).max() / mean
         imb_after[li] = load_all.max() / mean
-    rcols = max(t.shape[1] for t in tables)
-    table = np.zeros((L, E, rcols), np.int64)
-    for li, t in enumerate(tables):
-        table[li] = (
-            np.concatenate([t] + [t[:, -1:]] * (rcols - t.shape[1]), axis=1)
-            if t.shape[1] < rcols
-            else t
-        )
+    rcols = max(
+        max(len(s) for s in slots.values()) for slots in layer_slots
+    )
+    table = np.stack(
+        [_slots_to_table(slots, E, rcols) for slots in layer_slots]
+    )
     stats = {
         "imbalance_before": float(imb_before.mean()),
         "imbalance_after": float(imb_after.mean()),

@@ -31,10 +31,12 @@ class OpenAI:
         self.api_key = api_key or os.environ.get("OPENAI_API_KEY", "")
         self.timeout = timeout
         if is_chat_model is None:
-            # Heuristic matching the reference: instruction-tuned chat ids.
+            # Completion-style markers win over the family name, so e.g.
+            # gpt-3.5-turbo-instruct routes to /completions (reference
+            # lang/backend/openai.py model tables).
             is_chat_model = not any(
                 t in model for t in ("instruct", "davinci", "babbage")
-            ) or "gpt-3.5" in model or "gpt-4" in model
+            )
         self.is_chat_model = is_chat_model
 
     def _post(self, path: str, body: Dict[str, Any]) -> Dict[str, Any]:

@@ -89,6 +89,7 @@ class GenerateReqInput:
             lora_path=pick(self.lora_path),
             token_ids_logprob=self.token_ids_logprob,
             image_data=pick(self.image_data),
+            custom_logit_processor=pick(self.custom_logit_processor),
         )
         out.is_single = True
         out.batch_size = 1

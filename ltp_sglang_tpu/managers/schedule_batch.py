@@ -153,6 +153,10 @@ class Req:
         # Per-step logprobs at caller-specified token ids (score API).
         self.token_ids_logprob: Optional[List[int]] = None
         self.output_token_ids_logprobs: List[list] = []
+        # Custom logit processor (sampling/custom_logit_processor.py): rows
+        # with one sample on the host path; _str keys batched grouping.
+        self.custom_logit_processor = None
+        self.custom_logit_processor_str: Optional[str] = None
 
         # Logprobs
         self.output_token_logprobs: List[tuple] = []  # (logprob, token_id)
@@ -162,6 +166,12 @@ class Req:
         # token. -1 disables (the common serving path pays nothing).
         self.logprob_start_len = -1
         self.input_token_logprobs: List[tuple] = []  # (logprob, token_id)
+        # Progress cursor: next prompt index still needing a score. Lets
+        # chunked prefill re-match previously computed chunks (the radix cap
+        # below must advance with it) and makes re-extended positions after
+        # a retract no-ops instead of duplicate entries (reference per-chunk
+        # extend_logprob_start_len bookkeeping).
+        self.input_logprob_len = 0
 
         # Incremental detokenization state (DecodeStatus analog).
         self.read_offset = 0
@@ -194,13 +204,20 @@ class Req:
             if (
                 self.return_logprob
                 and self.logprob_start_len >= 0
-                and not self.output_ids
+                and self.input_logprob_len < len(self.origin_input_ids)
             ):
-                # Prompt-logprob requests must COMPUTE the scored span even
-                # if it is radix-cached (reference truncates the reused
-                # prefix at logprob_start_len the same way). Token t's score
-                # comes from position t-1, so the reuse cap is start-1.
-                match_len = min(match_len, max(0, self.logprob_start_len - 1))
+                # Prompt-logprob requests must COMPUTE the still-unscored
+                # span even if it is radix-cached (reference truncates the
+                # reused prefix the same way). Token t's score comes from
+                # position t-1, so the cap is one before the first prompt
+                # index not yet recorded — and it ADVANCES with the cursor,
+                # so each chunked-prefill round re-matches the chunks
+                # already computed instead of recomputing chunk 1 forever.
+                match_len = min(
+                    match_len,
+                    max(0, max(self.logprob_start_len,
+                               self.input_logprob_len) - 1),
+                )
             key = radix_key(self.fill_ids[:match_len], self.lora_id)
             if hasattr(tree_cache, "attach_snap"):  # SWA-aware cache
                 match = tree_cache.match_prefix(key, req=self)

@@ -552,6 +552,7 @@ class Scheduler:
             or r.finished()
             or getattr(r, "grammar", None) is not None
             or r.token_ids_logprob
+            or r.custom_logit_processor is not None
             for r in reqs
         ):
             return None
@@ -827,8 +828,12 @@ class Scheduler:
         batch.window_vocab_mask = None
         if w <= 1:
             return 1
-        # Score-API label logprobs need the full logits row on host per step.
-        if any(r.token_ids_logprob for r in batch.reqs):
+        # Score-API label logprobs and custom logit processors need the full
+        # logits row on host per step.
+        if any(
+            r.token_ids_logprob or r.custom_logit_processor is not None
+            for r in batch.reqs
+        ):
             return 1
         grams = [getattr(r, "grammar", None) for r in batch.reqs]
         if any(g is not None for g in grams):
@@ -1345,7 +1350,10 @@ class Scheduler:
         if getattr(self.runner.model, "needs_mrope", False):
             self._prepare_mrope(batch, fb)
         want_lp = any(r.return_logprob for r in batch.reqs)
-        want_ids_lp = any(r.token_ids_logprob for r in batch.reqs)
+        want_ids_lp = any(
+            r.token_ids_logprob or r.custom_logit_processor is not None
+            for r in batch.reqs
+        )
         spec_hid = (
             batch.forward_mode != ForwardMode.DECODE
             and self.spec_worker is not None
@@ -1383,7 +1391,10 @@ class Scheduler:
             for i, r in enumerate(batch.reqs):
                 p0 = int(fb.prefix_lens[i])
                 e = int(fb.extend_lens[i])
-                fill = r.fill_ids
+                # The UNTRUNCATED sequence: for chunked prefill r.fill_ids
+                # stops at this chunk's boundary, but the boundary position
+                # scores the FIRST token of the next chunk — which is known.
+                fill = r.origin_input_ids + r.output_ids
                 for j in range(e):
                     t = p0 + j + 1
                     if t < len(fill):
@@ -1424,6 +1435,10 @@ class Scheduler:
             if getattr(result, "input_logprobs", None) is not None
             else None
         )
+        if self._pending_ids_logits is not None and any(
+            r.custom_logit_processor is not None for r in batch.reqs
+        ):
+            tokens = self._apply_custom_processors(batch, tokens)
         if result.mode == ForwardMode.EXTEND or result.mode == ForwardMode.MIXED:
             self._process_extend_result(batch, tokens)
         elif result.window_k == 0:
@@ -1450,6 +1465,72 @@ class Scheduler:
             self.tree_cache.cache_finished_req(req)
             self._emit_output(req)
             self._rid_to_req.pop(req.rid, None)
+
+    def _apply_custom_processors(self, batch: ScheduleBatch, tokens: np.ndarray):
+        """Re-sample rows that carry a custom logit processor from the step's
+        post-penalty/bias/mask logits on host (reference
+        sampling/custom_logit_processor.py + sampling_batch_info application):
+        rows sharing one serialized processor get a single batched call.
+        Chosen/top-k logprob entries are patched so return_logprob describes
+        the token actually emitted. A processor that raises or returns a bad
+        shape aborts ITS requests, not the server."""
+        from ltp_sglang_tpu.sampling.custom_logit_processor import (
+            host_sample_row,
+        )
+
+        logits = self._pending_ids_logits
+        groups: Dict[str, List[int]] = {}
+        for i, r in enumerate(batch.reqs):
+            if r.custom_logit_processor is not None and not r.finished():
+                groups.setdefault(r.custom_logit_processor_str, []).append(i)
+        tokens = np.array(tokens, copy=True)
+        if self._pending_logprobs is not None:
+            # jax-backed arrays are read-only; patching needs owned copies.
+            self._pending_logprobs = tuple(
+                np.array(a, copy=True) for a in self._pending_logprobs
+            )
+        for rows in groups.values():
+            proc = batch.reqs[rows[0]].custom_logit_processor
+            params = [
+                batch.reqs[i].sampling_params.custom_params for i in rows
+            ]
+            sub = np.asarray(logits[rows], np.float32)
+            try:
+                out = np.asarray(proc(sub, params), np.float32)
+                if out.shape != sub.shape:
+                    raise ValueError(
+                        f"processor returned shape {out.shape}, "
+                        f"expected {sub.shape}"
+                    )
+            except Exception as e:  # noqa: BLE001 — isolate bad processors
+                for i in rows:
+                    batch.reqs[i].finished_reason = FINISH_ABORT(
+                        f"custom_logit_processor failed: {e}"
+                    )
+                continue
+            for j, i in enumerate(rows):
+                r = batch.reqs[i]
+                sp = r.sampling_params
+                # Deterministic per-(request, step) stream so replay/debug
+                # reproduce (Date-free: derives from rid + progress).
+                seed = (hash(r.rid) & 0x7FFFFFFF) * 65537 + len(r.output_ids)
+                tok = host_sample_row(
+                    out[j], sp.temperature, sp.top_k, sp.top_p, sp.min_p,
+                    np.random.default_rng(seed),
+                )
+                tokens[i] = tok
+                lp = self._pending_logprobs
+                if lp is not None and r.return_logprob:
+                    row = out[j].astype(np.float64)
+                    row -= row.max()
+                    logp = row - np.log(np.exp(row).sum())
+                    lp[0][i] = logp[tok]
+                    k = lp[1].shape[1] if lp[1].ndim == 2 else 0
+                    if k:
+                        top = np.argsort(-logp)[:k].astype(lp[2].dtype)
+                        lp[1][i] = logp[top]
+                        lp[2][i] = top
+        return tokens
 
     def _advance_grammar(self, req: Req):
         """grammar.accept_token after sampling (B.3 step 3); a mismatch means
@@ -1497,15 +1578,19 @@ class Scheduler:
         n_prompt = len(req.origin_input_ids)
         if start == 0 and p0 == 0 and not req.input_token_logprobs:
             req.input_token_logprobs.append((None, req.origin_input_ids[0]))
+            req.input_logprob_len = max(req.input_logprob_len, 1)
         for j in range(e):
             t = p0 + j + 1  # prompt token scored by position p0+j
             if t >= n_prompt:
                 break
-            if t < max(start, 1):
+            # The cursor skips positions already recorded (chunk replay
+            # after a retract or a cache eviction re-extends them).
+            if t < max(start, 1) or t < req.input_logprob_len:
                 continue
             req.input_token_logprobs.append(
                 (float(lps[i, j]), req.origin_input_ids[t])
             )
+            req.input_logprob_len = t + 1
 
     def _process_extend_result(self, batch: ScheduleBatch, tokens: np.ndarray):
         for i, req in enumerate(batch.reqs):

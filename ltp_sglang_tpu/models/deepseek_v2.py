@@ -1,9 +1,11 @@
 """DeepSeek-V2/V3 family: MLA attention + shared-expert MoE.
 
-Reference: python/sglang/srt/models/deepseek_v2.py (2629 LoC). This round
-implements the MHA-materialized cache mode (decompressed K/V written to the
-paged cache — the reference's non-absorb path); the latent-KV (kv_lora+rope)
-cache with weight absorption is the follow-up optimization.
+Reference: python/sglang/srt/models/deepseek_v2.py (2629 LoC). The default
+cache mode is LATENT-KV (kv_lora+rope rows with weight absorption at decode —
+the reference's absorb path / flashinfer_mla_backend analog); the
+MHA-materialized mode (decompressed K/V in the paged cache, the reference's
+non-absorb path) remains available via `mla_latent_cache: false` and serves
+as the parity oracle in tests.
 
 Architecture facts replicated:
 - q path: q_proj (V2-Lite) or q_a_proj -> rmsnorm -> q_b_proj; per head the

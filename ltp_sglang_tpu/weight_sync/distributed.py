@@ -165,11 +165,27 @@ class WeightUpdateGroup:
 
 # --------------------------------------------------------------- application
 def _resolve_native(params, path: str):
+    """Native slash path -> (container, key, cols or None).
+
+    On models whose dense projections were fused (layers/linear.py
+    fuse_dense_projections), `layers/q_proj/kernel` no longer names a leaf;
+    it resolves to the matching COLUMN SLICE of the fused `qkv_proj` /
+    `gate_up_proj` kernel (same mapping `_fused_cols` provides for HF
+    names), so a trainer using native paths keeps working after fusion."""
     parts = path.split("/")
     node = params
-    for part in parts[:-1]:
+    for pi, part in enumerate(parts[:-1]):
+        if part not in node:
+            alias = _fused_cols(node, part) if isinstance(node, dict) else None
+            if alias is not None and parts[pi + 1 :] == ["kernel"]:
+                fused, cols = alias
+                return node[fused], "kernel", cols
+            raise KeyError(path)
         node = node[part]
-    return node, parts[-1]
+    key = parts[-1]
+    if key not in node:
+        raise KeyError(path)
+    return node, key, None
 
 
 def _resolve_hf(params, name: str):
@@ -258,13 +274,13 @@ def apply_named_updates(runner, named_tensors):
     import jax.numpy as jnp
 
     params = runner.params
-    full: List[Tuple[Any, str, np.ndarray]] = []
+    full: List[Tuple[Any, str, Any, np.ndarray]] = []
     grouped: Dict[int, Tuple[Any, str, List[int], List[np.ndarray]]] = {}
     for name, arr in named_tensors:
         arr = np.asarray(arr)
         if "/" in name or "." not in name:
-            node, key = _resolve_native(params, name)
-            i, transpose, cols = None, False, None
+            node, key, cols = _resolve_native(params, name)
+            i, transpose = None, False
         else:
             node, key, i, transpose, cols = _resolve_hf(params, name)
         if transpose:
@@ -284,11 +300,13 @@ def apply_named_updates(runner, named_tensors):
             grouped[gkey][3].append(i)
             grouped[gkey][4].append(arr)
         else:
-            full.append((node, key, arr))
+            full.append((node, key, cols, arr))
 
-    for node, key, arr in full:
+    for node, key, cols, arr in full:
         old = node[key]
         new = jnp.asarray(arr, dtype=old.dtype)
+        if cols is not None:
+            new = old.at[..., cols[0] : cols[0] + cols[1]].set(new)
         node[key] = jax.device_put(new, old.sharding)
     for node, key, cols, idxs, arrs in grouped.values():
         old = node[key]

@@ -70,6 +70,14 @@ AUX = [
     ("test_pd_http.py", 17),
     ("test_eval.py", 15),
     ("test_router_and_lang.py", 16),
+    ("test_weight_sync.py", 42),
+    ("test_double_sparsity.py", 25),
+    ("test_compressed_tensors.py", 20),
+    ("test_lang_compiler.py", 15),
+    ("test_quant_moe.py", 30),
+    ("test_qwen_vl.py", 30),
+    ("test_gemma3_vlm.py", 30),
+    ("test_service_discovery.py", 10),
 ]
 
 SUITES = {
@@ -83,6 +91,24 @@ SUITES = {
 }
 
 
+def check_complete():
+    """Every tests/test_*.py file must be assigned to a tier — a new test
+    file that falls outside CI is exactly how red tests ship (reference
+    discipline: test/srt/run_suite.py enumerates every file)."""
+    import glob
+
+    listed = {f for f, _ in SUITES["nightly"]}
+    on_disk = {os.path.basename(p)
+               for p in glob.glob(os.path.join(HERE, "test_*.py"))}
+    missing = sorted(on_disk - listed)
+    stale = sorted(listed - on_disk)
+    if missing or stale:
+        raise SystemExit(
+            f"run_suite.py tier assignment out of sync: "
+            f"unassigned={missing} stale={stale}"
+        )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", default="per-commit", choices=sorted(SUITES))
@@ -91,6 +117,7 @@ def main():
     p.add_argument("--continue-on-failure", action="store_true")
     args = p.parse_args()
 
+    check_complete()
     entries = SUITES[args.suite]
     print(f"suite {args.suite}: {len(entries)} files, "
           f"~{sum(s for _, s in entries)}s measured")

@@ -233,3 +233,65 @@ def test_window_pipeline_paged_no_leak(dummy_dir):
                              "ignore_eos": True},
         )
     assert alloc.available_size() == total
+
+
+def test_custom_logit_processor(dummy_dir):
+    """End-to-end custom logit processor (reference
+    sampling/custom_logit_processor.py): a dill-serialized processor class
+    rides the request, runs on the pre-sampling logits, and its effect is
+    visible in the emitted tokens; requests setting the field without the
+    server flag are rejected loudly."""
+    from ltp_sglang_tpu.sampling.custom_logit_processor import (
+        CustomLogitProcessor,
+    )
+
+    class ForceTokenProcessor(CustomLogitProcessor):
+        def __call__(self, logits, custom_param_list):
+            out = np.full_like(logits, -1e9)
+            for j, p in enumerate(custom_param_list):
+                out[j, int(p["token_id"])] = 0.0
+            return out
+
+    serialized = ForceTokenProcessor().to_str()
+
+    # Flag off: loud rejection (no third dead surface).
+    eng_off = make_engine(dummy_dir)
+    with pytest.raises(ValueError, match="enable-custom-logit-processor"):
+        eng_off.generate(
+            input_ids=[1, 2, 3],
+            sampling_params={"max_new_tokens": 2},
+            custom_logit_processor=serialized,
+        )
+
+    eng = make_engine(dummy_dir, enable_custom_logit_processor=True)
+    out = eng.generate(
+        input_ids=[1, 2, 3],
+        sampling_params={
+            "max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True,
+            "custom_params": {"token_id": 7},
+        },
+        custom_logit_processor=serialized,
+        return_logprob=True,
+    )
+    assert out["output_ids"] == [7] * 6
+    # Chosen-token logprobs describe the processed distribution.
+    for lp, tok, _ in out["meta_info"]["output_token_logprobs"]:
+        assert tok == 7 and lp > -1e-3
+    # Mixed batch: processor rows + plain rows coexist; plain rows match a
+    # processor-free run bit-exactly.
+    plain = eng.generate(
+        input_ids=[5, 6, 7, 8],
+        sampling_params={"max_new_tokens": 6, "temperature": 0.0,
+                         "ignore_eos": True},
+    )
+    mixed = eng.generate(
+        input_ids=[[1, 2, 3], [5, 6, 7, 8]],
+        sampling_params=[
+            {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True,
+             "custom_params": {"token_id": 9}},
+            {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True},
+        ],
+        custom_logit_processor=[serialized, None],
+    )
+    assert mixed[0]["output_ids"] == [9] * 6
+    assert mixed[1]["output_ids"] == plain["output_ids"]

@@ -119,24 +119,29 @@ def test_rebalance_invariance_ep(moe_dir):
 def test_redundant_placement_algorithm():
     from ltp_sglang_tpu.eplb.eplb_manager import rebalance_experts_redundant
 
-    # One extremely hot expert: replication should split its load across
-    # two ranks, beating any pure permutation.
+    # One extremely hot expert: load-adaptive replication gives BOTH extra
+    # slots to the hot expert (3 replicas -> Rcols=3), beating any pure
+    # permutation.
     counts = np.ones((2, 6), np.int64)
     counts[:, 0] = 1200
     table, p2l, stats = rebalance_experts_redundant(
         counts, ep_size=4, n_redundant=2
     )
-    assert table.shape == (2, 6, 2) and p2l.shape == (2, 8)
+    assert table.shape == (2, 6, 3) and p2l.shape == (2, 8)
+    assert stats["max_replicas"] == 3
     for li in range(2):
-        # Every physical slot maps back to a valid logical expert and every
-        # logical expert owns the slots the table claims.
+        # Every column maps back to its logical expert (cold experts cycle
+        # their single replica across the columns).
         for e in range(6):
-            assert p2l[li, table[li, e, 0]] == e
-            assert p2l[li, table[li, e, 1]] == e
-        # The hot expert got two DISTINCT replicas on distinct ranks.
-        r0, r1 = table[li, 0, 0] // 2, table[li, 0, 1] // 2
-        assert table[li, 0, 0] != table[li, 0, 1]
-        assert r0 != r1
+            for j in range(3):
+                assert p2l[li, table[li, e, j]] == e
+        # The hot expert got three DISTINCT replicas spanning >=2 ranks.
+        hot = set(table[li, 0].tolist())
+        assert len(hot) == 3
+        assert len({p // 2 for p in hot}) >= 2
+        # Cold experts keep exactly one physical slot, cycled.
+        for e in range(1, 6):
+            assert len(set(table[li, e].tolist())) == 1
     assert stats["imbalance_after"] < stats["imbalance_before"]
 
 
@@ -155,7 +160,8 @@ def test_rebalance_redundant_invariance_ep(moe_dir):
     assert stats is not None and stats["n_redundant"] == 4
     layers = eng.model_runner.params["layers"]
     assert layers["experts_gate"].shape[1] == 12  # 8 logical + 4 redundant
-    assert np.asarray(layers["expert_perm"]).shape[-1] == 2
+    # Rcols = max replica count (load-adaptive: >=2, <=1+4).
+    assert 2 <= np.asarray(layers["expert_perm"]).shape[-1] <= 5
 
     out = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
     assert [o["output_ids"] for o in out] == base_ids

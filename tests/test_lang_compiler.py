@@ -63,6 +63,54 @@ def test_input_token_logprobs(engine):
     assert len(out3["meta_info"]["input_token_logprobs"]) == len(ids)
 
 
+def test_input_logprobs_chunked_prefill():
+    """Prompt logprobs across a chunked prefill: the radix cap must advance
+    with the recorded-position cursor (a frozen cap recomputes chunk 1
+    forever — scheduler livelock — and appends duplicate entries)."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="lang_chunk_")
+    write_tiny_model_dir(d, with_weights=True)
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", chunked_prefill_size=16,
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    rng = np.random.default_rng(3)
+    ids = rng.integers(2, 250, size=50).tolist()  # > 3 chunks of 16
+    out = eng.generate(
+        input_ids=ids,
+        sampling_params={"max_new_tokens": 2, "temperature": 0.0},
+        return_logprob=True, logprob_start_len=0,
+    )
+    ilps = out["meta_info"]["input_token_logprobs"]
+    assert len(ilps) == len(ids)  # no duplicates across chunk rounds
+    assert ilps[0][0] is None
+    assert [e[1] for e in ilps] == ids
+    # Chunk-boundary positions score the first token of the NEXT chunk:
+    # values must match an unchunked engine scoring the same prompt.
+    eng2 = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    ref = eng2.generate(
+        input_ids=ids,
+        sampling_params={"max_new_tokens": 2, "temperature": 0.0},
+        return_logprob=True, logprob_start_len=0,
+    )["meta_info"]["input_token_logprobs"]
+    for a, b in zip(ilps[1:], ref[1:]):
+        assert abs(a[0] - b[0]) < 5e-3, (a, b)
+
+    # start>0 with chunking: only the tail is returned, once.
+    out2 = eng.generate(
+        input_ids=ids,
+        sampling_params={"max_new_tokens": 1, "temperature": 0.0},
+        return_logprob=True, logprob_start_len=40,
+    )
+    tail = out2["meta_info"]["input_token_logprobs"]
+    assert [e[1] for e in tail] == ids[40:]
+
+
 def test_input_logprobs_validation(engine):
     with pytest.raises(ValueError):
         engine.generate(

@@ -172,7 +172,10 @@ def test_distributed_weight_sync_rejects_bad_updates(model_dirs):
 
 def test_native_path_and_hf_name_mix(model_dirs):
     """apply_named_updates accepts native slash paths and HF names in one
-    batch, grouping stacked per-layer updates into one scatter per leaf."""
+    batch. Dense q/k/v projections are FUSED into qkv_proj (layers/linear.py
+    fuse_dense_projections), so both name forms must resolve onto column
+    slices of the fused kernel; stacked per-layer HF updates are grouped
+    into one scatter per leaf."""
     import jax.numpy as jnp
 
     from ltp_sglang_tpu.weight_sync.distributed import apply_named_updates
@@ -180,23 +183,37 @@ def test_native_path_and_hf_name_mix(model_dirs):
     base, _ = model_dirs
     eng = _mkengine(base)
     r = eng.model_runner
+    layers = r.params["layers"]
+    assert "qkv_proj" in layers and "q_proj" not in layers
     L = TINY_LLAMA_CFG["num_hidden_layers"]
     D = TINY_LLAMA_CFG["hidden_size"]
-    q_shape = np.asarray(r.params["layers"]["q_proj"]["kernel"]).shape[1:]
+    fused = np.asarray(layers["qkv_proj"]["kernel"])  # [L, D, qn+2*kn]
+    qn = np.asarray(layers["o_proj"]["kernel"]).shape[-2]
+    kn = (fused.shape[-1] - qn) // 2
     rng = np.random.default_rng(0)
-    new_q = [rng.standard_normal(q_shape[::-1]).astype(np.float32)
-             for _ in range(L)]  # HF layout [out, in]
+    # HF names: per-layer q_proj updates, HF layout [out, in].
+    new_q = [rng.standard_normal((qn, D)).astype(np.float32)
+             for _ in range(L)]
+    # Native slash path: whole stacked k_proj, native layout [L, in, out] —
+    # must land on columns [qn, qn+kn) of the fused leaf.
+    new_k = rng.standard_normal((L, D, kn)).astype(np.float32)
     new_norm = rng.standard_normal((D,)).astype(np.float32)
     apply_named_updates(r, [
         ("model.layers.0.self_attn.q_proj.weight", new_q[0]),
         ("model.layers.1.self_attn.q_proj.weight", new_q[1]),
+        ("layers/k_proj/kernel", new_k),
         ("norm", new_norm),
     ])
+    got = np.asarray(r.params["layers"]["qkv_proj"]["kernel"])
     for i in range(L):
-        np.testing.assert_allclose(
-            np.asarray(r.params["layers"]["q_proj"]["kernel"][i]),
-            new_q[i].T, rtol=1e-6)
+        np.testing.assert_allclose(got[i, :, :qn], new_q[i].T, rtol=1e-6)
+    np.testing.assert_allclose(got[:, :, qn : qn + kn], new_k, rtol=1e-6)
+    # v columns untouched.
+    np.testing.assert_allclose(
+        got[:, :, qn + kn :], fused[:, :, qn + kn :], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(r.params["norm"]), new_norm,
                                rtol=1e-6)
-    # lm_head on a tied model must be rejected with guidance.
+    # Unknown native paths still fail loudly (no silent fused fallback).
+    with pytest.raises(KeyError):
+        apply_named_updates(r, [("layers/zz_proj/kernel", new_k)])
     assert not jnp.issubdtype(r.params["norm"].dtype, jnp.integer)
