@@ -363,6 +363,21 @@ class ModelRunner:
                     paged_extend_attention, page_size=P_sz
                 )
 
+        # MLA latent decode kernel (ops/attention/pallas_mla_decode.py):
+        # E==1 steps and the paged window driver route attention through the
+        # Pallas latent-MQA kernel. Latent rows are feature-sharded on tp
+        # meshes (deepseek_v2.kv_row_elems), where per-shard softmax is
+        # wrong — single-device only.
+        if (
+            P_sz > 1
+            and (backend == "tpu" or _os.environ.get("LTP_FORCE_PAGED_ATTN") == "1")
+            and getattr(self.model, "latent_cache", False)
+            and hasattr(self.model, "kv_row_elems")
+            and (self.mesh_ctx is None or self.mesh_ctx.is_single_device)
+        ):
+            self.model.mla_kernel_page_size = P_sz
+            logger.info("MLA latent decode: Pallas kernel enabled (P=%d)", P_sz)
+
         self.load_model()
         self.init_memory_pool()
         # LoRA adapters (lora/lora_manager.py); id 0 = no adapter.
@@ -1594,6 +1609,15 @@ class ModelRunner:
         import os as _os
 
         P = self.server_args.page_size
+        if hasattr(self.model, "kv_row_elems"):
+            # Asymmetric-row models (MLA latent): the paged window rides the
+            # latent-MQA kernel, gated by its own eligibility at init.
+            row_ok = getattr(self.model, "mla_kernel_page_size", 0) == P
+        else:
+            row_ok = (
+                cfg.num_kv_heads * cfg.head_dim
+                // (self.mesh_ctx.tp_size if self._sharded_pallas else 1)
+            ) % (128 * max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)) == 0
         paged_ok = (
             P > 1
             and (
@@ -1606,9 +1630,7 @@ class ModelRunner:
             and getattr(self.model, "forward_window_token_paged", None) is not None
             and not has_lora
             and not getattr(self.model, "sliding_window", 0)
-            and (cfg.num_kv_heads * cfg.head_dim
-                 // (self.mesh_ctx.tp_size if self._sharded_pallas else 1))
-            % (128 * max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)) == 0
+            and row_ok
             and wb.kv_bucket % P == 0
         )
         # Two-source wins at short contexts (one pre-gather amortized over the

@@ -37,8 +37,10 @@ from ltp_sglang_tpu.models.llama import LlamaForCausalLM, StepArrays
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
-    forward_window_token = None  # incompatible attention structure
-    forward_window_token_paged = None
+    # Two-source windows never apply (MLA keeps no per-head K/V buffers);
+    # the PAGED window path is supported via the latent-MQA Pallas kernel
+    # (forward_window_token_paged below) when the runner enables it.
+    forward_window_token = None
     supports_quant_fusion = False  # MLA projections use their own names
     supports_pp = False
 
@@ -580,16 +582,32 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             q_cat = (q_cat.astype(jnp.float32) * ks).astype(q_cat.dtype)
 
         Cw = step.kv_indices.shape[1]
-        pages = kc[li, step.kv_indices].reshape(B, Cw, self.latent_k_row)
-        k_cat = pages[..., : R + self.qk_rope][:, :, None, :]
-        v_lat = pages[..., :R][:, :, None, :]
-        if ks is not None:
-            k_cat = k_cat.astype(q_cat.dtype)
-            v_lat = v_lat.astype(q_cat.dtype)
-        attn = self.attn_impl(
-            q_cat, k_cat, v_lat, step.kv_indices, step.seq_lens,
-            step.prefix_lens, self.sm_scale, sliding_window=0,
-        )  # [B, E, H, R]
+        P = getattr(self, "mla_kernel_page_size", 0)
+        if E == 1 and P and Cw % P == 0:
+            # Decode fast path: the Pallas latent-MQA kernel streams pages
+            # HBM -> VMEM once (ops/attention/pallas_mla_decode.py) instead
+            # of the three-pass XLA gather below. Page ids from the slot
+            # table (slots are page-contiguous under the paged allocator).
+            from ltp_sglang_tpu.ops.attention.pallas_mla_decode import (
+                mla_paged_decode_attention,
+            )
+
+            pg = step.kv_indices[:, ::P] // P
+            attn = mla_paged_decode_attention(
+                q_cat[:, 0], kc, li, pg, step.seq_lens,
+                page_size=P, sm_scale=self.sm_scale,
+            )[..., :R].astype(q_cat.dtype)[:, None]  # [B, 1, H, R]
+        else:
+            pages = kc[li, step.kv_indices].reshape(B, Cw, self.latent_k_row)
+            k_cat = pages[..., : R + self.qk_rope][:, :, None, :]
+            v_lat = pages[..., :R][:, :, None, :]
+            if ks is not None:
+                k_cat = k_cat.astype(q_cat.dtype)
+                v_lat = v_lat.astype(q_cat.dtype)
+            attn = self.attn_impl(
+                q_cat, k_cat, v_lat, step.kv_indices, step.seq_lens,
+                step.prefix_lens, self.sm_scale, sliding_window=0,
+            )  # [B, E, H, R]
         if out_scale is not None:
             attn = (attn.astype(jnp.float32) * out_scale).astype(h.dtype)
         out_h = jnp.einsum(
@@ -627,6 +645,36 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             u = apply_linear(lp["shared_up_proj"], x)
             out = out + apply_linear(lp["shared_down_proj"], jax.nn.silu(g) * u)
         return out.reshape(B, E_, Dm)
+
+    def forward_window_token_paged(
+        self, params, tok, pos, k_cache, v_cache, pages, seq_lens, slot_t,
+        page_size,
+    ):
+        """One decode step over the live paged latent cache for the K-step
+        window driver (model_runner._build_window_fn_paged). Synthesizes an
+        E=1 StepArrays whose kv_indices expand the window's page ids; the
+        E==1 branch of _attention_absorbed then routes attention through the
+        Pallas latent-MQA kernel (the runner only enables this path when
+        mla_kernel_page_size is set), so the per-token whole-page gather
+        that kept deepseek decode on the slow path never materializes."""
+        B = tok.shape[0]
+        P = page_size
+        Cp = pages.shape[1]
+        kv_indices = (
+            pages[:, :, None] * P
+            + jnp.arange(P, dtype=jnp.int32)[None, None, :]
+        ).reshape(B, Cp * P)
+        step = StepArrays(
+            input_ids=tok[:, None],
+            positions=pos[:, None],
+            cache_locs=slot_t[:, None],
+            seq_lens=seq_lens,
+            prefix_lens=jnp.maximum(seq_lens - 1, 0),
+            extend_lens=jnp.ones((B,), jnp.int32),
+            kv_indices=kv_indices,
+            lora_ids=None,
+        )
+        return self.forward(params, step, k_cache, v_cache)
 
     def forward(self, params, step: StepArrays, k_cache, v_cache, all_logits=False,
                 lora=None, return_hidden=False):

@@ -80,3 +80,105 @@ def test_engine_paged_window_parity(monkeypatch):
     ref = base.generate(input_ids=prompts, sampling_params=sp)
     for o, r in zip(out, ref):
         assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
+
+
+def test_mla_kernel_matches_reference():
+    """MLA latent decode kernel vs the XLA gather + ref attention path
+    (models/deepseek_v2.py _attention_absorbed semantics): scores over the
+    [kv_lora | k_pe] width, values = the kv_lora slice of the same rows."""
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.ops.attention.pallas_mla_decode import (
+        mla_paged_decode_attention,
+    )
+    from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
+
+    L, S, P = 2, 512, 16
+    R, rope, H, B = 512, 64, 16, 3
+    RL = 768  # round_up(R + rope, 256)
+    r, ln = RL // 128, 128
+    rng = np.random.default_rng(1)
+    kc = jnp.asarray(rng.standard_normal((L, S, r, ln)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, R + rope)), jnp.float32)
+    seq = np.array([37, 100, 64], np.int32)
+    Cp = 8
+    pages = (rng.permutation(S // P - 1)[: B * Cp].reshape(B, Cp) + 1).astype(
+        np.int32
+    )
+    out = mla_paged_decode_attention(
+        q, kc, 1, jnp.asarray(pages), jnp.asarray(seq),
+        page_size=P, sm_scale=0.135,
+    )[..., :R]
+    C = Cp * P
+    kv_idx = (pages[:, :, None] * P + np.arange(P)[None, None, :]).reshape(B, C)
+    rows = kc[1, kv_idx].reshape(B, C, RL)
+    k_cat = rows[..., : R + rope][:, :, None, :]
+    v_lat = rows[..., :R][:, :, None, :]
+    ref = ref_paged_attention(
+        q[:, None], k_cat, v_lat, jnp.asarray(kv_idx), jnp.asarray(seq),
+        jnp.asarray(seq - 1), 0.135,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_mla_kernel_bf16_and_short_seq():
+    """bf16 rows + a sequence shorter than one chunk, plus seq==1."""
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.ops.attention.pallas_mla_decode import (
+        mla_paged_decode_attention,
+    )
+    from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
+
+    L, S, P = 1, 256, 8
+    R, rope, H, B = 128, 64, 4, 2
+    RL = 256
+    r, ln = RL // 128, 128
+    rng = np.random.default_rng(2)
+    kc = jnp.asarray(rng.standard_normal((L, S, r, ln)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((B, H, R + rope)), jnp.bfloat16)
+    seq = np.array([5, 1], np.int32)
+    Cp = 4
+    pages = np.arange(B * Cp).reshape(B, Cp).astype(np.int32)
+    out = mla_paged_decode_attention(
+        q, kc, 0, jnp.asarray(pages), jnp.asarray(seq),
+        page_size=P, sm_scale=0.2,
+    )[..., :R]
+    C = Cp * P
+    kv_idx = (pages[:, :, None] * P + np.arange(P)[None, None, :]).reshape(B, C)
+    rows = kc[0, kv_idx].reshape(B, C, RL)
+    ref = ref_paged_attention(
+        q[:, None].astype(jnp.float32),
+        rows[..., : R + rope][:, :, None, :].astype(jnp.float32),
+        rows[..., :R][:, :, None, :].astype(jnp.float32),
+        jnp.asarray(kv_idx), jnp.asarray(seq), jnp.asarray(seq - 1), 0.2,
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-2)
+
+
+def test_deepseek_mla_paged_window_parity(monkeypatch):
+    """DeepSeek-V2 decode through the MLA paged window path (latent-MQA
+    Pallas kernel, E==1 branch of _attention_absorbed + the paged window
+    driver): greedy outputs must match the default XLA-gather engine."""
+    monkeypatch.setenv("LTP_FORCE_PAGED_ATTN", "1")
+    from test_models_parity import TINY_DEEPSEEK_V2_CFG
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="paged_dsv2_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+    paged = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8, page_size=16,
+    ))
+    assert getattr(paged.model_runner.model, "mla_kernel_page_size", 0) == 16
+    base = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8, 11, 13]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0, "ignore_eos": True}
+    out = paged.generate(input_ids=prompts, sampling_params=sp)
+    ref = base.generate(input_ids=prompts, sampling_params=sp)
+    assert [o["output_ids"] for o in out] == [o["output_ids"] for o in ref]
