@@ -371,14 +371,28 @@ def main():
     gc.collect()
     jax.clear_caches()
     http_tok_s = None
+    http_engine_decode = None
     if os.environ.get("BENCH_SKIP_HTTP") != "1":
+        h_bs, h_in, h_out = (64, 128, 64) if on_tpu else (8, 16, 8)
         try:
-            http_tok_s = run_http(
-                cfg, 64 if on_tpu else 8, 128 if on_tpu else 16,
-                64 if on_tpu else 8, page_size, window,
-            )
+            http_tok_s = run_http(cfg, h_bs, h_in, h_out, page_size, window)
         except Exception as e:
             print(f"http bench failed: {e}", file=sys.stderr)
+        if http_tok_s is not None and on_tpu:
+            # Engine-path decode on the SAME workload: the serving-tax
+            # decomposition http_decode/engine_decode is then apples-to-
+            # apples (VERDICT r4 task 4; target >= 0.8).
+            try:
+                gc.collect()
+                jax.clear_caches()
+                sec = run_one(
+                    cfg, None, h_bs, h_in, h_out, page_size, window,
+                    kv_dtype=kv_bf16, reps=2,
+                )
+                http_engine_decode = sec["best"]
+                sec.pop("engine").close()
+            except Exception as e:
+                print(f"engine same-workload bench failed: {e}", file=sys.stderr)
 
     bw = HBM_BW.get(backend, 100e9)
     ideal_step = (bf16["param_bytes"] + bf16["kv_bytes_per_step"]) / bw
@@ -415,7 +429,17 @@ def main():
         # shared-chip contention distribution).
         result["int4_vs_bf16"] = round(int4["best"] / bf16["best"], 4)
     if http_tok_s is not None:
-        result["http_tok_per_s"] = round(http_tok_s, 1)
+        result["http_tok_per_s"] = round(http_tok_s["total"], 1)
+        result["http_decode_tok_per_s"] = round(http_tok_s["decode"], 1)
+        if http_engine_decode:
+            result["engine_decode_same_workload"] = round(http_engine_decode, 1)
+            result["http_vs_engine_decode"] = round(
+                http_tok_s["decode"] / http_engine_decode, 4
+            )
+    # North-star status: only the tok/s leg is measurable on this box — the
+    # GSM8K-drop leg needs real checkpoints (zero egress) and the 2-host
+    # scaling leg needs 2 hosts; state it instead of implying the gate is met.
+    result["north_star_legs"] = "tok_s:measured gsm8k_drop:unmeasured(no_ckpts) scaling_2host:unmeasured(1host)"
     print(json.dumps(result))
 
 

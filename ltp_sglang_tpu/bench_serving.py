@@ -238,10 +238,14 @@ def run_bench_against_engine(model_path, prompts, gen_len, page_size, window,
                              reps=2, max_total_tokens=8192,
                              max_running_requests=64, port=0):
     """Launch the aiohttp server in-process over a dummy-weights engine and
-    drive all `prompts` concurrently with streaming on; returns the best-rep
-    OUTPUT tok/s over the whole load (incl. prefill time — the serving-path
-    number, reference bench_serving output_throughput). Used by bench.py for
-    the http_tok_per_s field."""
+    drive all `prompts` concurrently with streaming on. Returns a dict:
+    `total` = best-rep output tok/s over the whole load (incl. prefill —
+    the serving-path number, reference bench_serving output_throughput) and
+    `decode` = best-rep DECODE-ONLY tok/s via the same two-point prefill
+    subtraction the engine bench uses (a max_new_tokens=1 pass measures
+    prefill+overhead wall; the surplus tokens over the surplus wall is the
+    decode rate), making engine-vs-http directly comparable (VERDICT r4
+    serving-tax decomposition). Used by bench.py."""
     from aiohttp import web
 
     from ltp_sglang_tpu.config.server_args import ServerArgs
@@ -265,26 +269,35 @@ def run_bench_against_engine(model_path, prompts, gen_len, page_size, window,
         await site.start()
         real_port = runner.addresses[0][1]
         url = f"http://127.0.0.1:{real_port}"
-        best = 0.0
+        best_total = 0.0
+        best_decode = 0.0
         async with aiohttp.ClientSession(
             timeout=aiohttp.ClientTimeout(total=None)
         ) as session:
-            for rep in range(reps + 1):  # rep 0 = unmeasured warmup
+
+            async def one_pass(out_len):
                 t0 = time.perf_counter()
                 tasks = [
-                    asyncio.create_task(one_request(session, url, p, gen_len))
+                    asyncio.create_task(one_request(session, url, p, out_len))
                     for p in prompts
                 ]
                 results = await asyncio.gather(*tasks)
                 wall = time.perf_counter() - t0
                 async with session.post(url + "/flush_cache"):
                     pass
+                return sum(r["tokens"] for r in results), wall
+
+            for rep in range(reps + 1):  # rep 0 = unmeasured warmup
+                n1, t1 = await one_pass(1)
+                total_out, wall = await one_pass(gen_len)
                 if rep == 0:
                     continue
-                total_out = sum(r["tokens"] for r in results)
-                best = max(best, total_out / wall)
+                best_total = max(best_total, total_out / wall)
+                best_decode = max(
+                    best_decode, (total_out - n1) / max(wall - t1, 1e-9)
+                )
         await runner.cleanup()
-        return best
+        return {"total": best_total, "decode": best_decode}
 
     try:
         return asyncio.run(drive())

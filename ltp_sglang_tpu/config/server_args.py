@@ -48,6 +48,11 @@ class ServerArgs:
     # Scheduling
     max_prefill_tokens: int = 16384
     chunked_prefill_size: Optional[int] = None  # None => auto; -1 disables
+    # Prefill coalescing window (ms): while a request burst is still landing
+    # and decode keeps the chip busy, admission waits this long so the burst
+    # prefills as a few large batches instead of a trickle of tiny ones
+    # (Scheduler._should_defer_prefill). 0 disables.
+    prefill_coalesce_ms: float = 2.0
     schedule_policy: str = "fcfs"  # fcfs | lpm | dfs-weight | lof | random
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
@@ -74,6 +79,10 @@ class ServerArgs:
     hicache_write_threshold: int = 2
     # File-backed host arena (the storage tier; reference HiCacheStorage).
     hicache_storage_dir: Optional[str] = None
+    # Remote third tier (mem_cache/hicache_storage.py): a KV-connector URL
+    # (memory://ns, redis://..., s3://...). Host-arena eviction demotes
+    # spans there hash-keyed; prefix matches promote them back.
+    hicache_storage_url: Optional[str] = None
     # Host->device load-back layer-range chunks (per-layer overlap;
     # reference LayerDoneCounter, managers/cache_controller.py:32-62).
     hicache_layer_chunks: int = 4
@@ -99,6 +108,14 @@ class ServerArgs:
     # XLA's latency-hiding scheduler overlaps one's a2a with the other's
     # expert GEMMs (layers/moe.py moe_ffn_ep_a2a tbo=True).
     enable_two_batch_overlap: bool = False
+    # EPLB periodic auto-rebalance (reference eplb/eplb_manager.py:16):
+    # every N scheduler forward passes, rebalance expert placement from the
+    # recorded distribution iff it beats the current placement's imbalance
+    # by > eplb_min_rebalance_gain (relative). 0 disables (HTTP
+    # /rebalance_experts stays available for manual control).
+    eplb_rebalance_every: int = 0
+    eplb_redundant_experts: int = 0
+    eplb_min_rebalance_gain: float = 0.05
     # Request dispatch across dp-attention groups (reference
     # data_parallel_controller.py:48-56).
     load_balance_method: str = "shortest_queue"  # round_robin | minimum_tokens

@@ -121,6 +121,15 @@ class Engine:
         self._stream_queues: Dict[str, queue.Queue] = {}
         self._loop_lock = threading.Lock()
 
+        if server_args.eplb_rebalance_every > 0:
+            # Periodic EPLB (eplb/eplb_manager.py enable_periodic); no-ops
+            # when the model has no stacked experts or ep <= 1.
+            self.eplb.enable_periodic(
+                server_args.eplb_rebalance_every,
+                n_redundant=server_args.eplb_redundant_experts,
+                min_gain=server_args.eplb_min_rebalance_gain,
+            )
+
         # Multimodal processor (multimodal/processor.py): expands image
         # placeholders into hash-derived pad ids + pixel features.
         self.mm_processor = None

@@ -262,10 +262,21 @@ def _phys_to_logical_from_leaf(perm_leaf, n_layers: int, E: int) -> np.ndarray:
     return p2l
 
 
+import contextlib
+
+
 class EPLBManager:
     def __init__(self, engine):
         self.engine = engine
         self.runner = engine.model_runner
+        self.periodic_state: Optional[Dict] = None
+
+    def _maybe_lock(self, locked: bool):
+        """The scheduler pre-step hook already runs under the engine loop
+        lock (a non-reentrant Lock) — `locked=True` skips re-acquiring."""
+        if locked:
+            return contextlib.nullcontext()
+        return self.engine._loop_lock
 
     def _moe_layers(self) -> Optional[Dict]:
         """The layer-param dict holding stacked expert leaves (deepseek
@@ -293,7 +304,7 @@ class EPLBManager:
             return w.shape[0], leaf.shape[1]
         return w.shape[0], w.shape[1]
 
-    def start_record(self) -> bool:
+    def start_record(self, locked: bool = False) -> bool:
         import jax.numpy as jnp
 
         from ltp_sglang_tpu.eplb.expert_distribution import recorder
@@ -302,7 +313,7 @@ class EPLBManager:
         if meta is None:
             return False
         n_layers, E = meta
-        with self.engine._loop_lock:
+        with self._maybe_lock(locked):
             # Per-layer tag leaf: rides the layer scan so unordered capture
             # callbacks (the only multi-device-safe kind) know their layer.
             layers = self._moe_layers()
@@ -337,7 +348,7 @@ class EPLBManager:
         return recorder.dump()
 
     def rebalance(self, ep_size: Optional[int] = None,
-                  n_redundant: int = 0) -> Optional[Dict]:
+                  n_redundant: int = 0, locked: bool = False) -> Optional[Dict]:
         """Compute + apply a placement from the recorded distribution.
         `n_redundant > 0` replicates the hottest experts onto that many
         extra physical slots (the stacked expert weights grow to E+R rows;
@@ -355,7 +366,7 @@ class EPLBManager:
         n_layers, E = counts.shape
         if ep_size <= 1 or (E + n_redundant) % ep_size:
             return None
-        with self.engine._loop_lock:  # params swap races with steps
+        with self._maybe_lock(locked):  # params swap races with steps
             layers = self._moe_layers()
             old_leaf = layers.get("expert_perm")
             # Physical slot -> logical expert of the CURRENT weight rows;
@@ -407,3 +418,94 @@ class EPLBManager:
             n_redundant,
         )
         return stats
+
+    # ------------------------------------------------- periodic auto-rebalance
+    @staticmethod
+    def _imbalance_under(counts: np.ndarray, p2l: np.ndarray,
+                         ep_size: int) -> float:
+        """Mean-over-layers max/mean per-rank load of `counts` [L, E] under
+        an installed placement described by `p2l` [L, P] (physical slot ->
+        logical expert; traffic splits evenly across an expert's distinct
+        replicas — the cyclic modulo pick is near-uniform)."""
+        L, P = p2l.shape
+        cap = P // ep_size
+        imb = np.zeros(L)
+        for li in range(L):
+            n_rep = np.bincount(p2l[li], minlength=counts.shape[1])
+            per = counts[li].astype(np.float64) / np.maximum(n_rep, 1)
+            load = per[p2l[li]].reshape(ep_size, cap).sum(axis=1)
+            imb[li] = load.max() / max(counts[li].sum() / ep_size, 1e-9)
+        return float(imb.mean())
+
+    def enable_periodic(self, every_n: int, n_redundant: int = 0,
+                        min_gain: float = 0.05):
+        """Periodic auto-rebalance (reference eplb/eplb_manager.py:16
+        EPLBManager.on_forward_pass_end cadence): records the expert
+        distribution continuously and, every `every_n` scheduler forward
+        passes, computes a placement from the window's counts and applies it
+        ONLY when it beats the CURRENT placement's imbalance by more than
+        `min_gain` (relative) — a rebalance costs a step-cache recompile, so
+        marginal gains are skipped. Runs as a scheduler pre-step hook (the
+        loop lock is already held there)."""
+        sched = self.engine.scheduler
+        state = {"last_ct": -1, "applied": 0, "checked": 0, "every": every_n}
+        self.periodic_state = state
+
+        def hook():
+            if state["last_ct"] < 0:
+                if self.start_record(locked=True):
+                    state["last_ct"] = sched.forward_ct
+                return
+            if sched.forward_ct - state["last_ct"] < every_n:
+                return
+            state["last_ct"] = sched.forward_ct
+            state["checked"] += 1
+            if self.maybe_rebalance(n_redundant=n_redundant,
+                                    min_gain=min_gain, locked=True):
+                state["applied"] += 1
+
+        sched.pre_step_hooks.append(hook)
+
+    def maybe_rebalance(self, n_redundant: int = 0, min_gain: float = 0.05,
+                        locked: bool = False) -> Optional[Dict]:
+        """One periodic check: apply a rebalance iff the candidate improves
+        the current placement's imbalance by > min_gain. Resets the
+        recording window either way."""
+        from ltp_sglang_tpu.eplb.expert_distribution import recorder
+
+        counts = self.dump_record()
+        meta = self._moe_meta()
+        mesh_ctx = self.runner.mesh_ctx
+        ep_size = mesh_ctx.tp_size if mesh_ctx is not None else 1
+        if (
+            counts is None or meta is None or counts.sum() == 0
+            or ep_size <= 1 or (counts.shape[1] + n_redundant) % ep_size
+        ):
+            return None
+        n_layers, E = counts.shape
+        layers = self._moe_layers()
+        cur_p2l = _phys_to_logical_from_leaf(
+            layers.get("expert_perm") if layers else None, n_layers, E
+        )
+        cur_imb = self._imbalance_under(counts, cur_p2l, ep_size)
+        if n_redundant > 0:
+            _, new_p2l, stats = rebalance_experts_redundant(
+                counts, ep_size, n_redundant
+            )
+        else:
+            perm, stats = rebalance_experts(counts, ep_size)
+            new_p2l = np.argsort(perm, axis=1)
+        cand_imb = self._imbalance_under(counts, new_p2l, ep_size)
+        if cand_imb >= cur_imb * (1.0 - min_gain):
+            recorder.reset()
+            logger.debug(
+                "EPLB periodic: skipped (cur %.3f -> cand %.3f, gain < %.2f)",
+                cur_imb, cand_imb, min_gain,
+            )
+            return None
+        out = self.rebalance(n_redundant=n_redundant, locked=locked)
+        recorder.reset()
+        if out is not None:
+            out["imbalance_current"] = cur_imb
+            out["imbalance_candidate"] = cand_imb
+        return out

@@ -118,6 +118,7 @@ class Scheduler:
                 write_policy=server_args.hicache_write_policy,
                 write_threshold=server_args.hicache_write_threshold,
                 layer_chunks=server_args.hicache_layer_chunks,
+                storage_url=server_args.hicache_storage_url,
             )
         elif server_args.radix_cache_backend == "cpp":
             from ltp_sglang_tpu.mem_cache.radix_cache_cpp import CppRadixCache
@@ -160,6 +161,7 @@ class Scheduler:
         # step completes (a hung device call stops bumping it).
         self.last_progress_time = time.time()
         self.last_decode_log_time = time.time()
+        self._last_arrival = 0.0  # newest add_request time (prefill coalescing)
 
         self._rid_to_req: Dict[str, Req] = {}
         # In-flight pipelined decode window (see event_loop_step).
@@ -244,6 +246,7 @@ class Scheduler:
         if not req.eos_token_ids:
             req.eos_token_ids = self.eos_token_ids
         req.queued_time = time.time()
+        self._last_arrival = req.queued_time
         if req.lora_path:
             try:
                 req.lora_id = self.runner.lora_manager.resolve(req.lora_path)
@@ -432,8 +435,11 @@ class Scheduler:
         flight. Returns the new in-flight BatchResult, or None when the chain
         must break (pending prefill work, a finished request, nearing length
         budget/context limit, or KV exhaustion) — the caller then falls back
-        to the normal scheduling path after processing N."""
-        if self.waiting_queue or self.chunked_req is not None:
+        to the normal scheduling path after processing N. A burst still
+        inside the prefill-coalescing window does NOT break the chain."""
+        if (self.waiting_queue and not self._should_defer_prefill()) or (
+            self.chunked_req is not None
+        ):
             return None
         wb, K, reqs = prev.wb, prev.window_k, prev.reqs
         n = len(reqs)
@@ -536,7 +542,9 @@ class Scheduler:
         finished requests and frees their window slots, exactly like a
         truncated continuation window. Returns None when chaining is
         ineligible — the caller falls back to the normal path."""
-        if self.waiting_queue or self.chunked_req is not None:
+        if (self.waiting_queue and not self._should_defer_prefill()) or (
+            self.chunked_req is not None
+        ):
             return None
         if self.spec_worker is not None:
             return None
@@ -672,10 +680,28 @@ class Scheduler:
         if batch is not None:
             self._maybe_log_decode_stats(batch)
 
+    def _should_defer_prefill(self) -> bool:
+        """Prefill coalescing window: while a request BURST is still landing
+        (newest arrival younger than prefill_coalesce_ms) and decode work
+        keeps the chip busy, hold off building a prefill batch so the burst
+        admits as a few large prefills instead of a trickle of tiny ones
+        (r02 serving-tax analysis: trickle-admission partial batches). Never
+        defers on an idle chip — TTFT cost is bounded by the window."""
+        cms = self.server_args.prefill_coalesce_ms
+        if cms <= 0 or not self.waiting_queue or self.chunked_req is not None:
+            return False
+        max_running = self.server_args.max_running_requests or 1 << 30
+        running = 0 if self.running_batch is None else self.running_batch.batch_size()
+        if len(self.waiting_queue) + running >= max_running:
+            return False
+        if self.running_batch is None or self.running_batch.is_empty():
+            return False
+        return (time.time() - self._last_arrival) < cms / 1000.0
+
     def get_next_batch_to_run(self) -> Optional[ScheduleBatch]:
         # Try prefill first (prefill-priority policy, like the reference
         # default), else continue decoding.
-        new_batch = self.get_new_batch_prefill()
+        new_batch = None if self._should_defer_prefill() else self.get_new_batch_prefill()
         if new_batch is not None:
             if (
                 self.server_args.enable_mixed_chunk

@@ -81,13 +81,22 @@ class HiRadixCache(RadixCache):
     def __init__(self, req_to_token_pool, token_to_kv_pool_allocator, runner,
                  page_size: int = 1, host_tokens: int = 1 << 20,
                  storage_dir=None, write_policy: str = "write_through_selective",
-                 write_threshold: int = 2, layer_chunks: int = 4):
+                 write_threshold: int = 2, layer_chunks: int = 4,
+                 storage_url=None):
         super().__init__(req_to_token_pool, token_to_kv_pool_allocator, page_size)
         self.runner = runner
         self.layer_chunks = max(1, int(layer_chunks))
         self.arena = HostKVArena(runner, host_tokens, storage_dir=storage_dir)
         self.num_host_hits = 0
         self.num_writebacks = 0
+        # Remote hash-keyed third tier (mem_cache/hicache_storage.py):
+        # host-arena eviction demotes spans there instead of dropping them;
+        # match_prefix promotes them back host -> device on a hit.
+        self.storage = None
+        if storage_url:
+            from ltp_sglang_tpu.mem_cache.hicache_storage import HiCacheStorage
+
+            self.storage = HiCacheStorage(storage_url)
         assert write_policy in (
             "write_back", "write_through", "write_through_selective"
         ), write_policy
@@ -121,7 +130,69 @@ class HiRadixCache(RadixCache):
             child.host_value = hv[split_len:]
         child.key = child.key[split_len:]
         child.parent = new_node
+        sk = getattr(child, "storage_key", None)
+        if sk is not None and self.storage is not None:
+            from ltp_sglang_tpu.mem_cache.hicache_storage import node_path_hash
+
+            if hv is None and child.value is None:
+                # Storage-only span: re-key the blob as two spans so each
+                # side stays independently addressable.
+                got = self.storage.get(sk)
+                self.storage.delete(sk)
+                child.storage_key = None
+                if got is not None:
+                    k_rows, v_rows = got
+                    self.storage.put(
+                        node_path_hash(new_node),
+                        k_rows[:, :split_len], v_rows[:, :split_len],
+                    )
+                    new_node.storage_key = node_path_hash(new_node)
+                    self.storage.put(
+                        node_path_hash(child),
+                        k_rows[:, split_len:], v_rows[:, split_len:],
+                    )
+                    child.storage_key = node_path_hash(child)
+            else:
+                # Host/device copy exists: the remote blob is stale for the
+                # new span shapes — revoke it (re-demotion re-creates it).
+                self.storage.delete(sk)
+                child.storage_key = None
         return new_node
+
+    def _promote(self, node: TreeNode) -> bool:
+        """Bring a valueless node's rows back onto the device, pulling from
+        the remote storage tier into the host arena first when its host copy
+        was demoted (reference storage prefetch + load_back path)."""
+        if getattr(node, "host_value", None) is None:
+            if not self._fetch_from_storage(node):
+                return False
+        return self._load_back(node)
+
+    def _fetch_from_storage(self, node: TreeNode) -> bool:
+        """Remote -> host arena: fetch the node's span by content-hash key
+        and stage it in host slots; a miss (revoked / foreign store) drops
+        the skeleton so the walk cleanly mismatches."""
+        sk = getattr(node, "storage_key", None)
+        if self.storage is None or sk is None:
+            return False
+        got = self.storage.get(sk)
+        if got is None:
+            node.storage_key = None
+            self._delete_host_leaf(node)
+            return False
+        k_rows, v_rows = got
+        n = len(node.key)
+        hs = self.arena.alloc.alloc(n)
+        if hs is None:
+            self._evict_host(n)
+            hs = self.arena.alloc.alloc(n)
+        if hs is None:
+            return False
+        hs = np.asarray(hs, np.int32)
+        self.arena.k[:, hs] = k_rows
+        self.arena.v[:, hs] = v_rows
+        node.host_value = hs
+        return True
 
     def _load_back(self, node: TreeNode) -> bool:
         """Restore a host-backed node's device rows (keeps the host copy).
@@ -269,12 +340,12 @@ class HiRadixCache(RadixCache):
             if prefix_len < len(child.key):
                 if prefix_len > 0:
                     child = self._split_node(child, prefix_len)
-                    if child.value is None and not self._load_back(child):
+                    if child.value is None and not self._promote(child):
                         break
                     values.append(child.value)
                     node = child
                 break
-            if child.value is None and not self._load_back(child):
+            if child.value is None and not self._promote(child):
                 break
             values.append(child.value)
             node = child
@@ -331,8 +402,11 @@ class HiRadixCache(RadixCache):
             freed += n
             self.evictable_size_ -= n
             node.value = None
-            if getattr(node, "host_value", None) is None:
-                # No host copy could be made: the node is gone entirely.
+            if (
+                getattr(node, "host_value", None) is None
+                and getattr(node, "storage_key", None) is None
+            ):
+                # No host or remote copy could be made: the node is gone.
                 self._delete_host_leaf(node)
             parent = node.parent
             if (
@@ -352,7 +426,12 @@ class HiRadixCache(RadixCache):
 
     def _evict_host(self, num_tokens: int):
         """Free host arena rows: drop host copies of nodes that still have
-        device rows first (redundant), then host-only leaves (dead)."""
+        device rows first (redundant), then host-only leaves. With the
+        remote storage tier configured, host-only spans are DEMOTED there
+        (hash-keyed) instead of dying — the tree skeleton stays and a later
+        match promotes them back through the arena."""
+        from ltp_sglang_tpu.mem_cache.hicache_storage import node_path_hash
+
         nodes = []
         stack = [self.root_node]
         while stack:
@@ -365,12 +444,18 @@ class HiRadixCache(RadixCache):
         for n in nodes:
             if freed >= num_tokens:
                 break
-            if n.value is None and n.children:
+            if n.value is None and n.children and self.storage is None:
                 continue  # host-only mid-path: dropping would orphan children
+            if n.value is None and self.storage is not None:
+                if getattr(n, "storage_key", None) is None:
+                    hs = np.asarray(n.host_value)
+                    key = node_path_hash(n)
+                    self.storage.put(key, self.arena.k[:, hs], self.arena.v[:, hs])
+                    n.storage_key = key
             self.arena.alloc.free(n.host_value)
             freed += len(n.host_value)
             n.host_value = None
-            if n.value is None:
+            if n.value is None and getattr(n, "storage_key", None) is None:
                 self._delete_host_leaf(n)
 
     def reset(self):

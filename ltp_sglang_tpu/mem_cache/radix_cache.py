@@ -202,8 +202,16 @@ class RadixCache:
                 if prefix_len == 0:
                     # Shared child key page diverges mid-page; cannot share.
                     return total_prefix
-            total_prefix += prefix_len
             if prefix_len == len(child.key):
+                if child.value is None:
+                    # Hierarchical tiers leave valueless skeleton nodes
+                    # (host/storage-backed or revoked): ADOPT the freshly
+                    # computed rows instead of counting them as duplicates
+                    # the caller would free (hiradix_cache.py).
+                    child.value = value[:prefix_len]
+                    self.evictable_size_ += prefix_len
+                else:
+                    total_prefix += prefix_len
                 node = child
                 key = key[prefix_len:]
                 value = value[prefix_len:]
@@ -212,6 +220,11 @@ class RadixCache:
             else:
                 # Split and attach remainder.
                 new_parent = self._split_node(child, prefix_len)
+                if new_parent.value is None:
+                    new_parent.value = value[:prefix_len]
+                    self.evictable_size_ += prefix_len
+                else:
+                    total_prefix += prefix_len
                 if len(key) > prefix_len:
                     rem_key = key[prefix_len:]
                     rem_val = value[prefix_len:]

@@ -637,7 +637,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],
             mesh_ctx=self.mesh_ctx,
-            tbo=getattr(self, "moe_tbo", False),
+            # Batch-level TBO already split the batch; a second token-level
+            # split inside the layer would fragment the a2a for nothing.
+            tbo=(getattr(self, "moe_tbo", False)
+                 and not getattr(self, "_in_batch_tbo", False)),
             expert_perm=lp.get("expert_perm"),
         )
         if self.n_shared_experts:
@@ -679,6 +682,20 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     def forward(self, params, step: StepArrays, k_cache, v_cache, all_logits=False,
                 lora=None, return_hidden=False):
         cfg = self.config
+        B, E = step.input_ids.shape
+        if (
+            getattr(self, "moe_tbo", False)
+            and not getattr(self, "_in_batch_tbo", False)
+            and B >= 2
+            and (E > 1 or B >= 16)  # a2a big enough to be worth hiding
+            and self.n_routed_experts
+            and cfg.num_layers - self.first_k_dense >= 2
+        ):
+            # Batch-level two-batch overlap (reference two_batch_overlap.py:
+            # 53-370 + operations_strategy.py): see _forward_tbo.
+            return self._forward_tbo(
+                params, step, k_cache, v_cache, all_logits, return_hidden
+            )
         hidden = params["embed"]["weight"][step.input_ids]
 
         def dense_body(carry, xs):
@@ -718,6 +735,108 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             ),
         )
         hidden, k_cache, v_cache = carry
+
+        hidden = rms_norm(hidden, params["norm"], self.rms_eps)
+        if return_hidden:
+            return hidden, k_cache, v_cache
+        logits = self._lm_head(params, hidden, step, all_logits)
+        return logits, k_cache, v_cache
+
+    # ------------------------------------------------- batch-level TBO
+    @staticmethod
+    def _slice_step(step: StepArrays, lo: int, hi: int) -> StepArrays:
+        # Every StepArrays field is batch-leading; slice them all so
+        # optional arrays (spec_mask, mm_embeds, pages...) survive the split.
+        sl = lambda a: None if a is None else a[lo:hi]
+        return step._replace(
+            **{f: sl(getattr(step, f)) for f in step._fields}
+        )
+
+    def _forward_tbo(self, params, step: StepArrays, k_cache, v_cache,
+                     all_logits, return_hidden):
+        """Batch-level two-batch overlap (reference two_batch_overlap.py:53-370
+        + operations_strategy.py:1-211, redesigned for XLA): the batch splits
+        into two micro-batches and the MoE layer stack runs STAGGERED — one
+        pipeline step computes micro-batch 0's layer i and micro-batch 1's
+        layer i-1. Inside that step mb0's dispatch/combine all-to-alls and
+        mb1's attention + expert GEMMs are independent dataflow (mb1 only
+        depends on mb0 through the cheap KV row write), so XLA's
+        latency-hiding scheduler overlaps the a2a with compute — the overlap
+        the reference hand-schedules with its operations list. The per-layer
+        token-split TBO (moe_ffn_auto tbo=) is disabled underneath to avoid
+        double-splitting. Dense layers (no a2a) run unstaggered."""
+        cfg = self.config
+        B, E = step.input_ids.shape
+        Ld = self.first_k_dense
+        Lm = cfg.num_layers - Ld
+        hidden = params["embed"]["weight"][step.input_ids]
+
+        self._in_batch_tbo = True
+        try:
+            def dense_body(carry, xs):
+                h, kc, vc = carry
+                lp, li = xs
+                h, kc, vc = self._attention(lp, h, step, kc, vc, li)
+                normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
+                gate = apply_linear(lp["gate_proj"], normed)
+                up = apply_linear(lp["up_proj"], normed)
+                h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+                return (h, kc, vc), None
+
+            carry = (hidden, k_cache, v_cache)
+            if Ld > 0:
+                carry, _ = jax.lax.scan(
+                    dense_body, carry,
+                    (params["layers_dense"], jnp.arange(Ld, dtype=jnp.int32)),
+                )
+            hidden, k_cache, v_cache = carry
+
+            half = B // 2
+            step0 = self._slice_step(step, 0, half)
+            step1 = self._slice_step(step, half, B)
+            h0, h1 = hidden[:half], hidden[half:]
+            moe = params["layers_moe"]
+
+            def moe_layer_half(li_moe, h, sstep, kc, vc):
+                lp = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, li_moe, axis=0, keepdims=False
+                    ),
+                    moe,
+                )
+                li = Ld + li_moe
+                h, kc, vc = self._attention(lp, h, sstep, kc, vc, li)
+                normed = rms_norm(
+                    h, lp["post_attention_layernorm"], self.rms_eps
+                )
+                tok_valid = (
+                    jnp.arange(normed.shape[1], dtype=jnp.int32)[None, :]
+                    < sstep.extend_lens[:, None]
+                )
+                return h + self._moe_mlp(lp, normed, tok_valid), kc, vc
+
+            # Pipeline: prologue (mb0 layer 0), steady state (mb0 layer i,
+            # mb1 layer i-1), epilogue (mb1 layer Lm-1). Peeling avoids both
+            # wasted masked steps and lax.cond scheduling barriers.
+            h0, k_cache, v_cache = moe_layer_half(
+                jnp.int32(0), h0, step0, k_cache, v_cache
+            )
+
+            def body(i, carry):
+                h0, h1, kc, vc = carry
+                h0, kc, vc = moe_layer_half(i, h0, step0, kc, vc)
+                h1, kc, vc = moe_layer_half(i - 1, h1, step1, kc, vc)
+                return h0, h1, kc, vc
+
+            h0, h1, k_cache, v_cache = jax.lax.fori_loop(
+                1, Lm, body, (h0, h1, k_cache, v_cache)
+            )
+            h1, k_cache, v_cache = moe_layer_half(
+                jnp.int32(Lm - 1), h1, step1, k_cache, v_cache
+            )
+            hidden = jnp.concatenate([h0, h1], axis=0)
+        finally:
+            self._in_batch_tbo = False
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
         if return_hidden:

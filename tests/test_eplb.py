@@ -175,3 +175,33 @@ def test_rebalance_redundant_invariance_ep(moe_dir):
     assert eng.model_runner.params["layers"]["experts_gate"].shape[1] == 8
     out2 = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
     assert [o["output_ids"] for o in out2] == base_ids
+
+
+def test_eplb_periodic_auto_rebalance(moe_dir):
+    """Periodic auto-rebalance (reference eplb_manager.py rebalance cadence):
+    with --eplb-rebalance-every set, a skewed workload triggers an automatic
+    placement change after N forward passes — no HTTP call — and greedy
+    outputs stay bit-identical through the swap."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(ServerArgs(
+        model_path=moe_dir, dtype="float32", tp_size=4,
+        max_total_tokens=2048, max_running_requests=8,
+        eplb_rebalance_every=3, eplb_min_rebalance_gain=0.0,
+    ))
+    st = eng.eplb.periodic_state
+    assert st is not None
+    base = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    base_ids = [o["output_ids"] for o in base]
+    # Drive enough forward passes across several checks for at least one
+    # automatic apply (the same skewed prompts re-run each round).
+    for _ in range(6):
+        out = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+        assert [o["output_ids"] for o in out] == base_ids
+    assert st["checked"] >= 1, st
+    assert st["applied"] >= 1, st
+    assert "expert_perm" in eng.model_runner.params["layers"]
+    # Outputs remain invariant after the automatic swap.
+    out = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
+    assert [o["output_ids"] for o in out] == base_ids

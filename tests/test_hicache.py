@@ -194,3 +194,58 @@ def test_layer_chunked_loadback_parity(chunks):
     again = eng.generate(input_ids=prompt_a, sampling_params=sp)
     assert again["output_ids"] == ref_a["output_ids"]
     assert eng.scheduler.tree_cache.num_host_hits > 0
+
+
+def test_remote_storage_tier_roundtrip():
+    """Remote third tier (mem_cache/hicache_storage.py; reference
+    mem_cache/hicache_storage.py + storage/mooncake_store): device eviction
+    demotes to host, host eviction demotes to the hash-keyed remote store,
+    and a later identical prompt promotes storage -> host -> device with
+    prefix reuse intact (bit-identical outputs)."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="hicache3_llama_")
+    write_tiny_model_dir(d)
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=256, max_running_requests=4,
+        enable_hierarchical_cache=True,
+        hicache_host_tokens=512,
+        hicache_storage_url="memory://hicache-test",
+    ))
+    cache = eng.scheduler.tree_cache
+    assert cache.storage is not None
+    sp = {"max_new_tokens": 8, "temperature": 0.0}
+    prompt_a = list(range(3, 3 + 60))
+    ref_a = eng.generate(input_ids=prompt_a, sampling_params=sp)
+
+    # Demote A: device -> host, then host -> remote.
+    cache.evict(10_000)
+    cache._evict_host(10_000)
+    assert cache.storage.num_puts >= 1, "host eviction never demoted to storage"
+    host_rows_in_use = cache.arena.alloc.available_size()
+
+    again = eng.generate(input_ids=prompt_a, sampling_params=sp)
+    assert again["output_ids"] == ref_a["output_ids"]
+    assert cache.storage.num_hits >= 1, "storage tier never hit"
+    assert cache.num_host_hits >= 1, "promoted span never loaded back"
+
+    # Partial prefix: a prompt sharing half of A splits the storage-only
+    # span; both sides stay addressable and outputs stay correct.
+    cache.evict(10_000)
+    cache._evict_host(10_000)
+    half = prompt_a[:30] + [900, 901, 902, 903]
+    eng.generate(input_ids=half, sampling_params=sp)
+    again2 = eng.generate(input_ids=prompt_a, sampling_params=sp)
+    assert again2["output_ids"] == ref_a["output_ids"]
+
+    # Revocation: deleting the store's entries turns later matches into
+    # clean misses (recompute), never corruption.
+    cache.evict(10_000)
+    cache._evict_host(10_000)
+    for k in list(getattr(cache.storage.conn, "kv", {})):
+        cache.storage.delete(k)
+    again3 = eng.generate(input_ids=prompt_a, sampling_params=sp)
+    assert again3["output_ids"] == ref_a["output_ids"]
+    del host_rows_in_use

@@ -398,3 +398,137 @@ def test_moe_ffn_ep_a2a_two_batch_overlap():
     # Sanity: each micro-batch's combine DOES depend on its own dispatch.
     assert depends(mb0[-1], mb0[0], memo)
     assert depends(mb1[-1], mb1[0], memo)
+
+
+def test_deepseek_batch_tbo_parity_and_stagger():
+    """Batch-level TBO (reference two_batch_overlap.py:53 redesigned as a
+    staggered layer pipeline — deepseek_v2._forward_tbo): greedy outputs on
+    the virtual EP mesh must match the non-TBO engine, and the steady-state
+    pipeline step must keep micro-batch 1's a2a chain independent of
+    micro-batch 0's a2as (only the cheap KV write links them), which is what
+    lets XLA's latency-hiding scheduler overlap a2a with attention/GEMMs."""
+    import jax
+
+    from test_models_parity import TINY_DEEPSEEK_V2_CFG
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tbo_dsv2_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8, 11, 13],
+               [42, 17, 3], [9, 9, 9, 9, 9, 9, 9]]
+    sp = {"max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True}
+
+    base = Engine(ServerArgs(
+        model_path=d, dtype="float32", tp_size=4,
+        max_total_tokens=4096, max_running_requests=8,
+    ))
+    ref = [o["output_ids"] for o in
+           base.generate(input_ids=prompts, sampling_params=sp)]
+    base.close()
+
+    tbo = Engine(ServerArgs(
+        model_path=d, dtype="float32", tp_size=4,
+        max_total_tokens=4096, max_running_requests=8,
+        enable_two_batch_overlap=True,
+    ))
+    got = [o["output_ids"] for o in
+           tbo.generate(input_ids=prompts, sampling_params=sp)]
+    assert got == ref, (got, ref)
+
+    # ---- stagger independence on the traced program: trace the model's
+    # TBO forward directly and inspect the fori_loop body.
+    model = tbo.model_runner.model
+    assert getattr(model, "moe_tbo", False)
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from ltp_sglang_tpu.models.llama import StepArrays
+
+    B, E, C = 4, 8, 64
+    step = StepArrays(
+        input_ids=jnp.zeros((B, E), jnp.int32),
+        positions=jnp.tile(jnp.arange(E, dtype=jnp.int32), (B, 1)),
+        cache_locs=jnp.tile(jnp.arange(E, dtype=jnp.int32), (B, 1)),
+        seq_lens=jnp.full((B,), E, jnp.int32),
+        prefix_lens=jnp.zeros((B,), jnp.int32),
+        extend_lens=jnp.full((B,), E, jnp.int32),
+        kv_indices=jnp.tile(jnp.arange(C, dtype=jnp.int32), (B, 1)),
+        lora_ids=None,
+    )
+    r = tbo.model_runner
+
+    def f(params, kc, vc):
+        return model.forward(params, step, kc, vc)
+
+    jaxpr = jax.make_jaxpr(f)(r.params, r.k_cache, r.v_cache)
+
+    def flatten(jx, out, in_loop=False):
+        out.append((jx, in_loop))
+        for eqn in jx.eqns:
+            looped = in_loop or eqn.primitive.name in ("scan", "while")
+            for p in eqn.params.values():
+                inner = p
+                while hasattr(inner, "jaxpr"):
+                    inner = inner.jaxpr
+                if hasattr(inner, "eqns"):
+                    flatten(inner, out, looped)
+        return out
+
+    def n_a2a_inside(eqn):
+        """Count all_to_all primitives anywhere inside an eqn's sub-jaxprs."""
+        total = 0
+        for p in eqn.params.values():
+            inner = p
+            while hasattr(inner, "jaxpr"):
+                inner = inner.jaxpr
+            if hasattr(inner, "eqns"):
+                for e in inner.eqns:
+                    if "all_to_all" in e.primitive.name:
+                        total += 1
+                    total += n_a2a_inside(e)
+        return total
+
+    bodies = flatten(jaxpr.jaxpr, [])
+    # The steady-state pipeline body: the fori-loop body (NOT the top-level
+    # jaxpr, whose prologue/epilogue layers are legitimately sequential)
+    # holding TWO separate MoE shard_map calls (3 a2as each) — one per
+    # micro-batch.
+    body = None
+    for b, in_loop in bodies:
+        if not in_loop:
+            continue
+        sm = [i for i, e in enumerate(b.eqns) if n_a2a_inside(e) == 3]
+        if len(sm) == 2:
+            body = b
+            sm_idx = sm
+            break
+    assert body is not None, "staggered pipeline body not found"
+
+    producers = {}
+    for i, eqn in enumerate(body.eqns):
+        for v in eqn.outvars:
+            producers[id(v)] = i
+
+    def depends(i, j, memo):
+        key = (i, j)
+        if key in memo:
+            return memo[key]
+        memo[key] = False
+        for v in body.eqns[i].invars:
+            p = producers.get(id(v))
+            if p is None:
+                continue
+            if p == j or depends(p, j, memo):
+                memo[key] = True
+                break
+        return memo[key]
+
+    # Micro-batch 1's MoE a2a call must not consume micro-batch 0's a2a
+    # outputs (the only cross-link is the KV row write, which is not an
+    # a2a-bearing eqn).
+    assert not depends(sm_idx[1], sm_idx[0], {}), (
+        "staggered micro-batches serialized through the MoE a2a"
+    )
+    tbo.close()
