@@ -213,11 +213,10 @@ class ModelRunner:
                 raise NotImplementedError("pp currently requires dp=1")
             if model_config.num_layers % self.pp_size:
                 raise ValueError("num_layers must divide pp_size")
-            if self.model_config.quantization:
-                raise NotImplementedError("pp + quantization TODO")
             if server_args.speculative_algorithm:
                 raise NotImplementedError("pp + speculative decoding TODO")
-            server_args.decode_window_size = 1  # windows are single-stage fns
+            if server_args.lora_paths:
+                raise NotImplementedError("pp + LoRA TODO")
         use_pallas = backend == "tpu" and (not multi or self._sharded_pallas)
         from ltp_sglang_tpu.ops.kv_cache_ops import (
             kv_write_pallas,
@@ -1344,6 +1343,87 @@ class ModelRunner:
 
         return jax.jit(window_fn, donate_argnums=(1, 2, 3))
 
+    def _build_window_fn_pp(self, K: int, C: int, sampler_kind: str,
+                            feats=(False,) * 4):
+        """K decode steps under pipeline parallelism: each step runs the
+        microbatched ppermute pipeline (parallel/pipeline.py pp_forward) —
+        the batch splits into M microbatches that fill the stages, and the
+        sampled tokens feed the next step on device. Lifts the former
+        pp => decode_window_size=1 guard (reference event_loop_pp runs its
+        overlap scheduler under PP the same way, scheduler.py:815-945)."""
+        model = self.model
+        table_merge_window = self._table_merge_window
+        mesh_ctx = self.mesh_ctx
+        pp = self.pp_size
+
+        from ltp_sglang_tpu.parallel.pipeline import pp_forward
+
+        def window_fn(
+            params, k_cache, v_cache, table,
+            input_ids, seq0, slots, req_indices,
+            temperatures, top_ps, top_ks, min_ps, step_idx,
+            lora_ids, lora,
+            logit_bias, vocab_mask, counts0, seen0, freq_pen, pres_pen, rep_pen,
+            k_swa, v_swa,  # pass-through (pp never runs SWA pools)
+        ):
+            B = input_ids.shape[0]
+            M = next(m for m in range(min(2 * pp, B), 0, -1) if B % m == 0)
+            Bm = B // M
+            ext = {"bias": logit_bias, "mask": vocab_mask, "freq": freq_pen,
+                   "pres": pres_pen, "rep": rep_pen}
+            base_rows = table[req_indices, :C]
+            cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+            start = jnp.maximum(seq0 - 1, 0)[:, None]
+            off = jnp.clip(cols - start, 0, K - 1)
+            win_vals = jnp.take_along_axis(slots, off, axis=1)
+            in_window = (cols >= start) & (cols < start + K)
+            kv_indices = jnp.where(in_window, win_vals, base_rows)
+            kv_mb = kv_indices.reshape(M, Bm, C)
+
+            from ltp_sglang_tpu.models.llama import StepArrays
+
+            def body(t, carry):
+                tok, kc, vc, out, st = carry
+                pos = jnp.maximum(seq0 - 1 + t, 0)
+                slot_t = jax.lax.dynamic_slice_in_dim(slots, t, 1, axis=1)
+                step = StepArrays(
+                    input_ids=tok[:, None],
+                    positions=pos[:, None],
+                    cache_locs=slot_t,
+                    seq_lens=seq0 + t,
+                    prefix_lens=jnp.maximum(seq0 + t - 1, 0),
+                    extend_lens=jnp.ones((B,), jnp.int32),
+                    kv_indices=kv_indices,
+                    lora_ids=None,
+                )
+                steps_mb = jax.tree.map(
+                    lambda a: a.reshape((M, Bm) + a.shape[1:]), step
+                )
+                logits, kc, vc = pp_forward(
+                    model, mesh_ctx, params, steps_mb, kc, vc, kv_mb, M
+                )
+                key = jax.random.fold_in(
+                    jax.random.fold_in(self._rng_key, step_idx), t
+                )
+                tok, st = _window_sample_step(
+                    sampler_kind, feats, logits, ext, st, t,
+                    temperatures, top_ps, top_ks, min_ps, key,
+                )
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
+                return tok, kc, vc, out, st
+
+            out0 = jnp.zeros((B, K), jnp.int32)
+            st0 = (counts0, seen0) + _window_state_init(feats, B, K)
+            _, k_cache, v_cache, out, st = jax.lax.fori_loop(
+                0, K, body, (input_ids, k_cache, v_cache, out0, st0)
+            )
+            table = table_merge_window(
+                table, req_indices, jnp.maximum(seq0 - 1, 0), slots, K
+            )
+            return out, st, k_cache, v_cache, table, k_swa, v_swa
+
+        return jax.jit(window_fn, donate_argnums=(1, 2, 3))
+
     def _build_window_fn(self, K: int, C: int, sampler_kind: str,
                          feats=(False,) * 4, has_swa: bool = False):
         """K decode steps fully on device (token feedback via fori_loop)."""
@@ -1651,11 +1731,19 @@ class ModelRunner:
         has_mask = wb.vocab_mask is not None
         has_pen = bool(si.has_penalties) and si.output_counts is not None
         feats = (has_bias, has_mask, has_pen, bool(wb.want_logprobs))
+        if self.pp_size > 1:
+            # PP runs its own microbatched-pipeline window driver; the
+            # single-stage paths below would bypass the stage shardings.
+            use_paged = use_two_source = False
         key = ("window", B, K, wb.kv_bucket, si.sampler_kind, use_two_source,
-               use_paged, feats)
+               use_paged, feats, self.pp_size > 1)
         fn = self._step_cache.get(key)
         if fn is None:
-            if use_paged:
+            if self.pp_size > 1:
+                fn = self._build_window_fn_pp(
+                    K, wb.kv_bucket, si.sampler_kind, feats
+                )
+            elif use_paged:
                 fn = self._build_window_fn_paged(
                     K, wb.kv_bucket // P, si.sampler_kind, P, feats
                 )

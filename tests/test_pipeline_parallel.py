@@ -72,3 +72,61 @@ def test_pp_x_tp_parity(model_dir, single_out, pp, tp):
     ))
     outs = eng.generate(input_ids=PROMPTS, sampling_params=dict(SP))
     assert [o["output_ids"] for o in outs] == single_out
+
+
+def test_pp_decode_windows():
+    """PP with K>1 decode windows (_build_window_fn_pp): outputs must match
+    the forced-K=1 PP engine exactly — the former pp => K=1 guard is gone."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    cfg = dict(TINY_LLAMA_CFG, num_hidden_layers=4)
+    d = tempfile.mkdtemp(prefix="ppwin_llama_")
+    write_tiny_model_dir(d, cfg=cfg)
+    k1 = Engine(ServerArgs(
+        model_path=d, dtype="float32", pp_size=2,
+        max_total_tokens=2048, max_running_requests=8,
+        decode_window_size=1,
+    ))
+    ref = [o["output_ids"] for o in
+           k1.generate(input_ids=PROMPTS, sampling_params=dict(SP))]
+    k1.close()
+    k8 = Engine(ServerArgs(
+        model_path=d, dtype="float32", pp_size=2,
+        max_total_tokens=2048, max_running_requests=8,
+        decode_window_size=8,
+    ))
+    out = [o["output_ids"] for o in
+           k8.generate(input_ids=PROMPTS, sampling_params=dict(SP))]
+    assert out == ref, (out, ref)
+    k8.close()
+
+
+def test_pp_x_tp_int4_quant_parity():
+    """PP x TP with AWQ-INT4 quantized weights (former pp+quant guard): the
+    stacked packed leaves shard their layer dim over 'pp' like dense leaves;
+    greedy outputs must match the single-device quantized engine."""
+    from test_quant_e2e import _fabricate_quant_checkpoint
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    quant_dir, _ = _fabricate_quant_checkpoint("awq")
+    single = Engine(ServerArgs(
+        model_path=quant_dir, dtype="float32",
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    prompts = [[1, 44, 55, 66, 77, 88], [3, 9, 27, 81]]
+    sp = {"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True}
+    ref = [o["output_ids"] for o in
+           single.generate(input_ids=prompts, sampling_params=sp)]
+    single.close()
+    pp = Engine(ServerArgs(
+        model_path=quant_dir, dtype="float32", pp_size=2, tp_size=2,
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    assert pp.model_runner.model.quant is not None
+    out = [o["output_ids"] for o in
+           pp.generate(input_ids=prompts, sampling_params=sp)]
+    assert out == ref, (out, ref)
+    pp.close()
