@@ -136,13 +136,189 @@ class PythonicDetector(BaseDetector):
             return text, []
 
 
+def _coerce(v: str):
+    """Tag-format argument values arrive as raw text; recover JSON types
+    where unambiguous (the reference coerces against the tool schema)."""
+    v = v.strip()
+    try:
+        return json.loads(v)
+    except (json.JSONDecodeError, ValueError):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+
+
+class DeepSeekV3Detector(BaseDetector):
+    """DeepSeek-V3 (function_call/deepseekv3_detector.py):
+    <｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function<｜tool▁sep｜>{name}
+    ```json\\n{args}\\n```<｜tool▁call▁end｜>...<｜tool▁calls▁end｜>"""
+
+    bot_token = "<｜tool▁calls▁begin｜>"
+    call_re = re.compile(r"<｜tool▁call▁begin｜>.*?<｜tool▁call▁end｜>", re.DOTALL)
+    detail_re = re.compile(
+        r"<｜tool▁call▁begin｜>(.*)<｜tool▁sep｜>(.*?)\n```json\n(.*)\n```"
+        r"<｜tool▁call▁end｜>",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.bot_token in text
+
+    def detect_and_parse(self, text: str):
+        if self.bot_token not in text:
+            return text, []
+        normal = text.split(self.bot_token)[0]
+        calls = []
+        for block in self.call_re.findall(text):
+            m = self.detail_re.search(block)
+            if m is None:
+                continue
+            try:
+                calls.append(
+                    ToolCallItem(m.group(2).strip(),
+                                 json.dumps(json.loads(m.group(3))))
+                )
+            except json.JSONDecodeError:
+                pass
+        return normal.strip(), calls
+
+
+class KimiK2Detector(BaseDetector):
+    """Kimi-K2 (function_call/kimik2_detector.py):
+    <|tool_calls_section_begin|><|tool_call_begin|>functions.{name}:{idx}
+    <|tool_call_argument_begin|>{json}<|tool_call_end|>...
+    <|tool_calls_section_end|>"""
+
+    bot_token = "<|tool_calls_section_begin|>"
+    call_re = re.compile(
+        r"<\|tool_call_begin\|>\s*(?P<id>[\w\.]+:\d+)\s*"
+        r"<\|tool_call_argument_begin\|>\s*(?P<args>\{.*?\})\s*"
+        r"<\|tool_call_end\|>",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.bot_token in text
+
+    def detect_and_parse(self, text: str):
+        if self.bot_token not in text:
+            return text, []
+        normal = text.split(self.bot_token)[0]
+        calls = []
+        for m in self.call_re.finditer(text):
+            # id = "functions.{name}:{index}"
+            fid = m.group("id")
+            name = fid.split(":")[0].split(".", 1)[-1]
+            try:
+                calls.append(
+                    ToolCallItem(name, json.dumps(json.loads(m.group("args"))))
+                )
+            except json.JSONDecodeError:
+                pass
+        return normal.strip(), calls
+
+
+class Glm4MoeDetector(BaseDetector):
+    """GLM-4.5/MoE (function_call/glm4_moe_detector.py):
+    <tool_call>{name}\\n<arg_key>k</arg_key><arg_value>v</arg_value>...
+    </tool_call>"""
+
+    call_re = re.compile(r"<tool_call>.*?</tool_call>", re.DOTALL)
+    detail_re = re.compile(r"<tool_call>([^\n<]*)\n?(.*)</tool_call>", re.DOTALL)
+    arg_re = re.compile(r"<arg_key>(.*?)</arg_key>\s*<arg_value>(.*?)</arg_value>",
+                        re.DOTALL)
+
+    def has_tool_call(self, text: str) -> bool:
+        return "<tool_call>" in text and "<arg_key>" in text
+
+    def detect_and_parse(self, text: str):
+        if not self.has_tool_call(text):
+            return text, []
+        calls = []
+        for block in self.call_re.findall(text):
+            m = self.detail_re.search(block)
+            if m is None:
+                continue
+            name = m.group(1).strip()
+            args = {k.strip(): _coerce(v) for k, v in self.arg_re.findall(m.group(2))}
+            if name:
+                calls.append(ToolCallItem(name, json.dumps(args)))
+        normal = self.call_re.sub("", text).strip()
+        return normal, calls
+
+
+class Qwen3CoderDetector(BaseDetector):
+    """Qwen3-Coder (function_call/qwen3_coder_detector.py):
+    <tool_call><function=name><parameter=key>value</parameter>...
+    </function></tool_call>"""
+
+    call_re = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    fn_re = re.compile(r"<function=(.*?)(?:>|\n)(.*?)</function>", re.DOTALL)
+    param_re = re.compile(r"<parameter=(.*?)(?:>|\n)(.*?)</parameter>", re.DOTALL)
+
+    def has_tool_call(self, text: str) -> bool:
+        return "<tool_call>" in text and "<function=" in text
+
+    def detect_and_parse(self, text: str):
+        if not self.has_tool_call(text):
+            return text, []
+        calls = []
+        for block in self.call_re.findall(text):
+            for fm in self.fn_re.finditer(block):
+                name = fm.group(1).strip().rstrip(">")
+                args = {
+                    pm.group(1).strip().rstrip(">"): _coerce(pm.group(2))
+                    for pm in self.param_re.finditer(fm.group(2))
+                }
+                calls.append(ToolCallItem(name, json.dumps(args)))
+        normal = self.call_re.sub("", text).strip()
+        return normal, calls
+
+
+class Step3Detector(BaseDetector):
+    """Step3 (function_call/step3_detector.py): steptml XML invocations
+    inside <｜tool_calls_begin｜>...<｜tool_calls_end｜>."""
+
+    bot_token = "<｜tool_calls_begin｜>"
+    invoke_re = re.compile(
+        r'<steptml:invoke name="([^"]+)">(.+?)</steptml:invoke>', re.DOTALL
+    )
+    param_re = re.compile(
+        r'<steptml:parameter name="([^"]+)">([^<]*)</steptml:parameter>',
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        return self.bot_token in text
+
+    def detect_and_parse(self, text: str):
+        if self.bot_token not in text:
+            return text, []
+        normal = text.split(self.bot_token)[0]
+        calls = []
+        for name, body in self.invoke_re.findall(text):
+            args = {k: _coerce(v) for k, v in self.param_re.findall(body)}
+            calls.append(ToolCallItem(name, json.dumps(args)))
+        return normal.strip(), calls
+
+
 DETECTORS = {
     "llama3": Llama32Detector,
     "llama32": Llama32Detector,
+    "llama4": PythonicDetector,
     "qwen25": Qwen25Detector,
     "qwen": Qwen25Detector,
     "mistral": MistralDetector,
     "pythonic": PythonicDetector,
+    "deepseekv3": DeepSeekV3Detector,
+    "deepseek": DeepSeekV3Detector,
+    "kimi_k2": KimiK2Detector,
+    "kimik2": KimiK2Detector,
+    "glm4_moe": Glm4MoeDetector,
+    "glm45": Glm4MoeDetector,
+    "qwen3_coder": Qwen3CoderDetector,
+    "step3": Step3Detector,
 }
 
 

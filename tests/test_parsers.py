@@ -138,3 +138,108 @@ def test_tool_call_regex_composer():
     assert dfa1.walk(0, good) == -1 or dfa1.walk(0, good) not in dfa1.accepting
     # auto/none -> unconstrained.
     assert compose_tool_call_regex(tools, "auto", "qwen25") is None
+
+
+def test_deepseekv3_detector():
+    from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+    p = FunctionCallParser("deepseekv3")
+    text = (
+        "I'll check.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+        "<｜tool▁sep｜>get_weather\n```json\n{\"city\": \"Tokyo\"}\n```"
+        "<｜tool▁call▁end｜>\n<｜tool▁call▁begin｜>function<｜tool▁sep｜>"
+        "get_time\n```json\n{\"tz\": \"JST\"}\n```<｜tool▁call▁end｜>"
+        "<｜tool▁calls▁end｜>"
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "I'll check."
+    assert [(c.name, c.parameters) for c in calls] == [
+        ("get_weather", '{"city": "Tokyo"}'),
+        ("get_time", '{"tz": "JST"}'),
+    ]
+    assert p.parse_non_stream("no calls here") == ("no calls here", [])
+
+
+def test_kimik2_detector():
+    import json
+
+    from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+    p = FunctionCallParser("kimi_k2")
+    text = (
+        "ok<|tool_calls_section_begin|><|tool_call_begin|>functions.search:0"
+        " <|tool_call_argument_begin|>{\"q\": \"tpu\"}<|tool_call_end|>"
+        "<|tool_calls_section_end|>"
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "ok"
+    assert calls[0].name == "search"
+    assert json.loads(calls[0].parameters) == {"q": "tpu"}
+
+
+def test_glm4_moe_detector():
+    import json
+
+    from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+    p = FunctionCallParser("glm4_moe")
+    text = (
+        "sure\n<tool_call>get_weather\n"
+        "<arg_key>city</arg_key><arg_value>Beijing</arg_value>"
+        "<arg_key>days</arg_key><arg_value>3</arg_value></tool_call>"
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "sure"
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Beijing", "days": 3}
+
+
+def test_qwen3_coder_detector():
+    import json
+
+    from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+    p = FunctionCallParser("qwen3_coder")
+    text = (
+        "<tool_call>\n<function=execute_bash>\n<parameter=command>\n"
+        "pwd && ls\n</parameter>\n</function>\n</tool_call>"
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == ""
+    assert calls[0].name == "execute_bash"
+    assert json.loads(calls[0].parameters) == {"command": "pwd && ls"}
+
+
+def test_step3_detector():
+    import json
+
+    from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+    p = FunctionCallParser("step3")
+    text = (
+        "checking<｜tool_calls_begin｜><｜tool_call_begin｜>function"
+        "<｜tool_sep｜><steptml:invoke name=\"get_weather\">\n"
+        "<steptml:parameter name=\"city\">Paris</steptml:parameter>\n"
+        "<steptml:parameter name=\"n\">2</steptml:parameter>\n"
+        "</steptml:invoke><｜tool_call_end｜><｜tool_calls_end｜>"
+    )
+    normal, calls = p.parse_non_stream(text)
+    assert normal == "checking"
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].parameters) == {"city": "Paris", "n": 2}
+
+
+def test_new_detectors_streaming():
+    """Streaming chunks: text before the marker is released; the call is
+    emitted once its end token arrives."""
+    from ltp_sglang_tpu.function_call.parser import FunctionCallParser
+
+    p = FunctionCallParser("glm4_moe")
+    chunks = ["hello ", "world <tool_call>f\n<arg_key>a</arg_key>",
+              "<arg_value>1</arg_value></tool_call>"]
+    outs, calls = [], []
+    for c in chunks:
+        o, cs = p.parse_stream_chunk(c)
+        outs.append(o)
+        calls.extend(cs)
+    assert calls and calls[0].name == "f"
