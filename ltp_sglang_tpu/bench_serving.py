@@ -303,6 +303,9 @@ def run_bench_against_engine(model_path, prompts, gen_len, page_size, window,
         return asyncio.run(drive())
     finally:
         server.loop_thread.stop()
+        # Free the engine's device memory (params + KV + compiled steps):
+        # later bench sections build their own engines on the same chip.
+        eng.close()
 
 
 def main():

@@ -31,10 +31,16 @@ def moe_topk(
     e_score_bias: Optional[jnp.ndarray] = None,  # [E] noaux_tc bias (dsv3)
     valid: Optional[jnp.ndarray] = None,  # [T] bool: real (non-pad) tokens
     layer_tag: Optional[jnp.ndarray] = None,  # scalar MoE-layer id (EPLB)
+    n_group: int = 1,  # group-limited routing (dsv3/glm4_moe)
+    topk_group: int = 1,
 ):
     """Returns (weights [T, k] f32, indices [T, k] i32). Mirrors
     layers/moe/topk.py semantics. scoring="topk_softmax" selects top-k on
-    the RAW logits and softmaxes only the selected (granitemoe)."""
+    the RAW logits and softmaxes only the selected (granitemoe).
+    `n_group > 1` enables group-limited routing (reference topk.py
+    grouped_topk/biased_grouped_topk, deepseek V3 + glm4_moe): experts
+    partition into n_group groups, a group's score is the sum of its top-2
+    member scores, only the topk_group best groups stay eligible."""
     if scoring == "topk_softmax":
         top_logits, idx = jax.lax.top_k(router_logits.astype(jnp.float32), top_k)
         w = jax.nn.softmax(top_logits, axis=-1)
@@ -49,6 +55,25 @@ def moe_topk(
     else:
         scores = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     select = scores if e_score_bias is None else scores + e_score_bias
+    if n_group > 1:
+        T, E = select.shape
+        g = E // n_group
+        grouped = select.reshape(T, n_group, g)
+        if e_score_bias is not None:
+            # noaux_tc (dsv3/glm4_moe): group score = sum of top-2 members.
+            group_scores = jax.lax.top_k(grouped, min(2, g))[0].sum(axis=-1)
+        else:
+            # group_limited_greedy (dsv2): group score = best member.
+            group_scores = grouped.max(axis=-1)
+        _, gidx = jax.lax.top_k(group_scores, topk_group)  # [T, topk_group]
+        gmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (T, n_group, 1), 1)
+            == gidx[:, None, :]
+        ).any(axis=-1)  # [T, n_group]
+        emask = jnp.repeat(gmask, g, axis=1)  # [T, E]
+        # Ineligible experts score 0 (sigmoid/softmax scores are >= 0 and
+        # the bias only shifts selection, matching masked_fill(0.0)).
+        select = jnp.where(emask, select, 0.0)
     _, idx = jax.lax.top_k(select, top_k)
     w = jnp.take_along_axis(scores, idx, axis=-1)
     if norm_topk_prob:

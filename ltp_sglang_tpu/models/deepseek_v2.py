@@ -62,8 +62,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         self.scoring = hf.get("scoring_func", "softmax")
         self.routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
         self.topk_method = hf.get("topk_method", "greedy")
-        if hf.get("n_group", 1) > 1:
-            raise NotImplementedError("group-limited routing (n_group>1) TODO")
+        # Group-limited routing (reference topk.py grouped/biased topk).
+        self.n_group = int(hf.get("n_group", 1) or 1)
+        self.topk_group = int(hf.get("topk_group", 1) or 1)
         self.latent_cache = bool(hf.get("mla_latent_cache", True))
         from ltp_sglang_tpu.utils import round_up
 
@@ -633,6 +634,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             e_score_bias=bias,
             valid=None if tok_valid is None else tok_valid.reshape(-1),
             layer_tag=lp.get("moe_layer_idx"),
+            n_group=self.n_group,
+            topk_group=self.topk_group,
         )
         out = moe_ffn_auto(
             x, w, idx, lp["experts_gate"], lp["experts_up"], lp["experts_down"],

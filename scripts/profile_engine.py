@@ -37,6 +37,9 @@ def main():
 
     eng = Engine(ServerArgs(
         model_path=d, load_format="dummy", dtype="bfloat16",
+        kv_cache_dtype=os.environ.get("BENCH_KV", "fp8_e4m3"),
+        page_size=int(os.environ.get("BENCH_PAGE_SIZE", "16")),
+        decode_window_size=int(os.environ.get("BENCH_WINDOW", "32")),
         max_total_tokens=max(bs * (prompt_len + gen_len) * 2, 8192),
         max_running_requests=max(bs, 8), schedule_policy="fcfs",
     ))

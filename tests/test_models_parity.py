@@ -725,3 +725,68 @@ def test_qwen2_reward_model():
     out = eng.encode(input_ids=prompt)
     got = np.asarray(out["embedding"], dtype=np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+TINY_DEEPSEEK_V3_CFG = {
+    **{k: v for k, v in TINY_DEEPSEEK_V2_CFG.items()},
+    "architectures": ["DeepseekV3ForCausalLM"],
+    "model_type": "deepseek_v3",
+    "q_lora_rank": 48,
+    # Group-limited noaux_tc routing (HF dsv3 is always sigmoid + top-2-sum
+    # group scores + e_score_correction_bias; these keys configure OUR side
+    # to match — transformers ignores them).
+    "n_group": 4,
+    "topk_group": 2,
+    "topk_method": "noaux_tc",
+    "scoring_func": "sigmoid",
+    "norm_topk_prob": True,
+    "num_experts_per_tok": 3,
+    "routed_scaling_factor": 2.5,
+}
+
+
+def test_deepseek_v3_group_routing_parity():
+    """DeepSeek-V3 group-limited routing (n_group>1, formerly a
+    NotImplementedError): sigmoid scores, top-2-sum group selection,
+    noaux_tc bias, routed scaling — greedy parity vs HF transformers."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_dsv3_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V3_CFG)
+    # Perturb the correction bias so selection != plain sigmoid top-k.
+    import os
+
+    import safetensors.torch as st
+
+    path = os.path.join(d, "model.safetensors")
+    sd = st.load_file(path)
+    rng = np.random.default_rng(11)
+    for k in list(sd):
+        if k.endswith("e_score_correction_bias"):
+            sd[k] = torch.tensor(
+                rng.standard_normal(sd[k].shape).astype(np.float32)
+            )
+    st.save_file(sd, path)
+
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
