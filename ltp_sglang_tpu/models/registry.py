@@ -52,6 +52,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "GraniteForCausalLM": ("ltp_sglang_tpu.models.granite", "GraniteForCausalLM"),
     "CohereForCausalLM": ("ltp_sglang_tpu.models.cohere", "CohereForCausalLM"),
     "GlmForCausalLM": ("ltp_sglang_tpu.models.glm4", "GlmForCausalLM"),
+    "Glm4MoeForCausalLM": ("ltp_sglang_tpu.models.glm4_moe", "Glm4MoeForCausalLM"),
     "Glm4ForCausalLM": ("ltp_sglang_tpu.models.glm4", "Glm4ForCausalLM"),
     "SmolLM3ForCausalLM": ("ltp_sglang_tpu.models.smollm3", "SmolLM3ForCausalLM"),
     "NemotronForCausalLM": (

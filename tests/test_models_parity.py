@@ -790,3 +790,91 @@ def test_deepseek_v3_group_routing_parity():
         sampling_params={"max_new_tokens": 12, "temperature": 0.0},
     )
     assert out["output_ids"] == ref, (out["output_ids"], ref)
+
+
+TINY_GLM4_MOE_CFG = {
+    "architectures": ["Glm4MoeForCausalLM"],
+    "model_type": "glm4_moe",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "moe_intermediate_size": 64,
+    "num_hidden_layers": 3,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "attention_bias": True,
+    "use_qk_norm": True,
+    "partial_rotary_factor": 0.5,
+    "first_k_dense_replace": 1,
+    "n_routed_experts": 8,
+    "n_shared_experts": 1,
+    "num_experts_per_tok": 3,
+    "n_group": 2,
+    "topk_group": 1,
+    "norm_topk_prob": True,
+    "routed_scaling_factor": 1.5,
+    "torch_dtype": "float32",
+}
+
+
+def test_glm4_moe_greedy_parity():
+    """GLM-4.5 MoE family: GQA + qk-norm + partial rotary + sigmoid
+    group-limited noaux routing + shared experts, vs HF transformers."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_glm4moe_")
+    write_tiny_model_dir(d, cfg=TINY_GLM4_MOE_CFG)
+    # Random correction bias so group-limited selection is exercised.
+    import os
+
+    import safetensors.torch as st
+
+    path = os.path.join(d, "model.safetensors")
+    sd = st.load_file(path)
+    rng = np.random.default_rng(13)
+    for k in list(sd):
+        if k.endswith("e_score_correction_bias"):
+            sd[k] = torch.tensor(
+                rng.standard_normal(sd[k].shape).astype(np.float32)
+            )
+    st.save_file(sd, path)
+
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
+
+    # EP mesh invariance: same outputs under tp=4 expert sharding.
+    eng4 = Engine(ServerArgs(
+        model_path=d, dtype="float32", tp_size=4, max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out4 = eng4.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert out4["output_ids"] == ref
