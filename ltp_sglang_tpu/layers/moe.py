@@ -134,8 +134,11 @@ def moe_ffn(
     gate_w: jnp.ndarray,  # [Eloc, Dm, I] (array or quantized leaf dict)
     up_w: jnp.ndarray,  # [Eloc, Dm, I]
     down_w: jnp.ndarray,  # [Eloc, I, Dm]
+    scale_input: bool = False,
 ) -> jnp.ndarray:
-    """Dropless grouped-GEMM expert computation."""
+    """Dropless grouped-GEMM expert computation. `scale_input` applies the
+    routing weight to the expert INPUT instead of the output (llama4: the
+    expert is nonlinear, so pre- and post-scaling differ)."""
     T, Dm = x.shape
     k = indices.shape[1]
     E = expert_count(gate_w)
@@ -144,6 +147,9 @@ def moe_ffn(
     order = jnp.argsort(flat_exp)  # stable enough (ties keep relative order)
     token_idx = order // k  # source token of each sorted slot
     x_sorted = x[token_idx]  # [T*k, Dm]
+    if scale_input:
+        x_sorted = x_sorted * weights.reshape(-1)[order][:, None].astype(x.dtype)
+        weights = jnp.ones_like(weights)
     # bincount lowers to scatter-add (TPU compile tarpit); compare-reduce
     # instead: [E, T*k] bool -> row sums.
     group_sizes = (
@@ -273,7 +279,7 @@ def _a2a_rows(rows, src_offsets, src_sizes, dst_offsets, dst_sizes, out_cap,
     )
 
 
-def _ep_dispatch(x_, idx_, Eloc: int, axis: str, ep: int):
+def _ep_dispatch(x_, idx_, Eloc: int, axis: str, ep: int, pair_scale=None):
     """Phase 1 (DeepEP dispatch_a/b analog): route local pairs to expert
     owners. Returns (x_recv [C, Dm], local_ids_recv [C], plan); C = ep * P
     covers the worst case (every global pair routed here). Pad rows carry
@@ -284,6 +290,10 @@ def _ep_dispatch(x_, idx_, Eloc: int, axis: str, ep: int):
     dest = flat // Eloc
     plan = _ep_make_plan(dest, ep, axis)
     x_send = x_[plan.order // idx_.shape[1]]
+    if pair_scale is not None:  # llama4 input-scaled routing
+        x_send = x_send * pair_scale.reshape(-1)[plan.order][:, None].astype(
+            x_send.dtype
+        )
     ids_send = (flat - dest * Eloc)[plan.order]
     x_recv = _a2a_rows(
         x_send, plan.input_offsets, plan.send_sizes, plan.fwd_out_offsets,
@@ -336,6 +346,7 @@ def moe_ffn_ep_a2a(
     axis: str = "tp",
     return_stats: bool = False,
     tbo: bool = False,
+    scale_input: bool = False,
 ):
     """Expert-parallel MoE FFN with real token all-to-all (DeepEP analog,
     layers/moe/token_dispatcher/deepep.py:262-494 / ep_moe/layer.py:63).
@@ -365,7 +376,16 @@ def moe_ffn_ep_a2a(
 
     def one_microbatch(x_, w_, idx_, gw, uw, dw):
         Eloc = expert_count(gw)
-        x_recv, ids_recv, plan = _ep_dispatch(x_, idx_, Eloc, axis, ep)
+        if scale_input:
+            # llama4 input-scaled routing: each dispatched pair row carries
+            # w * x and the combine weight becomes 1 (pre-scaling a
+            # nonlinear expert is not equivalent to post-scaling).
+            x_recv, ids_recv, plan = _ep_dispatch(
+                x_, idx_, Eloc, axis, ep, pair_scale=w_
+            )
+            w_ = jnp.ones_like(w_)
+        else:
+            x_recv, ids_recv, plan = _ep_dispatch(x_, idx_, Eloc, axis, ep)
         out_rows = _ep_experts(x_recv, ids_recv, gw, uw, dw)
         ret = _a2a_rows(
             out_rows, plan.recv_offsets, plan.recv_sizes, plan.rev_out_offsets,
@@ -476,7 +496,7 @@ def moe_ffn_ep(
 
 def moe_ffn_auto(
     x, weights, indices, gate_w, up_w, down_w, mesh_ctx=None, axis: str = "tp",
-    expert_perm=None, tbo: bool = False,
+    expert_perm=None, tbo: bool = False, scale_input: bool = False,
 ):
     """Pick EP (shard_map over the tp axis) on multi-device pure-TP meshes
     whose expert count divides; otherwise the single-program grouped GEMM.
@@ -512,6 +532,7 @@ def moe_ffn_auto(
             )
         return moe_ffn_ep_a2a(
             x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis,
-            tbo=tbo,
+            tbo=tbo, scale_input=scale_input,
         )
-    return moe_ffn(x, weights, indices, gate_w, up_w, down_w)
+    return moe_ffn(x, weights, indices, gate_w, up_w, down_w,
+                   scale_input=scale_input)

@@ -28,6 +28,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2MoeForCausalLM": ("ltp_sglang_tpu.models.qwen2_moe", "Qwen2MoeForCausalLM"),
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("ltp_sglang_tpu.models.mixtral", "MixtralForCausalLM"),
+    "Llama4ForCausalLM": ("ltp_sglang_tpu.models.llama4", "Llama4ForCausalLM"),
     "DeepseekV2ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Phi3ForCausalLM": ("ltp_sglang_tpu.models.phi3", "Phi3ForCausalLM"),

@@ -34,6 +34,7 @@ def ref_paged_attention(
     sliding_window: int = 0,  # 0 = disabled
     tree_mask: jnp.ndarray = None,  # [B, E, E] bool: spec-tree visibility
     alibi_slopes: jnp.ndarray = None,  # [Hq] f32 (bloom/mpt); bias slope·k_pos
+    chunk_size=None,  # llama4 chunked attention: same pos//chunk only; 0/None off
 ) -> jnp.ndarray:  # [B, E, Hq, Dv]
     # NOTE the caller gathers pages with a SINGLE fused indexing expression
     # `cache[layer, kv_indices]` — slicing the layer first (`cache[layer]`)
@@ -91,6 +92,15 @@ def ref_paged_attention(
     )  # traced per-layer windows (gemma2) always apply the term
     if apply_window:
         mask = mask & (kv_pos[:, None, :] > q_pos[:, :, None] - sliding_window)
+    if chunk_size is not None and not (
+        isinstance(chunk_size, int) and chunk_size == 0
+    ):
+        # llama4 chunked attention (layer_types "chunked_attention"): a query
+        # sees only keys in its own position chunk. Traced per-layer chunk:
+        # 0 disables via the where.
+        c = jnp.maximum(chunk_size, 1)
+        same = (kv_pos[:, None, :] // c) == (q_pos[:, :, None] // c)
+        mask = mask & jnp.where(chunk_size > 0, same, True)
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
 
     # Manual safe softmax: fully-masked (padded) rows get probability 0

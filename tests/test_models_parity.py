@@ -878,3 +878,70 @@ def test_glm4_moe_greedy_parity():
         sampling_params={"max_new_tokens": 12, "temperature": 0.0},
     )
     assert out4["output_ids"] == ref
+
+
+def _llama4_cfg(**kw):
+    base = {
+        "architectures": ["Llama4ForCausalLM"],
+        "model_type": "llama4_text",
+        "hidden_size": 128,
+        "intermediate_size": 64,
+        "intermediate_size_mlp": 256,
+        "num_hidden_layers": 4,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "head_dim": 32,
+        "vocab_size": 512,
+        "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": False,
+        "eos_token_id": 2,
+        "num_local_experts": 4,
+        "num_experts_per_tok": 2,
+        "use_qk_norm": True,
+        "attn_temperature_tuning": True,
+        "floor_scale": 16.0,
+        "attn_scale": 0.1,
+        "attention_chunk_size": 16,
+        "attention_bias": False,
+        "torch_dtype": "float32",
+    }
+    base.update(kw)
+    return base
+
+
+@pytest.mark.parametrize("step", [1, 2])
+def test_llama4_greedy_parity(step):
+    """Llama-4 text (Scout step=1 all-MoE / Maverick step=2 interleaved):
+    interleaved NoPE + chunked attention + L2 qk norm + temperature tuning +
+    input-scaled sigmoid routing + shared experts, vs HF transformers. The
+    16-token chunk with a 40-token prompt exercises the chunk mask."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix=f"tiny_llama4_s{step}_")
+    write_tiny_model_dir(d, cfg=_llama4_cfg(interleave_moe_layer_step=step))
+
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(3, 500, size=40)]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (step, out["output_ids"], ref)
