@@ -48,6 +48,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2VLForConditionalGeneration": (
         "ltp_sglang_tpu.models.qwen2_5_vl", "Qwen2VLForConditionalGeneration"
     ),
+    "Qwen2AudioForConditionalGeneration": (
+        "ltp_sglang_tpu.models.qwen2_audio", "Qwen2AudioForConditionalGeneration"
+    ),
     "OlmoForCausalLM": ("ltp_sglang_tpu.models.olmo", "OlmoForCausalLM"),
     "Olmo2ForCausalLM": ("ltp_sglang_tpu.models.olmo", "Olmo2ForCausalLM"),
     "GraniteForCausalLM": ("ltp_sglang_tpu.models.granite", "GraniteForCausalLM"),

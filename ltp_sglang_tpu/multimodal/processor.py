@@ -114,12 +114,45 @@ def hash_feature(feature: np.ndarray) -> int:
     )
 
 
+class WhisperMelPreprocessor:
+    """Audio -> fixed 30 s log-mel windows (Qwen2-Audio's front end).
+
+    Wraps transformers' WhisperFeatureExtractor (pure numpy: hann STFT +
+    slaney mel filterbank + log compression) so our mels are bit-equal to
+    the HF pipeline's; accepts raw waveform arrays (float, 16 kHz)."""
+
+    def __init__(self, n_mel: int = 128, n_frames: int = 3000,
+                 sampling_rate: int = 16000):
+        from transformers import WhisperFeatureExtractor
+
+        # frames = chunk_length * sampling_rate / hop(160) = chunk * 100.
+        self.fe = WhisperFeatureExtractor(
+            feature_size=n_mel, sampling_rate=sampling_rate,
+            chunk_length=max(1, n_frames // 100),
+        )
+        self.sampling_rate = sampling_rate
+
+    def __call__(self, audio) -> np.ndarray:
+        wav = np.asarray(audio, np.float32).reshape(-1)
+        out = self.fe(
+            wav, sampling_rate=self.sampling_rate, return_tensors="np",
+            padding="max_length",
+        )
+        return out["input_features"][0]  # [n_mel, 3000]
+
+
 class MultimodalProcessor:
     def __init__(self, model, model_dir: str, vocab_size: int):
         self.model = model
         self.vocab_size = vocab_size
         self.image_token_index = model.image_token_index
         self.num_image_tokens = model.num_image_tokens
+        self.audio_modality = bool(getattr(model, "audio_modality", False))
+        if self.audio_modality:
+            self.audio_preprocessor = WhisperMelPreprocessor(
+                n_mel=getattr(model, "n_mel", 128),
+                n_frames=2 * getattr(model, "max_source_positions", 1500),
+            )
         self.preprocessor = ClipImagePreprocessor.from_model_dir(model_dir)
         # Fixed-resolution VLMs (qwen-vl family here): every image resizes
         # to one square so the vision tower's window partition / grids stay
@@ -147,7 +180,10 @@ class MultimodalProcessor:
             if tok != self.image_token_index:
                 out.append(tok)
                 continue
-            feature = self.preprocessor(load_image(images[img_i]))
+            if self.audio_modality:
+                feature = self.audio_preprocessor(images[img_i])
+            else:
+                feature = self.preprocessor(load_image(images[img_i]))
             pad = self.vocab_size + hash_feature(feature) % (1 << 30)
             items.append(MultimodalItem(
                 offset=len(out), length=self.num_image_tokens,

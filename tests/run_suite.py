@@ -78,6 +78,7 @@ AUX = [
     ("test_qwen_vl.py", 30),
     ("test_gemma3_vlm.py", 30),
     ("test_service_discovery.py", 10),
+    ("test_qwen2_audio.py", 20),
 ]
 
 SUITES = {
