@@ -728,10 +728,13 @@ class LlamaForCausalLM:
             return (h, wk, wv), None
 
         L = cfg.num_layers
+        import os as _os
+
         (hidden, win_k, win_v), _ = jax.lax.scan(
             layer_body,
             (hidden, win_k, win_v),
             (layers, jnp.arange(L, dtype=jnp.int32), k_pages, v_pages),
+            unroll=int(_os.environ.get("LTP_SCAN_UNROLL", "1")),
         )
         hidden = self.norm(hidden, params["norm"])
         if self.tie_word_embeddings:

@@ -1,11 +1,15 @@
 """Profile the engine decode loop (bf16 or BENCH_QUANT=awq) with op stats."""
 
+import faulthandler
 import glob
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
+
+faulthandler.register(signal.SIGUSR1)
 
 sys.path.insert(0, "/root/repo")
 

@@ -19,12 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from bench import LLAMA_1B_CFG
+from bench import LLAMA_1B_CFG, LLAMA_3B_CFG
 
 
 def main():
     quant = os.environ.get("PROF_QUANT")
-    cfg = dict(LLAMA_1B_CFG)
+    cfg = dict(
+        LLAMA_3B_CFG
+        if os.environ.get("BENCH_MODEL", "llama3b") == "llama3b"
+        else LLAMA_1B_CFG
+    )
     if quant:
         cfg["quantization_config"] = {
             "quant_method": quant, "bits": 4, "group_size": 128,
@@ -45,6 +49,7 @@ def main():
         max_total_tokens=max(bs * (prompt_len + gen_len) * 2, 8192),
         max_running_requests=max(bs, 8),
         schedule_policy="fcfs", decode_window_size=window,
+        kv_cache_dtype=os.environ.get("BENCH_KV", "fp8_e4m3"),
     )
     eng = Engine(args)
     sched = eng.scheduler
