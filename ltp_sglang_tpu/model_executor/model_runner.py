@@ -377,6 +377,21 @@ class ModelRunner:
             self.model.mla_kernel_page_size = P_sz
             logger.info("MLA latent decode: Pallas kernel enabled (P=%d)", P_sz)
 
+        # SWA ring decode kernel (ops/attention/pallas_swa_decode.py):
+        # gemma-family sliding layers stream their contiguous ring region in
+        # Pallas (logit cap in-kernel) on E==1 steps instead of the XLA
+        # region gather. Same single-device + row-alignment gates as the
+        # mainline kernel.
+        if (
+            (backend == "tpu" or _os.environ.get("LTP_FORCE_PAGED_ATTN") == "1")
+            and getattr(self.model, "swa_pool_capable", False)
+            and (self.mesh_ctx is None or self.mesh_ctx.is_single_device)
+            and (model_config.num_kv_heads * model_config.head_dim)
+            % (128 * max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)) == 0
+        ):
+            self.model.swa_ring_kernel = True
+            logger.info("SWA ring decode: Pallas kernel enabled")
+
         self.load_model()
         self.init_memory_pool()
         # LoRA adapters (lora/lora_manager.py); id 0 = no adapter.

@@ -203,6 +203,79 @@ class Gemma2ForCausalLM(LlamaForCausalLM):
             k_st, v_st, q_att, vsc = self._kv_quantize(
                 lp, kc.dtype, k.reshape(-1, Hkv, D), v.reshape(-1, Hkv, D), q
             )
+            use_ring_kernel = (
+                use_swa and E == 1 and mm_bidir is None
+                and getattr(self, "swa_ring_kernel", False)
+            )
+            if use_ring_kernel:
+                # Decode fast path: SWA layers stream their contiguous ring
+                # region through the Pallas ring kernel (logit cap applied
+                # in-kernel) instead of the whole-region XLA gather
+                # (ops/attention/pallas_swa_decode.py). Attention moves
+                # INSIDE the cond so both branches return the attn output.
+                from ltp_sglang_tpu.ops.attention.pallas_swa_decode import (
+                    ring_decode_attention,
+                )
+
+                def swa_branch(kc, vc, ks, vs):
+                    ks, vs = self.kv_write(
+                        ks, vs, li_sub, ring_locs, k_st, v_st,
+                        jnp.asarray(B * E, jnp.int32),
+                    )
+                    attn = ring_decode_attention(
+                        q_att[:, 0], ks, vs, li_sub, step.req_rows,
+                        step.seq_lens,
+                        ring=int(self.swa_pool["ring"]),
+                        window=int(self.sw_size),
+                        num_kv_heads=Hkv, sm_scale=self.sm_scale,
+                        logit_cap=float(self.attn_logit_softcap or 0.0),
+                    )[:, None]  # [B, 1, Hq, D]
+                    return kc, vc, ks, vs, attn.astype(q_att.dtype)
+
+                def full_branch(kc, vc, ks, vs):
+                    kc, vc = self.kv_write(
+                        kc, vc, li_sub, cache_locs_flat, k_st, v_st,
+                        jnp.asarray(B * E, jnp.int32),
+                    )
+                    kp = kc[li_sub, step.kv_indices].reshape(B, -1, Hkv, D)
+                    vp = vc[li_sub, step.kv_indices].reshape(B, -1, Hkv, D)
+                    if vsc is not None:
+                        kp = kp.astype(q_att.dtype)
+                        vp = vp.astype(q_att.dtype)
+                    attn = self.attn_impl(
+                        q_att, kp, vp, step.kv_indices, step.seq_lens,
+                        step.prefix_lens, self.sm_scale,
+                        logit_cap=self.attn_logit_softcap,
+                        sliding_window=0,
+                    )
+                    return kc, vc, ks, vs, attn.astype(q_att.dtype)
+
+                kc, vc, ks, vs, attn_out = jax.lax.cond(
+                    layer_is_swa, swa_branch, full_branch, kc, vc, ks, vs
+                )
+                if vsc is not None:
+                    attn_out = (
+                        attn_out.astype(jnp.float32) * vsc
+                    ).astype(h.dtype)
+                attn_out = lin("o_proj", attn_out.reshape(B, E, Hq * D))
+                attn_out = rms_norm(
+                    attn_out, lp["post_attention_layernorm"], self.rms_eps,
+                    gemma_style=True,
+                )
+                h = h + attn_out
+                normed = rms_norm(
+                    h, lp["pre_feedforward_layernorm"], self.rms_eps,
+                    gemma_style=True,
+                )
+                gate = lin("gate_proj", normed)
+                up = lin("up_proj", normed)
+                mlp = lin("down_proj", jax.nn.gelu(gate, approximate=True) * up)
+                mlp = rms_norm(
+                    mlp, lp["post_feedforward_layernorm"], self.rms_eps,
+                    gemma_style=True,
+                )
+                h = h + mlp
+                return (h, kc, vc, ks, vs), None
             if use_swa:
                 def swa_branch(kc, vc, ks, vs):
                     ks, vs = self.kv_write(

@@ -51,6 +51,7 @@ def _decode_kernel(
     page_size: int,
     pages_per_chunk: int,
     num_kv_heads: int,
+    logit_cap: float = 0.0,
 ):
     b = pl.program_id(0)
     li = li_ref[0]
@@ -166,6 +167,8 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # [Hq, rows]
+        if logit_cap > 0.0:  # gemma2 attn_logit_softcapping, in-kernel
+            scores = logit_cap * jnp.tanh(scores / logit_cap)
         row_pos = c * rows_per_chunk + jax.lax.broadcasted_iota(
             jnp.int32, (Hq, rows_per_chunk), 1
         )
@@ -200,7 +203,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("page_size", "pages_per_chunk", "num_kv_heads", "sm_scale"),
+    static_argnames=("page_size", "pages_per_chunk", "num_kv_heads", "sm_scale",
+                     "logit_cap"),
 )
 def paged_decode_attention(
     q,  # [B, Hq, D]
@@ -214,6 +218,7 @@ def paged_decode_attention(
     num_kv_heads: int,
     sm_scale: float,
     pages_per_chunk: int = 8,
+    logit_cap: float = 0.0,
 ):
     B, Hq, D = q.shape
     r, ln = k_cache.shape[2], k_cache.shape[3]
@@ -248,6 +253,7 @@ def paged_decode_attention(
             page_size=page_size,
             pages_per_chunk=Pc,
             num_kv_heads=num_kv_heads,
+            logit_cap=float(logit_cap),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),

@@ -182,3 +182,102 @@ def test_deepseek_mla_paged_window_parity(monkeypatch):
     out = paged.generate(input_ids=prompts, sampling_params=sp)
     ref = base.generate(input_ids=prompts, sampling_params=sp)
     assert [o["output_ids"] for o in out] == [o["output_ids"] for o in ref]
+
+
+def test_ring_kernel_matches_reference():
+    """SWA ring decode kernel (ops/attention/pallas_swa_decode.py) vs the
+    reference masked path: wraparound (seq > ring), window < ring, and the
+    gemma2 logit softcap in-kernel."""
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.ops.attention.pallas_swa_decode import (
+        ring_decode_attention,
+    )
+    from ltp_sglang_tpu.ops.attention.reference import ref_paged_attention
+
+    L, ring, window = 2, 64, 48
+    Hkv, D, Hq, B = 4, 32, 8, 3
+    r, ln = (Hkv * D) // 128, 128
+    n_rings = 5
+    rng = np.random.default_rng(4)
+    ks = jnp.asarray(rng.standard_normal((L, n_rings * ring, r, ln)), jnp.float32)
+    vs = jnp.asarray(rng.standard_normal((L, n_rings * ring, r, ln)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    req_rows = np.array([0, 2, 3], np.int32)
+    seq = np.array([150, 40, 64], np.int32)  # wrapped, short, exactly ring
+    cap = 30.0
+    out = ring_decode_attention(
+        q, ks, vs, 1, jnp.asarray(req_rows), jnp.asarray(seq),
+        ring=ring, window=window, num_kv_heads=Hkv, sm_scale=0.2,
+        logit_cap=cap,
+    )
+    # Reference: materialize each request's ring as position-ordered K/V of
+    # the last min(seq, window) positions.
+    for b in range(B):
+        s = int(seq[b])
+        lo = max(0, s - window)
+        poss = np.arange(lo, s)
+        slots = req_rows[b] * ring + (poss % ring)
+        kg = np.asarray(ks[1, slots]).reshape(1, -1, Hkv, D)
+        vg = np.asarray(vs[1, slots]).reshape(1, -1, Hkv, D)
+        ref = ref_paged_attention(
+            q[b : b + 1, None], jnp.asarray(kg), jnp.asarray(vg),
+            jnp.zeros((1, len(poss)), jnp.int32),
+            jnp.asarray([len(poss)], jnp.int32),
+            jnp.asarray([len(poss) - 1], jnp.int32),
+            0.2, logit_cap=cap,
+        )[0, 0]
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), atol=2e-2,
+        )
+
+
+def test_gemma2_swa_ring_kernel_parity(monkeypatch):
+    """Gemma2 hybrid pool decode through the ring kernel (E==1 branch in
+    models/gemma2.py) vs the default gather engine — greedy parity across a
+    ring wraparound with the logit softcap active."""
+    monkeypatch.setenv("LTP_FORCE_PAGED_ATTN", "1")
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    cfg = {
+        "architectures": ["Gemma2ForCausalLM"],
+        "model_type": "gemma2",
+        "hidden_size": 128,
+        "intermediate_size": 256,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 4,   # Hkv*D = 128: kernel row alignment
+        "head_dim": 32,
+        "vocab_size": 512,
+        "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": True,
+        "eos_token_id": 2,
+        "attn_logit_softcapping": 50.0,
+        "final_logit_softcapping": 30.0,
+        "query_pre_attn_scalar": 32,
+        "sliding_window": 16,
+        "hidden_activation": "gelu_pytorch_tanh",
+        "torch_dtype": "float32",
+    }
+    d = tempfile.mkdtemp(prefix="ring_gemma2_")
+    write_tiny_model_dir(d, cfg=cfg)
+    common = dict(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=4,
+    )
+    kern = Engine(ServerArgs(**common))
+    assert getattr(kern.model_runner.model, "swa_ring_kernel", False)
+    base_args = ServerArgs(**common)
+    import os as _os
+
+    _os.environ.pop("LTP_FORCE_PAGED_ATTN")
+    base = Engine(base_args)
+    assert not getattr(base.model_runner.model, "swa_ring_kernel", False)
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8, 11, 13]]
+    sp = {"max_new_tokens": 40, "temperature": 0.0, "ignore_eos": True}
+    out = kern.generate(input_ids=prompts, sampling_params=sp)
+    ref = base.generate(input_ids=prompts, sampling_params=sp)
+    assert [o["output_ids"] for o in out] == [o["output_ids"] for o in ref]
