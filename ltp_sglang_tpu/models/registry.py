@@ -51,6 +51,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2AudioForConditionalGeneration": (
         "ltp_sglang_tpu.models.qwen2_audio", "Qwen2AudioForConditionalGeneration"
     ),
+    "InternVLForConditionalGeneration": (
+        "ltp_sglang_tpu.models.internvl", "InternVLForConditionalGeneration"
+    ),
     "OlmoForCausalLM": ("ltp_sglang_tpu.models.olmo", "OlmoForCausalLM"),
     "Olmo2ForCausalLM": ("ltp_sglang_tpu.models.olmo", "Olmo2ForCausalLM"),
     "GraniteForCausalLM": ("ltp_sglang_tpu.models.granite", "GraniteForCausalLM"),

@@ -79,6 +79,7 @@ AUX = [
     ("test_gemma3_vlm.py", 30),
     ("test_service_discovery.py", 10),
     ("test_qwen2_audio.py", 20),
+    ("test_internvl.py", 15),
 ]
 
 SUITES = {
