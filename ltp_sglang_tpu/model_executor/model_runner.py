@@ -382,12 +382,16 @@ class ModelRunner:
         # Pallas (logit cap in-kernel) on E==1 steps instead of the XLA
         # region gather. Same single-device + row-alignment gates as the
         # mainline kernel.
+        _r_sub = model_config.num_kv_heads * model_config.head_dim // 128
         if (
             (backend == "tpu" or _os.environ.get("LTP_FORCE_PAGED_ATTN") == "1")
             and getattr(self.model, "swa_pool_capable", False)
             and (self.mesh_ctx is None or self.mesh_ctx.is_single_device)
             and (model_config.num_kv_heads * model_config.head_dim)
             % (128 * max(1, 4 // jnp.dtype(self.kv_dtype).itemsize)) == 0
+            # Mosaic HBM slices need the [r, 128] sublane count to divide or
+            # be a multiple of the 8-sublane tile (deepseek_v2._sublane_legal).
+            and (_r_sub in (1, 2, 4) or _r_sub % 8 == 0)
         ):
             self.model.swa_ring_kernel = True
             logger.info("SWA ring decode: Pallas kernel enabled")

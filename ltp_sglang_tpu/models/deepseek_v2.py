@@ -94,6 +94,18 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
     # v_cache holds a minimal dummy row (V is the latent slice of K).
     # MHA mode (model_override_args {"mla_latent_cache": false}) keeps
     # materialized per-head K/V rows.
+    @staticmethod
+    def _sublane_legal(row: int) -> int:
+        """Mosaic DMA can slice an HBM [.., r, 128] block only when r is a
+        divisor or multiple of the 8-sublane tile (observed on v5e: r=6
+        fails 'slice must be aligned to tiling (8)'; r in {1,2,4,8,16,...}
+        work). XLA pads the minor-2 dim to the tile in HBM anyway, so
+        rounding the row up costs no extra memory."""
+        r = row // 128
+        if r in (1, 2, 4) or r % 8 == 0:
+            return row
+        return ((r + 7) // 8 * 8) * 128
+
     def kv_row_elems(self):
         H = self.config.num_attention_heads
         if self.latent_cache:
@@ -109,6 +121,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 self.latent_k_row = round_up(
                     self.kv_lora_rank + self.qk_rope, 128 * tp
                 )
+            self.latent_k_row = self._sublane_legal(self.latent_k_row)
             return self.latent_k_row, 128
         return H * self.qk_head_dim, H * self.v_head_dim
 
