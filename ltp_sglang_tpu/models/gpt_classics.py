@@ -861,3 +861,107 @@ class MptForCausalLM(ClassicBase):
             "layers": layers,
             "norm": self._ln1(weights, "transformer.norm_f"),
         }
+
+
+class PersimmonForCausalLM(ClassicBase):
+    """Persimmon (Adept 8B lineage): per-head-packed fused query_key_value
+    (all biased), per-head LayerNorm q/k norms applied BEFORE rope, partial
+    neox rotary (partial_rotary_factor 0.5), relu^2 dense MLP, LN pre-norms
+    with bias, untied head. Verified against HF modeling_persimmon.py."""
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        hf = config.hf_config
+        self.norm_eps = hf.get("layer_norm_eps", 1e-5)
+        self.rotary_dim = int(
+            config.head_dim * hf.get("partial_rotary_factor", 0.5)
+        )
+        self.cos_sin_cache = build_cos_sin_cache(
+            config.head_dim, config.context_len, base=self.rope_theta,
+            rotary_dim=self.rotary_dim, rope_scaling=self.rope_scaling,
+        )
+        if hf.get("qk_layernorm", True):
+            def qk_ln(x, leaf):
+                return _layer_norm(x, leaf["w"], leaf["b"], self.norm_eps)
+
+            self.qk_norm_fn = qk_ln
+
+    def mlp(self, lp, normed, tok_valid=None):
+        h = apply_linear(lp["dense_h_to_4h"], normed)
+        h = jnp.square(jax.nn.relu(h.astype(jnp.float32))).astype(normed.dtype)
+        return apply_linear(lp["dense_4h_to_h"], h)
+
+    def layer_schema(self):
+        cfg = self.config
+        Dm, I = cfg.hidden_size, cfg.intermediate_size
+        HqD = cfg.num_attention_heads * cfg.head_dim
+        return {
+            "input_layernorm": ("ln",),
+            "post_attention_layernorm": ("ln",),
+            "q_proj": ("lin", Dm, HqD, True),
+            "k_proj": ("lin", Dm, HqD, True),
+            "v_proj": ("lin", Dm, HqD, True),
+            "o_proj": ("lin", HqD, Dm, True),
+            "dense_h_to_4h": ("lin", Dm, I, True),
+            "dense_4h_to_h": ("lin", I, Dm, True),
+        }
+
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        params = super().init_params(seed)
+        if self.qk_norm_fn is not None:
+            L, D = self.config.num_layers, self.config.head_dim
+            for nm in ("q_norm", "k_norm"):
+                params["layers"][nm] = {
+                    "w": jnp.ones((L, D), self.dtype),
+                    "b": jnp.zeros((L, D), self.dtype),
+                }
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        specs = super().param_specs()
+        if self.qk_norm_fn is not None:
+            for nm in ("q_norm", "k_norm"):
+                specs["layers"][nm] = {"w": P(None, None), "b": P(None, None)}
+        return specs
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        cfg = self.config
+        L, H, D = cfg.num_layers, cfg.num_attention_heads, cfg.head_dim
+        qkv = GPTNeoXForCausalLM._split_headpacked(
+            self, weights, "model.layers.{}.self_attn.query_key_value", L, H, D
+        )
+        layers = {
+            "input_layernorm": self._stack_ln(
+                weights, "model.layers.{}.input_layernorm", L),
+            "post_attention_layernorm": self._stack_ln(
+                weights, "model.layers.{}.post_attention_layernorm", L),
+            "q_proj": qkv["q"],
+            "k_proj": qkv["k"],
+            "v_proj": qkv["v"],
+            "o_proj": self._stack_lin(
+                weights, "model.layers.{}.self_attn.dense", L),
+            "dense_h_to_4h": self._stack_lin(
+                weights, "model.layers.{}.mlp.dense_h_to_4h", L),
+            "dense_4h_to_h": self._stack_lin(
+                weights, "model.layers.{}.mlp.dense_4h_to_h", L),
+        }
+        if self.qk_norm_fn is not None:
+            for nm, src in (("q_norm", "q_layernorm"), ("k_norm", "k_layernorm")):
+                layers[nm] = {
+                    "w": jnp.asarray(np.stack([
+                        self._get(weights, f"model.layers.{i}.self_attn.{src}.weight")
+                        for i in range(L)
+                    ]), self.dtype),
+                    "b": jnp.asarray(np.stack([
+                        self._get(weights, f"model.layers.{i}.self_attn.{src}.bias")
+                        for i in range(L)
+                    ]), self.dtype),
+                }
+        return {
+            "embed": {"weight": jnp.asarray(self._get(
+                weights, "model.embed_tokens.weight"), self.dtype)},
+            "layers": layers,
+            "norm": self._ln1(weights, "model.final_layernorm"),
+            "lm_head": {"kernel": jnp.asarray(
+                self._get(weights, "lm_head.weight").T, self.dtype)},
+        }

@@ -88,6 +88,10 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
         "ltp_sglang_tpu.models.gpt_classics", "GPTBigCodeForCausalLM"
     ),
     "MptForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
+    "PersimmonForCausalLM": (
+        "ltp_sglang_tpu.models.gpt_classics", "PersimmonForCausalLM"
+    ),
+    "ApertusForCausalLM": ("ltp_sglang_tpu.models.apertus", "ApertusForCausalLM"),
     "MPTForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
     "OlmoeForCausalLM": ("ltp_sglang_tpu.models.olmoe", "OlmoeForCausalLM"),
     "Olmo3ForCausalLM": ("ltp_sglang_tpu.models.olmo3", "Olmo3ForCausalLM"),

@@ -945,3 +945,105 @@ def test_llama4_greedy_parity(step):
         sampling_params={"max_new_tokens": 12, "temperature": 0.0},
     )
     assert out["output_ids"] == ref, (step, out["output_ids"], ref)
+
+
+TINY_APERTUS_CFG = {
+    "architectures": ["ApertusForCausalLM"],
+    "model_type": "apertus",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 32,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "attention_bias": False,
+    "hidden_act": "xielu",
+    "torch_dtype": "float32",
+}
+
+
+def test_apertus_greedy_parity():
+    """Apertus: per-head qk RMS norms + learnable xIELU non-gated MLP."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_apertus_")
+    write_tiny_model_dir(d, cfg=TINY_APERTUS_CFG)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
+
+
+TINY_PERSIMMON_CFG = {
+    "architectures": ["PersimmonForCausalLM"],
+    "model_type": "persimmon",
+    "hidden_size": 128,
+    "intermediate_size": 256,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "vocab_size": 512,
+    "max_position_embeddings": 512,
+    "layer_norm_eps": 1e-5,
+    "rope_theta": 25000.0,
+    "partial_rotary_factor": 0.5,
+    "qk_layernorm": True,
+    "hidden_act": "relu2",
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "hidden_dropout": 0.0,
+    "attention_dropout": 0.0,
+    "torch_dtype": "float32",
+}
+
+
+def test_persimmon_greedy_parity():
+    """Persimmon: per-head-packed fused qkv with per-head qk LayerNorms,
+    partial rotary, relu^2 MLP, LN pre-norms."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_persimmon_")
+    write_tiny_model_dir(d, cfg=TINY_PERSIMMON_CFG)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
