@@ -313,3 +313,39 @@ class Glm4MoeForCausalLM(DeepseekV2ForCausalLM):
             attn = (attn.astype(jnp.float32) * vsc).astype(h.dtype)
         out = apply_linear(lp["o_proj"], attn.reshape(B, E, Hq * D))
         return h + out, kc, vc
+
+
+class Ernie4_5_MoeForCausalLM(Glm4MoeForCausalLM):
+    """ERNIE 4.5 MoE (Baidu). Verified against HF modeling_ernie4_5_moe.py:
+    llama attention (full rotary, optional use_bias), deepseek-style MoE with
+    a selection-only correction bias (mlp.moe_statics.e_score_correction_bias)
+    over SOFTMAX scores, normalized gathered weights, shared experts, dense
+    layers below moe_layer_start_index. Field names are translated onto the
+    glm4_moe/deepseek vocabulary and the shared two-scan forward reused."""
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        hf = config.hf_config
+        if hf.get("moe_layer_interval", 1) != 1:
+            raise NotImplementedError("ernie moe_layer_interval != 1")
+        hf.setdefault("n_routed_experts", hf.get("moe_num_experts", 64))
+        hf.setdefault("num_experts_per_tok", hf.get("moe_k", 6))
+        hf.setdefault("n_shared_experts", hf.get("moe_num_shared_experts", 0))
+        hf.setdefault("first_k_dense_replace", hf.get("moe_layer_start_index", 0))
+        hf.setdefault("partial_rotary_factor", 1.0)  # full rotary
+        hf.setdefault("use_qk_norm", False)
+        hf.setdefault("attention_bias", bool(hf.get("use_bias", False)))
+        hf.setdefault("norm_topk_prob", True)
+        # The HF Ernie config DEFAULTS tie_word_embeddings to True and omits
+        # it from config.json when default-valued.
+        hf.setdefault("tie_word_embeddings", True)
+        super().__init__(config, attn_impl, kv_write_impl)
+        self.scoring = "softmax"  # bias steers selection only (noaux-style)
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        L = self.config.num_layers
+        for i in range(self.first_k_dense, L):
+            src = f"model.layers.{i}.mlp.moe_statics.e_score_correction_bias"
+            alias = f"model.layers.{i}.mlp.gate.e_score_correction_bias"
+            if src in weights and alias not in weights:
+                weights[alias] = np.asarray(weights[src]).reshape(-1)
+        return super().convert_hf_weights(weights)

@@ -74,6 +74,7 @@ class LlamaForCausalLM:
     supports_pp = True
     has_bias = False  # qwen2 subclass sets qkv bias
     has_qk_norm = False  # qwen3 subclass: per-head RMS norm on q/k before RoPE
+    qk_norm_post_rope = False  # hunyuan: per-head RMS norm on q/k AFTER RoPE
 
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         self.config = config
@@ -676,6 +677,9 @@ class LlamaForCausalLM:
                 k = self.qk_norm_fn(k, lp["k_norm"])
             q = rope_li(q, li)
             k = rope_li(k, li)
+            if self.qk_norm_post_rope:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
 
             k_st, v_st, q_att, vsc = self._kv_quantize(lp, wk.dtype, k, v, q)
             wk = jax.lax.dynamic_update_slice(
@@ -864,6 +868,9 @@ class LlamaForCausalLM:
 
             q = rope_li(q)
             k = rope_li(k)
+            if self.qk_norm_post_rope:
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
 
             k_st, v_st, q_att, vsc = self._kv_quantize(lp, kc.dtype, k, v, q)
             kc, vc = self.kv_write(
@@ -1089,6 +1096,9 @@ class LlamaForCausalLM:
                 q = self.qk_norm_fn(q, lp["q_norm"])
                 k = self.qk_norm_fn(k, lp["k_norm"])
             q, k = self._rope_layer(q, k, step.positions, li)
+            if self.qk_norm_post_rope:  # hunyuan: per-head RMS AFTER rope
+                q = rms_norm(q, lp["q_norm"], self.rms_eps)
+                k = rms_norm(k, lp["k_norm"], self.rms_eps)
 
             # Write new KV into the paged cache (pads land in garbage slot 0),
             # then attend over the gathered pages (SURVEY §7.5a). fp8 caches

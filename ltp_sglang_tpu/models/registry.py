@@ -60,6 +60,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "CohereForCausalLM": ("ltp_sglang_tpu.models.cohere", "CohereForCausalLM"),
     "GlmForCausalLM": ("ltp_sglang_tpu.models.glm4", "GlmForCausalLM"),
     "Glm4MoeForCausalLM": ("ltp_sglang_tpu.models.glm4_moe", "Glm4MoeForCausalLM"),
+    "Ernie4_5_MoeForCausalLM": (
+        "ltp_sglang_tpu.models.glm4_moe", "Ernie4_5_MoeForCausalLM"
+    ),
     "Glm4ForCausalLM": ("ltp_sglang_tpu.models.glm4", "Glm4ForCausalLM"),
     "SmolLM3ForCausalLM": ("ltp_sglang_tpu.models.smollm3", "SmolLM3ForCausalLM"),
     "NemotronForCausalLM": (
@@ -92,6 +95,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
         "ltp_sglang_tpu.models.gpt_classics", "PersimmonForCausalLM"
     ),
     "ApertusForCausalLM": ("ltp_sglang_tpu.models.apertus", "ApertusForCausalLM"),
+    "HunYuanDenseV1ForCausalLM": (
+        "ltp_sglang_tpu.models.hunyuan", "HunYuanDenseV1ForCausalLM"
+    ),
+    # Helium (kyutai): verified identical to the llama body (GQA, optional
+    # qkv bias via attention_bias, unbiased o_proj, silu gated MLP).
+    "HeliumForCausalLM": ("ltp_sglang_tpu.models.llama", "LlamaForCausalLM"),
     "MPTForCausalLM": ("ltp_sglang_tpu.models.gpt_classics", "MptForCausalLM"),
     "OlmoeForCausalLM": ("ltp_sglang_tpu.models.olmoe", "OlmoeForCausalLM"),
     "Olmo3ForCausalLM": ("ltp_sglang_tpu.models.olmo3", "Olmo3ForCausalLM"),

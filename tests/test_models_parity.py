@@ -1047,3 +1047,87 @@ def test_persimmon_greedy_parity():
         sampling_params={"max_new_tokens": 12, "temperature": 0.0},
     )
     assert out["output_ids"] == ref, (out["output_ids"], ref)
+
+
+def _simple_parity(cfg, prefix, max_new=12, prompt=None):
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    write_tiny_model_dir(d, cfg=cfg)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = prompt or [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=max_new, do_sample=False,
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32", max_total_tokens=2048,
+        max_running_requests=8,
+    ))
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": max_new, "temperature": 0.0},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
+
+
+def test_hunyuan_dense_greedy_parity():
+    """Hunyuan-V1 dense: per-head qk RMS norms AFTER rope."""
+    _simple_parity({
+        "architectures": ["HunYuanDenseV1ForCausalLM"],
+        "model_type": "hunyuan_v1_dense",
+        "hidden_size": 128, "intermediate_size": 256, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+        "vocab_size": 512, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "tie_word_embeddings": False, "eos_token_id": 2,
+        "attention_bias": False, "torch_dtype": "float32",
+    }, "tiny_hunyuan_")
+
+
+def test_helium_greedy_parity():
+    """Helium (kyutai): registry-verified llama body."""
+    _simple_parity({
+        "architectures": ["HeliumForCausalLM"],
+        "model_type": "helium",
+        "hidden_size": 128, "intermediate_size": 256, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+        "vocab_size": 512, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 100000.0,
+        "tie_word_embeddings": False, "eos_token_id": 2,
+        "attention_bias": True, "mlp_bias": False, "torch_dtype": "float32",
+    }, "tiny_helium_")
+
+
+def test_ernie45_moe_greedy_parity():
+    """ERNIE 4.5 MoE: softmax scores + selection-only correction bias +
+    shared experts + dense first layer."""
+    import os
+
+    import safetensors.torch as st
+    import torch
+
+    cfg = {
+        "architectures": ["Ernie4_5_MoeForCausalLM"],
+        "model_type": "ernie4_5_moe",
+        "hidden_size": 128, "intermediate_size": 256,
+        "moe_intermediate_size": 64,
+        "num_hidden_layers": 3, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 32,
+        "vocab_size": 512, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "tie_word_embeddings": True, "eos_token_id": 2,
+        "moe_num_experts": 8, "moe_k": 3, "moe_num_shared_experts": 1,
+        "moe_layer_start_index": 1, "use_bias": False,
+        "torch_dtype": "float32",
+    }
+    # (Selection-bias steering itself is exercised by the dsv3/glm4_moe
+    # perturbed-bias tests; a fresh checkpoint has a zero bias buffer.)
+    del os, st, torch
+    _simple_parity(cfg, "tiny_ernie_moe_", prompt=[1, 5, 7, 9, 100, 200])
