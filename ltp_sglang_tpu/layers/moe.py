@@ -135,6 +135,10 @@ def moe_ffn(
     up_w: jnp.ndarray,  # [Eloc, Dm, I]
     down_w: jnp.ndarray,  # [Eloc, I, Dm]
     scale_input: bool = False,
+    gate_bias=None,  # [Eloc, I] per-expert biases (gpt-oss)
+    up_bias=None,
+    down_bias=None,
+    act_fn=None,  # (gate, up) -> activated, f32 in/out; default silu(g)*u
 ) -> jnp.ndarray:
     """Dropless grouped-GEMM expert computation. `scale_input` applies the
     routing weight to the expert INPUT instead of the output (llama4: the
@@ -159,6 +163,7 @@ def moe_ffn(
     )
 
     dtype = x.dtype
+    exp_sorted = flat_exp[order]
     gate = jax.lax.ragged_dot(
         x_sorted, resolve_expert_weights(gate_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
@@ -167,11 +172,21 @@ def moe_ffn(
         x_sorted, resolve_expert_weights(up_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
-    act = (jax.nn.silu(gate) * up).astype(dtype)
+    if gate_bias is not None:
+        gate = gate + gate_bias[exp_sorted].astype(jnp.float32)
+    if up_bias is not None:
+        up = up + up_bias[exp_sorted].astype(jnp.float32)
+    act = (
+        (jax.nn.silu(gate) * up) if act_fn is None else act_fn(gate, up)
+    ).astype(dtype)
     out_sorted = jax.lax.ragged_dot(
         act, resolve_expert_weights(down_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )  # [T*k, Dm]
+    if down_bias is not None:
+        out_sorted = (
+            out_sorted.astype(jnp.float32) + down_bias[exp_sorted]
+        ).astype(dtype)
 
     # Unsort via the inverse permutation (gathers only — XLA TPU scatter is
     # a compile-time tarpit) and combine with routing weights.
@@ -306,13 +321,16 @@ def _ep_dispatch(x_, idx_, Eloc: int, axis: str, ep: int, pair_scale=None):
     return x_recv, ids_recv, plan
 
 
-def _ep_experts(x_recv, ids_recv, gate_w, up_w, down_w):
+def _ep_experts(x_recv, ids_recv, gate_w, up_w, down_w,
+                gate_bias=None, up_bias=None, down_bias=None, act_fn=None):
     """Phase 2: sort arrivals by local expert, grouped GEMM, unsort back to
     arrival order. Rows past the real count are pad (id Eloc): they sort
-    last, fall outside every group, and are never returned."""
+    last, fall outside every group, and are never returned (bias gathers
+    clip the pad id; those rows' garbage never leaves this chip)."""
     Eloc = expert_count(gate_w)
     lorder = jnp.argsort(ids_recv)
     xs = x_recv[lorder]
+    ids_sorted = jnp.clip(ids_recv[lorder], 0, Eloc - 1)
     group_sizes = (
         (ids_recv[None, :] == jnp.arange(Eloc, dtype=ids_recv.dtype)[:, None])
         .sum(axis=1)
@@ -327,11 +345,21 @@ def _ep_experts(x_recv, ids_recv, gate_w, up_w, down_w):
         xs, resolve_expert_weights(up_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
-    act = (jax.nn.silu(gate) * up).astype(dtype)
+    if gate_bias is not None:
+        gate = gate + gate_bias[ids_sorted].astype(jnp.float32)
+    if up_bias is not None:
+        up = up + up_bias[ids_sorted].astype(jnp.float32)
+    act = (
+        (jax.nn.silu(gate) * up) if act_fn is None else act_fn(gate, up)
+    ).astype(dtype)
     out_sorted = jax.lax.ragged_dot(
         act, resolve_expert_weights(down_w, dtype), group_sizes,
         preferred_element_type=jnp.float32,
     )
+    if down_bias is not None:
+        out_sorted = (
+            out_sorted.astype(jnp.float32) + down_bias[ids_sorted]
+        ).astype(dtype)
     return out_sorted[jnp.argsort(lorder)].astype(dtype)
 
 
@@ -347,6 +375,10 @@ def moe_ffn_ep_a2a(
     return_stats: bool = False,
     tbo: bool = False,
     scale_input: bool = False,
+    gate_bias=None,
+    up_bias=None,
+    down_bias=None,
+    act_fn=None,
 ):
     """Expert-parallel MoE FFN with real token all-to-all (DeepEP analog,
     layers/moe/token_dispatcher/deepep.py:262-494 / ep_moe/layer.py:63).
@@ -374,7 +406,7 @@ def moe_ffn_ep_a2a(
         weights = jnp.pad(weights, ((0, pad), (0, 0)))  # zero weight: no-op
         indices = jnp.pad(indices, ((0, pad), (0, 0)))
 
-    def one_microbatch(x_, w_, idx_, gw, uw, dw):
+    def one_microbatch(x_, w_, idx_, gw, uw, dw, gb, ub, db):
         Eloc = expert_count(gw)
         if scale_input:
             # llama4 input-scaled routing: each dispatched pair row carries
@@ -386,7 +418,9 @@ def moe_ffn_ep_a2a(
             w_ = jnp.ones_like(w_)
         else:
             x_recv, ids_recv, plan = _ep_dispatch(x_, idx_, Eloc, axis, ep)
-        out_rows = _ep_experts(x_recv, ids_recv, gw, uw, dw)
+        out_rows = _ep_experts(x_recv, ids_recv, gw, uw, dw,
+                               gate_bias=gb, up_bias=ub, down_bias=db,
+                               act_fn=act_fn)
         ret = _a2a_rows(
             out_rows, plan.recv_offsets, plan.recv_sizes, plan.rev_out_offsets,
             plan.send_sizes, idx_.size, idx_.size,
@@ -397,25 +431,39 @@ def moe_ffn_ep_a2a(
         n_recv = plan.recv_sizes.sum()[None]
         return yl, n_recv
 
-    def inner(x_, w_, idx_, gw, uw, dw):
+    def inner(x_, w_, idx_, gw, uw, dw, gb, ub, db):
         if not tbo:
-            return one_microbatch(x_, w_, idx_, gw, uw, dw)
+            return one_microbatch(x_, w_, idx_, gw, uw, dw, gb, ub, db)
         h = x_.shape[0] // 2
-        y0, n0 = one_microbatch(x_[:h], w_[:h], idx_[:h], gw, uw, dw)
-        y1, n1 = one_microbatch(x_[h:], w_[h:], idx_[h:], gw, uw, dw)
+        y0, n0 = one_microbatch(x_[:h], w_[:h], idx_[:h], gw, uw, dw, gb, ub, db)
+        y1, n1 = one_microbatch(x_[h:], w_[h:], idx_[h:], gw, uw, dw, gb, ub, db)
         return jnp.concatenate([y0, y1]), n0 + n1
 
     from jax.sharding import PartitionSpec as P
 
     sh = P(axis)
     exp = P(axis)
+    zero1 = jnp.zeros((expert_count(gate_w), 1), jnp.float32)
+    gb = gate_bias if gate_bias is not None else zero1
+    ub = up_bias if up_bias is not None else zero1
+    db = down_bias if down_bias is not None else zero1
+    has_b = (gate_bias is not None, up_bias is not None, down_bias is not None)
+
+    def inner2(x_, w_, idx_, gw, uw, dw, gb_, ub_, db_):
+        return inner(
+            x_, w_, idx_, gw, uw, dw,
+            gb_ if has_b[0] else None,
+            ub_ if has_b[1] else None,
+            db_ if has_b[2] else None,
+        )
+
     y, n_recv = jax.shard_map(
-        inner,
+        inner2,
         mesh=mesh,
-        in_specs=(sh, sh, sh, exp, exp, exp),
+        in_specs=(sh, sh, sh, exp, exp, exp, exp, exp, exp),
         out_specs=(sh, P(axis)),
         check_vma=False,
-    )(x, weights, indices, gate_w, up_w, down_w)
+    )(x, weights, indices, gate_w, up_w, down_w, gb, ub, db)
     y = y[:T]
     if return_stats:
         return y, n_recv
@@ -497,6 +545,7 @@ def moe_ffn_ep(
 def moe_ffn_auto(
     x, weights, indices, gate_w, up_w, down_w, mesh_ctx=None, axis: str = "tp",
     expert_perm=None, tbo: bool = False, scale_input: bool = False,
+    gate_bias=None, up_bias=None, down_bias=None, act_fn=None,
 ):
     """Pick EP (shard_map over the tp axis) on multi-device pure-TP meshes
     whose expert count divides; otherwise the single-program grouped GEMM.
@@ -533,6 +582,9 @@ def moe_ffn_auto(
         return moe_ffn_ep_a2a(
             x, weights, indices, gate_w, up_w, down_w, mesh_ctx.mesh, axis,
             tbo=tbo, scale_input=scale_input,
+            gate_bias=gate_bias, up_bias=up_bias, down_bias=down_bias,
+            act_fn=act_fn,
         )
     return moe_ffn(x, weights, indices, gate_w, up_w, down_w,
-                   scale_input=scale_input)
+                   scale_input=scale_input, gate_bias=gate_bias,
+                   up_bias=up_bias, down_bias=down_bias, act_fn=act_fn)

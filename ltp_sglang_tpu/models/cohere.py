@@ -107,3 +107,32 @@ class CohereForCausalLM(LlamaForCausalLM):
             )
         params.pop("lm_head", None)
         return params
+
+
+class Cohere2ForCausalLM(CohereForCausalLM):
+    """Command-R7B / Cohere2: cohere's parallel block + interleaved sliding
+    windows (3 sliding : 1 full via layer_types or sliding_window_pattern);
+    rope applies ONLY on sliding layers (full layers are NoPE). Verified
+    against HF modeling_cohere2.py."""
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        hf = config.hf_config
+        sw = hf.get("sliding_window")
+        layer_types = hf.get("layer_types")
+        if layer_types is None and hf.get("sliding_window_pattern"):
+            pat = int(hf["sliding_window_pattern"])
+            layer_types = [
+                "full_attention" if (i + 1) % pat == 0 else "sliding_attention"
+                for i in range(config.num_layers)
+            ]
+        if sw and layer_types:
+            is_sliding = np.array(
+                [t == "sliding_attention" for t in layer_types], bool
+            )
+            self.layer_windows = jnp.asarray(
+                np.where(is_sliding, int(sw), config.context_len + 1),
+                jnp.int32,
+            )
+            self.rope_layer_on = jnp.asarray(is_sliding)
+            self.forward_window_token_paged = None

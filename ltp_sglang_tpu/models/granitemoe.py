@@ -130,3 +130,81 @@ class GraniteMoeForCausalLM(LlamaForCausalLM):
             tbo=getattr(self, "moe_tbo", False), expert_perm=lp.get("expert_perm"),
         )
         return out.reshape(*lead, Dm)
+
+
+class GraniteMoeSharedForCausalLM(GraniteMoeForCausalLM):
+    """GraniteMoeShared (granite-4.0 preview lineage): GraniteMoe plus an
+    always-on shared MLP with a FUSED input_linear [Dm, 2*Is] (chunk ->
+    silu(a) * b -> output_linear), summed with the routed output.
+    Verified against HF modeling_granitemoeshared.py."""
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        self.shared_intermediate = config.hf_config.get(
+            "shared_intermediate_size", 0
+        )
+
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        params = super().init_params(seed)
+        if self.shared_intermediate:
+            cfg = self.config
+            L, Dm, Is = cfg.num_layers, cfg.hidden_size, self.shared_intermediate
+            key = jax.random.PRNGKey(seed + 5)
+            k1, k2 = jax.random.split(key)
+
+            def w(key, *shape):
+                return (
+                    jax.random.normal(key, shape, jnp.float32) * 0.02
+                ).astype(self.dtype)
+
+            params["layers"]["shared_input_linear"] = {
+                "kernel": w(k1, L, Dm, 2 * Is)
+            }
+            params["layers"]["shared_output_linear"] = {
+                "kernel": w(k2, L, Is, Dm)
+            }
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        specs = super().param_specs()
+        if self.shared_intermediate:
+            specs["layers"]["shared_input_linear"] = {"kernel": P(None, None, "tp")}
+            specs["layers"]["shared_output_linear"] = {"kernel": P(None, "tp", None)}
+        return specs
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        params = super().convert_hf_weights(weights)
+        if self.shared_intermediate:
+            L = self.config.num_layers
+
+            def get(name):
+                return weights.get(name, weights.get(name.replace("model.", "", 1)))
+
+            for tgt, src in (
+                ("shared_input_linear", "shared_mlp.input_linear"),
+                ("shared_output_linear", "shared_mlp.output_linear"),
+            ):
+                params["layers"][tgt] = {
+                    "kernel": jnp.asarray(np.stack([
+                        np.asarray(get(f"model.layers.{i}.{src}.weight")).T
+                        for i in range(L)
+                    ]), self.dtype)
+                }
+        return params
+
+    def mlp(self, lp, normed, tok_valid=None):
+        out = super().mlp(lp, normed, tok_valid)
+        if not self.shared_intermediate:
+            return out
+        fused = jnp.einsum(
+            "...d,dk->...k", normed, lp["shared_input_linear"]["kernel"],
+            preferred_element_type=jnp.float32,
+        ).astype(normed.dtype)
+        a, b = jnp.split(fused, 2, axis=-1)
+        shared = jnp.einsum(
+            "...k,kd->...d", jax.nn.silu(a.astype(jnp.float32)).astype(
+                normed.dtype) * b,
+            lp["shared_output_linear"]["kernel"],
+            preferred_element_type=jnp.float32,
+        ).astype(normed.dtype)
+        return out + shared

@@ -75,6 +75,7 @@ class LlamaForCausalLM:
     has_bias = False  # qwen2 subclass sets qkv bias
     has_qk_norm = False  # qwen3 subclass: per-head RMS norm on q/k before RoPE
     qk_norm_post_rope = False  # hunyuan: per-head RMS norm on q/k AFTER RoPE
+    has_attn_sinks = False  # gpt-oss: per-head learnable softmax sink logits
 
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
         self.config = config
@@ -1182,6 +1183,11 @@ class LlamaForCausalLM:
                     **(
                         {"alibi_slopes": self.alibi_slopes}
                         if self.alibi_slopes is not None
+                        else {}
+                    ),
+                    **(
+                        {"sinks": lp["sinks"]}
+                        if self.has_attn_sinks
                         else {}
                     ),
                 )

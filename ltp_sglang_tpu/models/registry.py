@@ -29,6 +29,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("ltp_sglang_tpu.models.mixtral", "MixtralForCausalLM"),
     "Llama4ForCausalLM": ("ltp_sglang_tpu.models.llama4", "Llama4ForCausalLM"),
+    "GptOssForCausalLM": ("ltp_sglang_tpu.models.gpt_oss", "GptOssForCausalLM"),
     "DeepseekV2ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "Phi3ForCausalLM": ("ltp_sglang_tpu.models.phi3", "Phi3ForCausalLM"),
@@ -58,6 +59,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Olmo2ForCausalLM": ("ltp_sglang_tpu.models.olmo", "Olmo2ForCausalLM"),
     "GraniteForCausalLM": ("ltp_sglang_tpu.models.granite", "GraniteForCausalLM"),
     "CohereForCausalLM": ("ltp_sglang_tpu.models.cohere", "CohereForCausalLM"),
+    "Cohere2ForCausalLM": ("ltp_sglang_tpu.models.cohere", "Cohere2ForCausalLM"),
     "GlmForCausalLM": ("ltp_sglang_tpu.models.glm4", "GlmForCausalLM"),
     "Glm4MoeForCausalLM": ("ltp_sglang_tpu.models.glm4_moe", "Glm4MoeForCausalLM"),
     "Ernie4_5_MoeForCausalLM": (
@@ -109,6 +111,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Ernie4_5ForCausalLM": ("ltp_sglang_tpu.models.seed_oss", "Ernie4_5ForCausalLM"),
     "GraniteMoeForCausalLM": (
         "ltp_sglang_tpu.models.granitemoe", "GraniteMoeForCausalLM"
+    ),
+    "GraniteMoeSharedForCausalLM": (
+        "ltp_sglang_tpu.models.granitemoe", "GraniteMoeSharedForCausalLM"
     ),
     "DbrxForCausalLM": ("ltp_sglang_tpu.models.dbrx", "DbrxForCausalLM"),
     "PhimoeForCausalLM": ("ltp_sglang_tpu.models.phimoe", "PhiMoEForCausalLM"),

@@ -35,6 +35,7 @@ def ref_paged_attention(
     tree_mask: jnp.ndarray = None,  # [B, E, E] bool: spec-tree visibility
     alibi_slopes: jnp.ndarray = None,  # [Hq] f32 (bloom/mpt); bias slope·k_pos
     chunk_size=None,  # llama4 chunked attention: same pos//chunk only; 0/None off
+    sinks: jnp.ndarray = None,  # [Hq] gpt-oss attention sinks (extra softmax logit)
 ) -> jnp.ndarray:  # [B, E, Hq, Dv]
     # NOTE the caller gathers pages with a SINGLE fused indexing expression
     # `cache[layer, kv_indices]` — slicing the layer first (`cache[layer]`)
@@ -107,8 +108,17 @@ def ref_paged_attention(
     # everywhere without producing NaN.
     m = jnp.max(scores, axis=-1, keepdims=True)
     m = jnp.maximum(m, -1e30)
-    e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
+    if sinks is not None:
+        # gpt-oss attention sinks: a per-head learnable logit joins the
+        # softmax and its mass is dropped (modeling_gpt_oss.py
+        # eager_attention_forward): denom += exp(sink - m).
+        sk = sinks.reshape(1, Hkv, group, 1, 1).astype(jnp.float32)
+        m = jnp.maximum(m, sk)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sk - m)
+    else:
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = (e / jnp.maximum(denom, 1e-30)).astype(q.dtype)
     out = jnp.einsum(
         "bhgec,bchd->behgd", probs, v, preferred_element_type=jnp.float32

@@ -1131,3 +1131,62 @@ def test_ernie45_moe_greedy_parity():
     # perturbed-bias tests; a fresh checkpoint has a zero bias buffer.)
     del os, st, torch
     _simple_parity(cfg, "tiny_ernie_moe_", prompt=[1, 5, 7, 9, 100, 200])
+
+
+def test_granitemoeshared_greedy_parity():
+    """GraniteMoeShared: routed top-k-softmax experts + fused shared MLP."""
+    _simple_parity({
+        "architectures": ["GraniteMoeSharedForCausalLM"],
+        "model_type": "granitemoeshared",
+        "hidden_size": 128, "intermediate_size": 64, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "vocab_size": 512, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "tie_word_embeddings": False, "eos_token_id": 2,
+        "num_local_experts": 4, "num_experts_per_tok": 2,
+        "shared_intermediate_size": 96,
+        "embedding_multiplier": 2.0, "attention_multiplier": 0.2,
+        "residual_multiplier": 0.5, "logits_scaling": 1.5,
+        "torch_dtype": "float32",
+    }, "tiny_gmoeshared_")
+
+
+def test_cohere2_greedy_parity():
+    """Cohere2 (Command-R7B): parallel block + interleaved sliding windows
+    with NoPE full layers; prompt longer than the window."""
+    _simple_parity({
+        "architectures": ["Cohere2ForCausalLM"],
+        "model_type": "cohere2",
+        "hidden_size": 128, "intermediate_size": 256, "num_hidden_layers": 4,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "vocab_size": 512, "max_position_embeddings": 512,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "logit_scale": 0.25, "sliding_window": 8,
+        "layer_types": ["sliding_attention", "sliding_attention",
+                        "sliding_attention", "full_attention"],
+        "eos_token_id": 2, "torch_dtype": "float32",
+    }, "tiny_cohere2_", prompt=[int(x) for x in
+                                np.random.default_rng(9).integers(3, 500, 24)])
+
+
+def test_gpt_oss_greedy_parity():
+    """GPT-OSS: attention sinks + alternating sliding windows + yarn rope +
+    interleaved fused gate_up experts with biases and the clamped glu."""
+    _simple_parity({
+        "architectures": ["GptOssForCausalLM"],
+        "model_type": "gpt_oss",
+        "hidden_size": 128, "intermediate_size": 64, "num_hidden_layers": 4,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 32,
+        "vocab_size": 512, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 150000.0,
+        "rope_scaling": {"rope_type": "yarn", "factor": 8.0,
+                         "beta_fast": 32.0, "beta_slow": 1.0,
+                         "original_max_position_embeddings": 64},
+        "tie_word_embeddings": False, "eos_token_id": 2,
+        "attention_bias": True, "sliding_window": 8,
+        "layer_types": ["sliding_attention", "full_attention",
+                        "sliding_attention", "full_attention"],
+        "num_local_experts": 4, "num_experts_per_tok": 2,
+        "torch_dtype": "float32",
+    }, "tiny_gptoss_", prompt=[int(x) for x in
+                               np.random.default_rng(12).integers(3, 500, 24)])
