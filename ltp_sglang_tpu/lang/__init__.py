@@ -7,4 +7,10 @@ from ltp_sglang_tpu.lang.api import (
     system,
     user,
 )
-from ltp_sglang_tpu.lang.backend import Anthropic, OpenAI, RuntimeEndpoint
+from ltp_sglang_tpu.lang.backend import (  # noqa: F401
+    Anthropic,
+    LiteLLM,
+    OpenAI,
+    RuntimeEndpoint,
+    VertexAI,
+)

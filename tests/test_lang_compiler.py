@@ -363,3 +363,56 @@ def test_anthropic_backend():
     assert out["text"].startswith("claude:")
     assert be.select("fruits:", ["apple", "banana"]) == "banana"
     loop.call_soon_threadsafe(loop.stop)
+
+
+class _FakeVertexHandler:
+    """Minimal Vertex generateContent server for zero-egress backend tests."""
+
+    def routes(self):
+        from aiohttp import web
+
+        async def gen_content(request):
+            body = await request.json()
+            msg = body["contents"][0]["parts"][0]["text"]
+            reply = "beta" if "alpha | beta" in msg else f"vx:{msg[:6]}"
+            return web.json_response({
+                "candidates": [{
+                    "content": {"role": "model",
+                                "parts": [{"text": reply}]},
+                }],
+                "usageMetadata": {"totalTokenCount": 5},
+            })
+
+        return [("POST",
+                 "/v1/projects/p/locations/l/publishers/google/models/gem:generateContent",
+                 gen_content)]
+
+
+def test_vertexai_backend():
+    from ltp_sglang_tpu.lang import VertexAI
+
+    base, loop = _serve(_FakeVertexHandler())
+    vx = VertexAI("gem", project="p", location="l", access_token="t")
+    # Point the URL builder at the fake server.
+    vx._url = lambda: (
+        base + "/v1/projects/p/locations/l/publishers/google/models/"
+        "gem:generateContent"
+    )
+    out = vx.generate(prompt="hello there",
+                      sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                                       "stop": ["\n"]})
+    assert out["text"].startswith("vx:")
+    assert out["meta_info"]["totalTokenCount"] == 5
+    assert vx.select("pick one ", ["alpha", "beta"]) == "beta"
+
+
+def test_litellm_backend_proxy_path():
+    """Without the litellm package, the backend rides the OpenAI-compatible
+    proxy surface (LiteLLM's own deployment mode)."""
+    from ltp_sglang_tpu.lang import LiteLLM
+
+    base, loop = _serve(_FakeOpenAIHandler())
+    ll = LiteLLM("any-model", base_url=base + "/v1", api_key="k")
+    out = ll.generate(prompt="hola mundo",
+                      sampling_params={"max_new_tokens": 8})
+    assert out["text"].startswith("echo:")
