@@ -170,6 +170,31 @@ class PDDecodeController:
                 entry.failed = ev[1]
                 return
 
+    def _adapt_rows(self, arr: np.ndarray, cache) -> np.ndarray:
+        """Reconcile per-token KV row widths between P and D fleets with
+        DIFFERENT TP geometries (reference test_disaggregation_different_tp /
+        common/conn.py): only the MLA latent row's tp-dependent zero padding
+        may legally differ — pad or truncate the flattened row to the decode
+        side's width. Any other mismatch fails the transfer loudly."""
+        r_c, ln_c = cache.shape[2], cache.shape[3]
+        if arr.shape[1:] == (r_c, ln_c):
+            return arr
+        model = self.runner.model
+        if not getattr(model, "latent_cache", False):
+            raise ValueError(
+                f"PD kv row shape {arr.shape[1:]} != decode cache "
+                f"{(r_c, ln_c)} and the model is not latent-padded"
+            )
+        n = arr.shape[0]
+        flat = arr.reshape(n, -1)
+        want = r_c * ln_c
+        if flat.shape[1] > want:
+            # The dropped tail must be the tp-alignment zero padding.
+            flat = flat[:, :want]
+        else:
+            flat = np.pad(flat, ((0, 0), (0, want - flat.shape[1])))
+        return flat.reshape(n, r_c, ln_c)
+
     def _install_layer(self, entry: _PendingTransfer, layer: int,
                        k_arr: np.ndarray, v_arr: np.ndarray):
         import jax.numpy as jnp
@@ -178,6 +203,12 @@ class PDDecodeController:
         if n == 0:
             return
         r = self.runner
+        try:
+            k_arr = self._adapt_rows(k_arr, r.k_cache)
+            v_arr = self._adapt_rows(v_arr, r.v_cache)
+        except ValueError as e:
+            entry.failed = str(e)
+            return
         b = _bucket(n)
         locs = np.zeros(b, np.int32)
         locs[:n] = entry.slots

@@ -219,3 +219,93 @@ def test_pd_two_processes(model_dir, baseline):
         if proc.is_alive():
             proc.kill()
     assert proc.exitcode == 0
+
+
+def test_pd_different_tp_parity(model_dir, baseline):
+    """P and D fleets with DIFFERENT TP geometries (reference
+    test_disaggregation_different_tp.py): the single-controller design moves
+    LOGICAL KV rows, so tp only changes internal shardings — outputs must
+    match the single-engine baseline both ways."""
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    def mk(mode, tp):
+        return Engine(ServerArgs(
+            model_path=model_dir, dtype="float32", page_size=4, tp_size=tp,
+            max_total_tokens=2048, max_running_requests=8,
+            disaggregation_mode=mode, pd_transfer_timeout=20.0,
+        ))
+
+    for tp_p, tp_d in ((2, 4), (4, 2)):
+        prefill = mk("prefill", tp_p)
+        decode = mk("decode", tp_d)
+        room = 4000 + tp_p
+        port = prefill.pd_prefill.port
+        result = {}
+
+        def decode_side():
+            result["out"] = decode.generate_pd_decode(
+                room, "127.0.0.1", port,
+                input_ids=PROMPT, sampling_params=dict(SP),
+            )
+
+        t = threading.Thread(target=decode_side)
+        t.start()
+        prefill.generate_pd_prefill(room, input_ids=PROMPT,
+                                    sampling_params=dict(SP))
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert result["out"]["output_ids"] == baseline, (
+            tp_p, tp_d, result["out"]["output_ids"], baseline)
+        assert prefill.pd_prefill.states[room] == "done"
+        prefill.shutdown()
+        decode.shutdown()
+
+
+def test_pd_different_tp_mla_row_adaptation():
+    """DeepSeek latent rows carry tp-dependent zero padding; the decode side
+    must pad/truncate transferred rows to ITS width (decode._adapt_rows)."""
+    from test_models_parity import TINY_DEEPSEEK_V2_CFG
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="pd_dsv2_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+
+    def mk(mode, tp):
+        return Engine(ServerArgs(
+            model_path=d, dtype="float32", page_size=4, tp_size=tp,
+            max_total_tokens=2048, max_running_requests=8,
+            disaggregation_mode=mode, pd_transfer_timeout=20.0,
+        ))
+
+    base = Engine(ServerArgs(
+        model_path=d, dtype="float32", page_size=4,
+        max_total_tokens=2048, max_running_requests=8,
+    ))
+    ref = base.generate(input_ids=PROMPT, sampling_params=dict(SP))["output_ids"]
+    base.close()
+
+    prefill = mk("prefill", 4)  # latent row padded to 128*tp
+    decode = mk("decode", 1)
+    assert (prefill.model_runner.k_cache.shape[2:]
+            != decode.model_runner.k_cache.shape[2:])
+    room = 4100
+    port = prefill.pd_prefill.port
+    result = {}
+
+    def decode_side():
+        result["out"] = decode.generate_pd_decode(
+            room, "127.0.0.1", port,
+            input_ids=PROMPT, sampling_params=dict(SP),
+        )
+
+    t = threading.Thread(target=decode_side)
+    t.start()
+    prefill.generate_pd_prefill(room, input_ids=PROMPT, sampling_params=dict(SP))
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert result["out"]["output_ids"] == ref, (result["out"]["output_ids"], ref)
+    prefill.shutdown()
+    decode.shutdown()
