@@ -547,7 +547,7 @@ class Engine:
                     "custom_logit_processor requires the server to be "
                     "launched with --enable-custom-logit-processor"
                 )
-            if self.scheduler.spec_worker is not None:
+            if getattr(self.scheduler, "spec_worker", None) is not None:
                 raise ValueError(
                     "custom_logit_processor is incompatible with speculative "
                     "decoding (the verify pass samples in-program)"

@@ -155,7 +155,7 @@ def test_grammar_window_generation(dummy_dir):
     cache = eng_w.model_runner._step_cache  # noqa: SLF001
     masked_windows = [
         k for k in cache
-        if k[0] == "window" and isinstance(k[-1], tuple) and k[-1][1]
+        if k[0] == "window" and isinstance(k[-2], tuple) and k[-2][1]
     ]
     assert masked_windows, list(cache)
 
