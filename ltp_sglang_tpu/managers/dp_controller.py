@@ -467,6 +467,7 @@ class DataParallelController:
             lora_ids=cat("lora_ids"),
             vocab_mask=vocab_mask,
             want_logprobs=False,
+            rope_delta=cat("rope_delta"),
         )
         tokens, aux = self.runner.forward_window(combined)
         tokens = np.asarray(tokens)

@@ -499,6 +499,12 @@ class ScheduleBatch:
         req_idx[:n] = [r.req_pool_idx for r in self.reqs]
         lora_ids = np.zeros((B,), np.int32)
         lora_ids[:n] = [getattr(r, "lora_id", 0) for r in self.reqs]
+        # M-RoPE decode offset (zero on non-mrope models / text-only reqs):
+        # window rope positions evaluate at pos + delta (DecodeWindowBatch).
+        rope_delta = np.zeros((B,), np.int32)
+        rope_delta[:n] = [
+            int(getattr(r, "mrope_delta", 0) or 0) for r in self.reqs
+        ]
         si = self.sampling_info.padded(B)
         if si.has_penalties:
             si.build_penalty_tensors(self.reqs, B)
@@ -516,6 +522,7 @@ class ScheduleBatch:
             lora_ids=lora_ids,
             vocab_mask=mask,
             want_logprobs=any(r.return_logprob for r in self.reqs),
+            rope_delta=rope_delta,
         )
 
     def check_decode_mem(self, buf_multiplier: int = 1) -> bool:

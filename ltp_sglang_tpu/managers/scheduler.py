@@ -519,6 +519,7 @@ class Scheduler:
             # the same mask stays valid for the continuation window.
             vocab_mask=wb.vocab_mask,
             want_logprobs=wb.want_logprobs,
+            rope_delta=wb.rope_delta,  # mrope deltas are fixed per request
         )
         self.forward_ct += 1
         tokens, new_aux = self.runner.forward_window(new_wb)
@@ -644,6 +645,8 @@ class Scheduler:
         req_idx[:n] = [r.req_pool_idx for r in reqs]
         lora_ids = np.zeros((B,), np.int32)
         lora_ids[:n] = [getattr(r, "lora_id", 0) for r in reqs]
+        rope_delta = np.zeros((B,), np.int32)
+        rope_delta[:n] = [int(getattr(r, "mrope_delta", 0) or 0) for r in reqs]
         wb = DecodeWindowBatch(
             batch_size=n,
             input_ids=ids,
@@ -655,6 +658,7 @@ class Scheduler:
             lora_ids=lora_ids,
             vocab_mask=None,
             want_logprobs=any(r.return_logprob for r in reqs),
+            rope_delta=rope_delta,
         )
         self.forward_ct += 1
         tokens, aux = self.runner.forward_window(wb)

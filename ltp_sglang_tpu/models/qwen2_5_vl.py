@@ -11,9 +11,13 @@ StepArrays.mm_embeds. What qwen adds over llava:
   fb.positions (managers/scheduler.py _prepare_mrope; ids computed by
   multimodal/mrope.py per reference get_rope_index) and `_rope_layer` here
   applies layers/rotary.apply_rope_mrope with the config's mrope_section.
-- Decode windows are disabled: the window paths carry a scalar position per
-  step, which under M-RoPE needs the per-request delta — the plain bucketed
-  decode path applies it via the same [B, 3, 1] positions.
+- Decode windows STAY ENABLED (the reference runs its overlap scheduler for
+  VLMs): at decode time HF's get_rope_index gives every new token the same
+  scalar id (cache_len + mrope_delta) in all three t/h/w rows, and mrope
+  with three equal indices is exactly plain rope at that index — so the
+  inherited llama/qwen2 window paths are exact once the runner shifts the
+  window's rope positions by the per-request delta
+  (DecodeWindowBatch.rope_delta, managers/schedule_batch.get_window_batch).
 """
 
 from __future__ import annotations
@@ -35,10 +39,9 @@ class Qwen2_5_VLForConditionalGeneration(Qwen2ForCausalLM):
     supports_quant_fusion = False
     supports_pp = False
     needs_mrope = True
-    # Window decode paths carry scalar positions; M-RoPE needs the 3-row
-    # ids threaded per step — plain bucketed decode handles it.
-    forward_window_token = None
-    forward_window_token_paged = None
+    # forward_window_token / forward_window_token_paged are INHERITED: decode
+    # mrope == plain rope at pos + mrope_delta (see module docstring), and the
+    # runner shifts window positions by DecodeWindowBatch.rope_delta.
     v25 = True
 
     def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):

@@ -174,6 +174,31 @@ def test_qwen_vl_chunked_prefill_and_radix():
     assert out2["output_ids"] == ref
 
 
+def test_mrope_window_decode_parity():
+    """K-step decode windows on an M-RoPE model are EXACT: decode mrope ids
+    are pos + mrope_delta in all three rows, so the window paths run plain
+    rope at the delta-shifted position (DecodeWindowBatch.rope_delta). The
+    argmax of this tiny model is position-insensitive, so compare chosen-token
+    LOGPROBS between K=8 windows and K=1 — with the delta dropped (pre-fix
+    behavior) they drift by ~7e-3; with it they agree exactly."""
+    d, _ = _make_dir(True)
+    img = _image(0)
+
+    def run(ws):
+        eng = _engine(d, decode_window_size=ws)
+        out = eng.generate(input_ids=PROMPT, sampling_params=dict(SP),
+                           image_data=img, return_logprob=True)
+        lps = np.array([x[0] for x in out["meta_info"]["output_token_logprobs"]])
+        wkeys = [k for k in eng.model_runner._step_cache if k[0] == "window"]
+        return out["output_ids"], lps, wkeys
+
+    ids8, lp8, wkeys = run(8)
+    ids1, lp1, _ = run(1)
+    assert wkeys, "K=8 run never built a window fn (gate regressed?)"
+    assert ids8 == ids1
+    np.testing.assert_allclose(lp8, lp1, atol=1e-5)
+
+
 def test_mrope_position_builder():
     from ltp_sglang_tpu.multimodal.mrope import build_mrope_positions
 
