@@ -187,21 +187,28 @@ class Scheduler:
         if server_args.speculative_algorithm:
             algo = server_args.speculative_algorithm.upper()
             if algo in ("EAGLE3", "NEXTN"):
-                if server_args.speculative_eagle_topk > 1:
-                    raise NotImplementedError(
-                        "EAGLE3/NEXTN top-k tree draft: use "
-                        "speculative_eagle_topk=1 (chain) for now"
-                    )
                 if algo == "NEXTN":
                     # DeepSeek MTP head: one full deepseek layer (MLA+MoE)
-                    # behind eh_proj (speculative/nextn.py).
-                    from ltp_sglang_tpu.speculative.nextn import NextNWorker
-
-                    self.spec_worker = NextNWorker(model_runner, server_args)
+                    # behind eh_proj (speculative/nextn.py). topk>1 runs the
+                    # shared tree driver (speculative/eagle_tree.py).
+                    if server_args.speculative_eagle_topk > 1:
+                        from ltp_sglang_tpu.speculative.eagle_tree import (
+                            NextNTreeWorker as W,
+                        )
+                    else:
+                        from ltp_sglang_tpu.speculative.nextn import (
+                            NextNWorker as W,
+                        )
                 else:
-                    from ltp_sglang_tpu.speculative.eagle3 import Eagle3Worker
-
-                    self.spec_worker = Eagle3Worker(model_runner, server_args)
+                    if server_args.speculative_eagle_topk > 1:
+                        from ltp_sglang_tpu.speculative.eagle_tree import (
+                            Eagle3TreeWorker as W,
+                        )
+                    else:
+                        from ltp_sglang_tpu.speculative.eagle3 import (
+                            Eagle3Worker as W,
+                        )
+                self.spec_worker = W(model_runner, server_args)
             elif algo == "EAGLE":
                 if server_args.speculative_eagle_topk > 1:
                     from ltp_sglang_tpu.speculative.eagle_tree import (

@@ -541,6 +541,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             step.prefix_lens,
             self.sm_scale,
             sliding_window=0,
+            tree_mask=step.spec_mask,  # NEXTN tree verify (eagle_tree.py)
         )
         if vsc is not None:
             attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
@@ -597,7 +598,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
         Cw = step.kv_indices.shape[1]
         P = getattr(self, "mla_kernel_page_size", 0)
-        if E == 1 and P and Cw % P == 0:
+        if E == 1 and P and Cw % P == 0 and step.spec_mask is None:
             # Decode fast path: the Pallas latent-MQA kernel streams pages
             # HBM -> VMEM once (ops/attention/pallas_mla_decode.py) instead
             # of the three-pass XLA gather below. Page ids from the slot
@@ -621,6 +622,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             attn = self.attn_impl(
                 q_cat, k_cat, v_lat, step.kv_indices, step.seq_lens,
                 step.prefix_lens, self.sm_scale, sliding_window=0,
+                tree_mask=step.spec_mask,  # NEXTN tree verify
             )  # [B, E, H, R]
         if out_scale is not None:
             attn = (attn.astype(jnp.float32) * out_scale).astype(h.dtype)

@@ -212,6 +212,19 @@ class Eagle3Worker(EagleWorker):
     def _pair_embed_table(self, tp, dp):
         return dp["embed"]["weight"]  # eagle3 ships its own embed table
 
+    def _tree_topk(self, tp, dp, g, T):
+        """Tree proposal via the head's OWN norm/lm_head over the reduced
+        draft vocab; argtop indices map to target ids through d2t
+        (target_id = idx + d2t[idx]). NEXTN inherits this with a full-vocab
+        lm_head and no d2t leaf (identity map). The next pair hidden is the
+        raw residual stream (llama_eagle3 semantics), not a normed copy."""
+        lp = jax.nn.log_softmax(self.draft.model.draft_logits(dp, g), axis=-1)
+        sc, idx = jax.lax.top_k(lp, T)
+        idx = idx.astype(jnp.int32)
+        if "d2t" in dp:
+            idx = idx + dp["d2t"][idx]
+        return sc, idx, g
+
     # ------------------------------------------------------------- spec round
     def _build_round_fn(self, B, K, C, sampled: bool = False):
         t_model = self.runner.model

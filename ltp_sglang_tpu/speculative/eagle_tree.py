@@ -90,26 +90,16 @@ class EagleTreeWorker(EagleWorker):
             depth_const[T + (j - 1) * T * T : T + j * T * T] = j + 1
         depth_const = jnp.asarray(depth_const)
 
-        def lm_logits(tp, h):
-            if t_model.tie_word_embeddings:
-                return jnp.einsum(
-                    "...d,vd->...v", h, tp["embed"]["weight"],
-                    preferred_element_type=jnp.float32,
-                )
-            return jnp.einsum(
-                "...d,dv->...v", h, tp["lm_head"]["kernel"],
-                preferred_element_type=jnp.float32,
-            )
-
         def round_fn(tp, dp, t_kc, t_vc, t_tbl, d_kc, d_vc, d_tbl,
                      input_ids, h_prev, seq0, t_slots, d_keep, lane_scratch,
                      t_req, d_req, temperatures, top_ps, top_ks, min_ps,
                      step_idx):
-            from ltp_sglang_tpu.layers.norm import rms_norm
-
             cols = jnp.arange(C, dtype=jnp.int32)[None, :]
             start = jnp.maximum(seq0 - 1, 0)  # [B]
-            emb_table = tp["embed"]["weight"]
+            # Head-policy hooks (eagle_worker.py): EAGLE-1/2 share the
+            # TARGET's embed/norm/lm_head; EAGLE3/NEXTN bring their own
+            # embed table + lm_head (reduced vocab + d2t for EAGLE3).
+            emb_table = self._pair_embed_table(tp, dp)
             d_base = d_tbl[d_req, :C]  # [B, C]
 
             # ---------------- draft step 0 (B lanes: the committed token).
@@ -122,9 +112,7 @@ class EagleTreeWorker(EagleWorker):
                 dp, emb_table[input_ids][:, None, :],
                 h_prev[:, None, :].astype(emb_table.dtype), step0, d_kc, d_vc,
             )
-            gn0 = rms_norm(g0[:, 0], tp["norm"], t_model.rms_eps)
-            lp0 = jax.nn.log_softmax(lm_logits(tp, gn0), axis=-1)
-            sc0, tok0 = jax.lax.top_k(lp0, T)  # [B, T]
+            sc0, tok0, gn0 = self._tree_topk(tp, dp, g0[:, 0], T)  # [B, T]
 
             pool_tok = jnp.zeros((B, P0), jnp.int32).at[:, :T].set(tok0)
             pool_score = jnp.full((B, P0), -1e30, jnp.float32).at[:, :T].set(sc0)
@@ -180,9 +168,7 @@ class EagleTreeWorker(EagleWorker):
                     frontier_hid.reshape(B * T, 1, -1).astype(emb_table.dtype),
                     step, d_kc, d_vc,
                 )
-                gn = rms_norm(g[:, 0], tp["norm"], t_model.rms_eps)  # [B*T, Dm]
-                lp = jax.nn.log_softmax(lm_logits(tp, gn), axis=-1)
-                csc, ctok = jax.lax.top_k(lp, T)  # [B*T, T]
+                csc, ctok, gn = self._tree_topk(tp, dp, g[:, 0], T)  # [B*T, T]
                 cand_cum = (lane_cum.reshape(-1, 1) + csc).reshape(B, T * T)
                 ctok = ctok.reshape(B, T * T)
                 cand_parent = jnp.repeat(lane_pool_idx, T, axis=1)  # [B, T*T]
@@ -271,10 +257,19 @@ class EagleTreeWorker(EagleWorker):
                 start + V, start, jnp.full((B,), V, jnp.int32), t_kv_idx,
                 spec_mask=anc,
             )
-            hid_t, t_kc, t_vc = t_model.forward(
-                tp, stepv, t_kc, t_vc, return_hidden=True
-            )  # [B, V, Dm]
-            logits_v = lm_logits(tp, hid_t)  # [B, V, Vocab]
+            if self.wants_aux:
+                # EAGLE3: the target also returns its concat aux hiddens
+                # (models/llama.py return_aux) for the next draft pairs.
+                hid_t, aux_t, t_kc, t_vc = t_model.forward(
+                    tp, stepv, t_kc, t_vc, return_hidden=True, return_aux=True
+                )  # [B, V, Dm], [B, V, 3*Dm]
+            else:
+                hid_t, t_kc, t_vc = t_model.forward(
+                    tp, stepv, t_kc, t_vc, return_hidden=True
+                )  # [B, V, Dm]
+                aux_t = hid_t
+            logits_v = t_model._lm_head(tp, hid_t, stepv, True)  # [B, V, Vocab]
+            pair_hid = self._prep_hidden(dp, aux_t)  # [B, V, Dm] draft pairs
 
             if sampled:
                 # Ordered sibling-exclusion accept (sampled tree verify —
@@ -313,7 +308,7 @@ class EagleTreeWorker(EagleWorker):
 
                 preds_path = jnp.take_along_axis(preds_v, path, axis=1)
             h_next = jnp.take_along_axis(
-                hid_t, jnp.take_along_axis(path, acc[:, None], axis=1)[
+                pair_hid, jnp.take_along_axis(path, acc[:, None], axis=1)[
                     :, :, None], axis=1
             )[:, 0].astype(jnp.float32)
 
@@ -336,7 +331,7 @@ class EagleTreeWorker(EagleWorker):
             # hidden is the PREVIOUS position's, i.e. hid_t at path[t-1].
             ref_tok = preds_path[:, :K]
             ref_hid = jnp.take_along_axis(
-                hid_t, path[:, :K, None], axis=1
+                pair_hid, path[:, :K, None], axis=1
             )
             step_r = StepArrays(
                 ref_tok, ref_pos, ref_slots,
@@ -395,3 +390,26 @@ class EagleTreeWorker(EagleWorker):
         self.num_accepted_tokens += int(acc.sum())
         self.num_committed_tokens += int(acc.sum() + n)
         return preds_path, acc, path, h_next
+
+
+from ltp_sglang_tpu.speculative.eagle3 import Eagle3Worker  # noqa: E402
+from ltp_sglang_tpu.speculative.nextn import NextNWorker  # noqa: E402
+
+
+class Eagle3TreeWorker(EagleTreeWorker, Eagle3Worker):
+    """EAGLE3 head under the top-k tree driver (the reference runs its
+    tree for every draft type, eagle_worker.py:506): proposal via the
+    head's own reduced-vocab lm_head + d2t (Eagle3Worker._tree_topk),
+    verify captures the target's concat aux hiddens (wants_aux) for the
+    fc-mapped next pairs."""
+
+    kind = "eagle_tree"
+
+
+class NextNTreeWorker(EagleTreeWorker, NextNWorker):
+    """DeepSeek NEXTN (MTP) head under the top-k tree driver: full-vocab
+    own lm_head (identity token map), pairs with the target's
+    post-final-norm hidden, MLA latent draft KV rows
+    (NextNWorker._head_kv_elems)."""
+
+    kind = "eagle_tree"

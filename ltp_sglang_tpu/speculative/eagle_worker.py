@@ -98,6 +98,9 @@ class EagleWorker:
     kind = "eagle"
     needs_host_catchup = False
     head_cls = None  # eagle3/nextn subclasses override
+    # Verify captures the target's concat aux hiddens for the next draft
+    # pair (EAGLE3 sets True; EAGLE-1/2 and NEXTN pair with post-norm).
+    wants_aux = False
     # Eagle-family workers cover prompt positions in the draft cache from
     # the target prefill's hiddens (scheduler want_hidden path).
     covers_prompt = True
@@ -218,6 +221,23 @@ class EagleWorker:
         TARGET's for EAGLE-1/2 heads (no own table), the draft's own for
         EAGLE3."""
         return tp["embed"]["weight"]
+
+    def _tree_topk(self, tp, dp, g, T):
+        """Tree-draft proposal from the head output `g` [N, Dm] (raw
+        residual stream): returns (scores [N, T] log-probs, TARGET-vocab
+        tokens [N, T], and the hidden the next draft step pairs with).
+        EAGLE-1/2 heads predict the target's pre-norm hidden, so the
+        proposal distribution is the TARGET's norm + lm_head and the next
+        pair hidden is the NORMED prediction; EAGLE3/NEXTN override with
+        their own lm_head (reduced vocab + d2t map for EAGLE3) and feed
+        the raw residual stream forward (speculative/eagle3.py)."""
+        from ltp_sglang_tpu.layers.norm import rms_norm
+
+        t_model = self.runner.model
+        gn = rms_norm(g, tp["norm"], t_model.rms_eps)
+        lp = jax.nn.log_softmax(t_model._lm_head(tp, gn, None, True), axis=-1)
+        sc, tok = jax.lax.top_k(lp, T)
+        return sc, tok, gn
 
     def _build_prefill_fn(self, E, C):
         head = self.draft.model

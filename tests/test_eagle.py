@@ -216,3 +216,87 @@ def test_nextn_chain_greedy_equivalence():
         sampling_params={"max_new_tokens": 8, "temperature": 1.0, "top_k": 16},
     )
     assert len(s["output_ids"]) == 8
+
+
+def test_eagle3_tree_greedy_equivalence(dirs, ref_out):
+    """EAGLE3 head under the top-k TREE driver (speculative/eagle_tree.py
+    Eagle3TreeWorker): proposal over the reduced draft vocab + d2t map,
+    verify with aux-hidden capture. Exact verification => bit-equal greedy
+    outputs vs the no-spec baseline."""
+    import tempfile as _tf
+
+    from tiny_configs import write_tiny_eagle3_dir
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d, _ = dirs
+    e3 = _tf.mkdtemp(prefix="eagle3_head_")
+    write_tiny_eagle3_dir(e3)
+    spec = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=4096, max_running_requests=8,
+        speculative_algorithm="EAGLE3",
+        speculative_draft_model_path=e3,
+        speculative_num_steps=3,
+        speculative_eagle_topk=2,
+        speculative_num_draft_tokens=6,
+    ))
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0}
+    out = spec.generate(input_ids=prompts, sampling_params=sp)
+    for r, o in zip(ref_out, out):
+        assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
+    sw = spec.scheduler.spec_worker
+    assert sw.kind == "eagle_tree" and type(sw).__name__ == "Eagle3TreeWorker"
+    assert sw.num_rounds > 0
+    assert sw.avg_accept_length >= 1.0
+    # Sampled requests ride the sampled tree accept (sibling exclusion).
+    s = spec.generate(
+        input_ids=[4, 5, 6],
+        sampling_params={"max_new_tokens": 8, "temperature": 1.0, "top_k": 16},
+    )
+    assert len(s["output_ids"]) == 8
+
+
+def test_nextn_tree_greedy_equivalence():
+    """NEXTN (deepseek MTP) head under the top-k TREE driver: MLA latent
+    draft rows + tree-masked MLA target verify (deepseek_v2._attention
+    tree_mask plumb). Exact verification => bit-equal greedy outputs."""
+    import tempfile as _tf
+
+    from test_models_parity import TINY_DEEPSEEK_V2_CFG
+    from tiny_configs import write_tiny_nextn_dir
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = _tf.mkdtemp(prefix="nextn_target_")
+    write_tiny_model_dir(d, cfg=TINY_DEEPSEEK_V2_CFG)
+    h = _tf.mkdtemp(prefix="nextn_head_")
+    write_tiny_nextn_dir(h, TINY_DEEPSEEK_V2_CFG)
+
+    prompts = [[1, 5, 7, 9, 100, 200], [2, 3, 4, 5, 6, 7, 8]]
+    sp = {"max_new_tokens": 24, "temperature": 0.0}
+    base = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=4096, max_running_requests=8,
+    ))
+    ref = base.generate(input_ids=prompts, sampling_params=sp)
+
+    spec = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=4096, max_running_requests=8,
+        speculative_algorithm="NEXTN",
+        speculative_draft_model_path=h,
+        speculative_num_steps=3,
+        speculative_eagle_topk=2,
+        speculative_num_draft_tokens=6,
+    ))
+    out = spec.generate(input_ids=prompts, sampling_params=sp)
+    for r, o in zip(ref, out):
+        assert o["output_ids"] == r["output_ids"], (o["output_ids"], r["output_ids"])
+    sw = spec.scheduler.spec_worker
+    assert sw.kind == "eagle_tree" and type(sw).__name__ == "NextNTreeWorker"
+    assert sw.num_rounds > 0
+    assert sw.avg_accept_length >= 1.0
