@@ -532,3 +532,64 @@ def test_deepseek_batch_tbo_parity_and_stagger():
         "staggered micro-batches serialized through the MoE a2a"
     )
     tbo.close()
+
+
+def test_moe_ffn_ep_a2a_capacity_bound():
+    """LTP_EP_CAPACITY_FACTOR bounds the per-chip receive buffer (DeepEP
+    num_max_dispatch_tokens_per_rank analog; r4 VERDICT weak #7): under
+    near-uniform routing the bound is invisible (exact parity with the
+    unbounded path), and under adversarial skew (every pair to one expert)
+    arrivals clamp at the cap — overflow pairs contribute zero instead of
+    growing the activation buffer linearly with ep."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ltp_sglang_tpu.layers.moe import moe_ffn, moe_ffn_ep_a2a
+    from ltp_sglang_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(7)
+    T, Dm, I, E, k = 64, 16, 32, 16, 2
+    x = jnp.asarray(rng.standard_normal((T, Dm)), jnp.float32)
+    w = jnp.asarray(rng.random((T, k)), jnp.float32)
+    gw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.1, jnp.float32)
+    uw = jnp.asarray(rng.standard_normal((E, Dm, I)) * 0.1, jnp.float32)
+    dw = jnp.asarray(rng.standard_normal((E, I, Dm)) * 0.1, jnp.float32)
+    mesh_ctx = create_mesh(tp_size=8, dp_size=1)
+
+    # Balanced routing: pair i -> experts (i, i+1) mod E spreads exactly
+    # T*k/ep pairs per chip, well under the 3x cap.
+    base = np.arange(T, dtype=np.int32) % E
+    idx_bal = jnp.asarray(np.stack([base, (base + 1) % E], axis=1))
+    ref = moe_ffn(x, w, idx_bal, gw, uw, dw)
+    os.environ["LTP_EP_CAPACITY_FACTOR"] = "3"
+    try:
+        got, nrecv = moe_ffn_ep_a2a(
+            x, w, idx_bal, gw, uw, dw, mesh_ctx.mesh, "tp", return_stats=True
+        )
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.asarray(nrecv).sum() == T * k
+
+        # Adversarial skew: every pair to expert 0 (chip 0). Per-chip local
+        # pairs P = T*k/ep = 16 -> cap = 48 rows; 128 global pairs overflow.
+        idx_hot = jnp.zeros((T, k), jnp.int32)
+        got_hot, nrecv_hot = moe_ffn_ep_a2a(
+            x, w, idx_hot, gw, uw, dw, mesh_ctx.mesh, "tp", return_stats=True
+        )
+        arrived = int(np.asarray(nrecv_hot).sum())
+        assert arrived == 48, arrived  # clamped at cap, not T*k=128
+        # Surviving pairs are the earliest senders' chunks: chip 0 and 1's
+        # own pairs (by sender-major placement) match the dense reference;
+        # dropped pairs contribute exactly zero.
+        ref_hot = np.asarray(moe_ffn(x, w, idx_hot, gw, uw, dw))
+        got_hot = np.asarray(got_hot)
+        per_chip = T // 8
+        survivors = slice(0, 3 * per_chip)  # senders 0..2 fit under cap 48
+        np.testing.assert_allclose(
+            ref_hot[survivors], got_hot[survivors], rtol=1e-5, atol=1e-5
+        )
+        dropped = slice(3 * per_chip, None)
+        np.testing.assert_allclose(got_hot[dropped], 0.0, atol=1e-6)
+    finally:
+        del os.environ["LTP_EP_CAPACITY_FACTOR"]
