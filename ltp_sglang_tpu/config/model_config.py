@@ -87,6 +87,14 @@ class ModelConfig:
             "max_seq_len": "max_position_embeddings",
             "n_inner": "intermediate_size",
             "ffn_dim": "intermediate_size",
+            # chatglm (THUDM format) / qwen-v1 field names
+            "ffn_hidden_size": "intermediate_size",
+            "multi_query_group_num": "num_key_value_heads",
+            "kv_channels": "head_dim",
+            "padded_vocab_size": "vocab_size",
+            "seq_length": "max_position_embeddings",
+            "layernorm_epsilon": "rms_norm_eps",
+            "rotary_emb_base": "rope_theta",
         }
         for src, dst in _aliases.items():
             if hf.get(src) is not None and hf.get(dst) is None:

@@ -635,6 +635,18 @@ class LlamaForCausalLM:
         mask_pre = cpos < prefix_len[:, None]
         if self.sliding_window:
             mask_pre = mask_pre & (cpos > (pos - self.sliding_window)[:, None])
+        if self.alibi_slopes is not None:
+            # ALiBi bias = slope_h · key_absolute_position (same shift-
+            # invariant form as ops/attention/reference.py): prefix pages
+            # sit at positions 0..prefix_len, window slot j at prefix_len+j.
+            slopes = self.alibi_slopes.reshape(1, Hkv, group, 1)
+            alibi_pre = slopes * cpos[:, None, None, :].astype(jnp.float32)
+            alibi_win = (
+                slopes
+                * (prefix_len[:, None] + kposw)[:, None, None, :].astype(
+                    jnp.float32
+                )
+            )
 
         layers, quant_stacked = self._split_quant_leaves(params["layers"])
 
@@ -703,6 +715,9 @@ class LlamaForCausalLM:
                            preferred_element_type=jnp.float32)
                 * self.sm_scale
             )
+            if self.alibi_slopes is not None:
+                s_pre = s_pre + alibi_pre
+                s_win = s_win + alibi_win
             mask_pre_l, mask_win_l = mask_pre, (kposw <= t)
             if self.layer_windows is not None:
                 lw = self.layer_windows[li]

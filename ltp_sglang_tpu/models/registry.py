@@ -130,6 +130,19 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen2ForRewardModel": (
         "ltp_sglang_tpu.models.classification", "Qwen2ForRewardModel"
     ),
+    "InternLM2ForCausalLM": (
+        "ltp_sglang_tpu.models.internlm2", "InternLM2ForCausalLM"
+    ),
+    "BaichuanForCausalLM": ("ltp_sglang_tpu.models.baichuan", "BaichuanForCausalLM"),
+    "BaiChuanForCausalLM": ("ltp_sglang_tpu.models.baichuan", "BaichuanForCausalLM"),
+    "QWenLMHeadModel": ("ltp_sglang_tpu.models.qwen", "QWenLMHeadModel"),
+    "ChatGLMModel": ("ltp_sglang_tpu.models.chatglm", "ChatGLMForCausalLM"),
+    "ChatGLMForCausalLM": ("ltp_sglang_tpu.models.chatglm", "ChatGLMForCausalLM"),
+    "ChatGLMForConditionalGeneration": (
+        "ltp_sglang_tpu.models.chatglm", "ChatGLMForCausalLM"
+    ),
+    "XverseForCausalLM": ("ltp_sglang_tpu.models.xverse", "XverseForCausalLM"),
+    "MiMoForCausalLM": ("ltp_sglang_tpu.models.mimo", "MiMoForCausalLM"),
 }
 
 

@@ -80,6 +80,7 @@ AUX = [
     ("test_service_discovery.py", 10),
     ("test_qwen2_audio.py", 20),
     ("test_internvl.py", 15),
+    ("test_zoo_tail.py", 40),
 ]
 
 SUITES = {
