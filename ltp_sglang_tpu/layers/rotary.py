@@ -114,6 +114,44 @@ def build_cos_sin_cache(
             else:
                 mscale = float(_get_mscale(factor, ms))
             max_pos = int(orig_max * factor)
+        elif rope_type in ("longrope", "su"):
+            # Phi-3 / MiniCPM3 LongRoPE (reference layers/rotary_embedding.py
+            # Phi3LongRoPEScaledRotaryEmbedding): per-dim rescale factors —
+            # positions below original_max use short_factor, beyond use
+            # long_factor; each half scaled by its attention mscale
+            # (default sqrt(1 + ln(scale)/ln(orig))).
+            orig_max = int(
+                rope_scaling.get(
+                    "original_max_position_embeddings", max_position
+                )
+            )
+            short_f = np.asarray(rope_scaling["short_factor"], np.float64)
+            long_f = np.asarray(rope_scaling["long_factor"], np.float64)
+            scale = max(max_position / orig_max, 1.0)
+            default_m = (
+                math.sqrt(1.0 + math.log(scale) / math.log(orig_max))
+                if scale > 1.0
+                else 1.0
+            )
+            short_m = float(rope_scaling.get("short_mscale") or default_m)
+            long_m = float(rope_scaling.get("long_mscale") or default_m)
+            t = np.arange(max(max_position, orig_max), dtype=np.float64)
+            f_short = np.einsum("i,j->ij", t[:orig_max], inv_freq / short_f)
+            f_long = np.einsum("i,j->ij", t[orig_max:], inv_freq / long_f)
+            cache = np.concatenate(
+                [
+                    np.concatenate(
+                        [np.cos(f_short) * short_m, np.sin(f_short) * short_m],
+                        axis=-1,
+                    ),
+                    np.concatenate(
+                        [np.cos(f_long) * long_m, np.sin(f_long) * long_m],
+                        axis=-1,
+                    ),
+                ],
+                axis=0,
+            )
+            return jnp.asarray(cache, dtype=dtype)
         elif rope_type in ("default", "mrope", None):
             pass
 

@@ -335,6 +335,17 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         dense_ids = list(range(Ld))
         moe_ids = list(range(Ld, L))
         dense = attn_stack(dense_ids)
+        if not moe_ids:
+            # All-dense MLA model (minicpm3: first_k_dense_replace == L).
+            # Zero-length moe stacks keep the pytree shape; the forward
+            # skips the moe scan entirely so they are never traced.
+            moe = jax.tree.map(lambda a: np.asarray(a)[:0], attn_stack([0]))
+            # Expert dims sized 8 so the "tp"-sharded specs stay divisible
+            # on multi-chip meshes (the arrays are empty either way).
+            moe["router"] = {"kernel": np.zeros((0, Dm, 8), np.float32)}
+            moe["experts_gate"] = np.zeros((0, 8, Dm, 8), np.float32)
+            moe["experts_up"] = np.zeros((0, 8, Dm, 8), np.float32)
+            moe["experts_down"] = np.zeros((0, 8, 8, Dm), np.float32)
         if dense_ids:
             dense.update(
                 {
@@ -343,13 +354,16 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     "down_proj": {"kernel": np.stack([lin(i, "mlp.down_proj") for i in dense_ids])},
                 }
             )
-        moe = attn_stack(moe_ids)
         E = self.n_routed_experts
-        moe["router"] = {"kernel": np.stack([lin(i, "mlp.gate") for i in moe_ids])}
-        if self.topk_method == "noaux_tc":
-            moe["e_score_bias"] = np.stack(
-                [np.asarray(get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")) for i in moe_ids]
-            ).astype(np.float32)
+        if moe_ids:
+            moe = attn_stack(moe_ids)
+            moe["router"] = {
+                "kernel": np.stack([lin(i, "mlp.gate") for i in moe_ids])
+            }
+            if self.topk_method == "noaux_tc":
+                moe["e_score_bias"] = np.stack(
+                    [np.asarray(get(f"model.layers.{i}.mlp.gate.e_score_correction_bias")) for i in moe_ids]
+                ).astype(np.float32)
 
         def has(name):
             return name in weights or name.replace("model.", "", 1) in weights
@@ -440,10 +454,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 ]
             )
 
-        moe["experts_gate"] = experts("gate_proj")
-        moe["experts_up"] = experts("up_proj")
-        moe["experts_down"] = experts("down_proj")
-        if self.n_shared_experts:
+        if moe_ids:
+            moe["experts_gate"] = experts("gate_proj")
+            moe["experts_up"] = experts("up_proj")
+            moe["experts_down"] = experts("down_proj")
+        if moe_ids and self.n_shared_experts:
             moe["shared_gate_proj"] = {
                 "kernel": np.stack([lin(i, "mlp.shared_experts.gate_proj") for i in moe_ids])
             }
@@ -472,7 +487,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             "layers_moe": to_dev(moe),
             "norm": jnp.asarray(get("model.norm.weight"), dtype=self.dtype),
         }
-        if self.topk_method == "noaux_tc":
+        if self.topk_method == "noaux_tc" and moe_ids:
             params["layers_moe"]["e_score_bias"] = jnp.asarray(
                 moe["e_score_bias"], dtype=jnp.float32
             )
@@ -481,6 +496,20 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return params
 
     # ---------------------------------------------------------------- forward
+
+    # ------------------------------------------------- mup-style multipliers
+    def _res(self, h, out):
+        """Residual add with the body's residual_multiplier hook (minicpm3:
+        scale_depth/sqrt(L); 1.0 for deepseek — reference minicpm3.py:331-340)."""
+        rm = self.residual_multiplier
+        return h + (out if rm == 1.0 else out * jnp.asarray(rm, h.dtype))
+
+    def _embed(self, params, input_ids):
+        hidden = params["embed"]["weight"][input_ids]
+        if self.embed_multiplier != 1.0:
+            hidden = hidden * jnp.asarray(self.embed_multiplier, hidden.dtype)
+        return hidden
+
     def _attention(self, lp, h, step: StepArrays, kc, vc, li):
         cfg = self.config
         B, E = step.input_ids.shape
@@ -546,7 +575,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         if vsc is not None:
             attn_out = (attn_out.astype(jnp.float32) * vsc).astype(h.dtype)
         out = apply_linear(lp["o_proj"], attn_out.reshape(B, E, H * self.v_head_dim))
-        return h + out, kc, vc
+        return self._res(h, out), kc, vc
 
     def _attention_absorbed(self, lp, h, step, kc, vc, li,
                             q_nope, q_rope, kv_lora, k_rope):
@@ -631,7 +660,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             preferred_element_type=jnp.float32,
         ).astype(h.dtype)
         out = apply_linear(lp["o_proj"], out_h.reshape(B, E, H * self.v_head_dim))
-        return h + out, kc, vc
+        return self._res(h, out), kc, vc
 
     def _moe_mlp(self, lp, normed, tok_valid=None):
         B, E_, Dm = normed.shape
@@ -714,7 +743,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             return self._forward_tbo(
                 params, step, k_cache, v_cache, all_logits, return_hidden
             )
-        hidden = params["embed"]["weight"][step.input_ids]
+        hidden = self._embed(params, step.input_ids)
 
         def dense_body(carry, xs):
             h, kc, vc = carry
@@ -723,7 +752,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
             gate = apply_linear(lp["gate_proj"], normed)
             up = apply_linear(lp["up_proj"], normed)
-            h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+            h = self._res(h, apply_linear(lp["down_proj"], jax.nn.silu(gate) * up))
             return (h, kc, vc), None
 
         def moe_body(carry, xs):
@@ -735,7 +764,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 jnp.arange(normed.shape[1], dtype=jnp.int32)[None, :]
                 < step.extend_lens[:, None]
             )
-            h = h + self._moe_mlp(lp, normed, tok_valid)
+            h = self._res(h, self._moe_mlp(lp, normed, tok_valid))
             return (h, kc, vc), None
 
         Ld = self.first_k_dense
@@ -744,14 +773,15 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             carry, _ = jax.lax.scan(
                 dense_body, carry, (params["layers_dense"], jnp.arange(Ld, dtype=jnp.int32))
             )
-        carry, _ = jax.lax.scan(
-            moe_body,
-            carry,
-            (
-                params["layers_moe"],
-                jnp.arange(Ld, cfg.num_layers, dtype=jnp.int32),
-            ),
-        )
+        if cfg.num_layers - Ld > 0:
+            carry, _ = jax.lax.scan(
+                moe_body,
+                carry,
+                (
+                    params["layers_moe"],
+                    jnp.arange(Ld, cfg.num_layers, dtype=jnp.int32),
+                ),
+            )
         hidden, k_cache, v_cache = carry
 
         hidden = rms_norm(hidden, params["norm"], self.rms_eps)
@@ -787,7 +817,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         B, E = step.input_ids.shape
         Ld = self.first_k_dense
         Lm = cfg.num_layers - Ld
-        hidden = params["embed"]["weight"][step.input_ids]
+        hidden = self._embed(params, step.input_ids)
 
         self._in_batch_tbo = True
         try:
@@ -798,7 +828,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                 normed = rms_norm(h, lp["post_attention_layernorm"], self.rms_eps)
                 gate = apply_linear(lp["gate_proj"], normed)
                 up = apply_linear(lp["up_proj"], normed)
-                h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+                h = self._res(h, apply_linear(lp["down_proj"], jax.nn.silu(gate) * up))
                 return (h, kc, vc), None
 
             carry = (hidden, k_cache, v_cache)
@@ -831,7 +861,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
                     jnp.arange(normed.shape[1], dtype=jnp.int32)[None, :]
                     < sstep.extend_lens[:, None]
                 )
-                return h + self._moe_mlp(lp, normed, tok_valid), kc, vc
+                return self._res(h, self._moe_mlp(lp, normed, tok_valid)), kc, vc
 
             # Pipeline: prologue (mb0 layer 0), steady state (mb0 layer i,
             # mb1 layer i-1), epilogue (mb1 layer Lm-1). Peeling avoids both

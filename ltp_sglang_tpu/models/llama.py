@@ -172,6 +172,7 @@ class LlamaForCausalLM:
         self.pos_embed_mode = None  # "learned" (gpt2) | "learned_opt" (+2)
         self.lm_head_bias = False  # gptj/phi: bias on the output head
         self.alibi_slopes = None  # [Hq] f32 (bloom/mpt); XLA attention only
+        self.attn_logit_cap = 0.0  # grok: tanh score softcap, all attn paths
         # DP-attention (reference layers/dp_attention.py:62-366): attention
         # runs data-parallel over the "dp" groups (tp-sharded heads inside a
         # group) while the MLP is tensor-parallel over the UNION dp x tp —
@@ -715,6 +716,10 @@ class LlamaForCausalLM:
                            preferred_element_type=jnp.float32)
                 * self.sm_scale
             )
+            if self.attn_logit_cap:
+                cap = jnp.float32(self.attn_logit_cap)
+                s_pre = cap * jnp.tanh(s_pre / cap)
+                s_win = cap * jnp.tanh(s_win / cap)
             if self.alibi_slopes is not None:
                 s_pre = s_pre + alibi_pre
                 s_win = s_win + alibi_win
@@ -896,6 +901,11 @@ class LlamaForCausalLM:
             attn = paged_attn(
                 q_att, kc, vc, li, pages, seq_lens,
                 page_size=page_size, num_kv_heads=Hkv, sm_scale=self.sm_scale,
+                **(
+                    {"logit_cap": self.attn_logit_cap}
+                    if self.attn_logit_cap
+                    else {}
+                ),
             )  # [B, Hq, D]
             if vsc is not None:
                 attn = attn.astype(jnp.float32) * vsc
@@ -1138,6 +1148,7 @@ class LlamaForCausalLM:
             if (
                 self.extend_attn is not None
                 and self.alibi_slopes is None
+                and not self.attn_logit_cap
                 and self.layer_windows is None
                 and step.pages is not None
                 and step.spec_mask is None
@@ -1198,6 +1209,11 @@ class LlamaForCausalLM:
                     **(
                         {"alibi_slopes": self.alibi_slopes}
                         if self.alibi_slopes is not None
+                        else {}
+                    ),
+                    **(
+                        {"logit_cap": self.attn_logit_cap}
+                        if self.attn_logit_cap
                         else {}
                     ),
                     **(

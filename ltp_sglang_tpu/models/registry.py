@@ -143,6 +143,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     ),
     "XverseForCausalLM": ("ltp_sglang_tpu.models.xverse", "XverseForCausalLM"),
     "MiMoForCausalLM": ("ltp_sglang_tpu.models.mimo", "MiMoForCausalLM"),
+    "Grok1ForCausalLM": ("ltp_sglang_tpu.models.grok", "Grok1ForCausalLM"),
+    "Grok1ModelForCausalLM": ("ltp_sglang_tpu.models.grok", "Grok1ForCausalLM"),
+    "MiniCPMForCausalLM": ("ltp_sglang_tpu.models.minicpm", "MiniCPMForCausalLM"),
+    "MiniCPM3ForCausalLM": (
+        "ltp_sglang_tpu.models.minicpm3", "MiniCPM3ForCausalLM"
+    ),
 }
 
 

@@ -423,3 +423,300 @@ def test_mimo_roundtrip_parity():
     }
     d = _write_foreign("tiny_mimo_", foreign_cfg, sd)
     assert _engine_greedy(d, PROMPT, 12) == _hf_greedy(hf, PROMPT, 12)
+
+
+def _rms_t(x, w, eps=1e-5):
+    import torch
+
+    return x * torch.rsqrt((x * x).mean(-1, keepdim=True) + eps) * w
+
+
+def test_minicpm_parity_handrolled():
+    """MiniCPM = llama + mup scalings (scale_emb, scale_depth/sqrt(L),
+    dim_model_base/hidden logits scale; reference minicpm.py:220-327)."""
+    import torch
+
+    cfg = {
+        **TINY_LLAMA_CFG,
+        "architectures": ["MiniCPMForCausalLM"],
+        "model_type": "minicpm",
+        "scale_emb": 12.0,
+        "scale_depth": 1.4,
+        "dim_model_base": 32,
+        "tie_word_embeddings": True,
+    }
+    # Generate llama-shaped weights (names match), then hand-roll the math.
+    src = {**TINY_LLAMA_CFG, "tie_word_embeddings": True}
+    _, sd = _native_model_and_weights(src, "tiny_mcpm_src_")
+    sd.pop("lm_head.weight", None)
+    d = _write_foreign("tiny_mcpm_", cfg, dict(sd))
+
+    L, Hq, Hkv, D, Dm = 2, 4, 2, 32, 128
+    scale_res = 1.4 / (L ** 0.5)
+
+    def rope_t(x, pos0):
+        import torch
+
+        T, H, Dh = x.shape
+        inv = 1.0 / (10000.0 ** (torch.arange(0, Dh, 2, dtype=torch.float64) / Dh))
+        t = torch.arange(pos0, pos0 + T, dtype=torch.float64)
+        f = torch.outer(t, inv)
+        cos = torch.cos(f).float()[:, None, :]
+        sin = torch.sin(f).float()[:, None, :]
+        x1, x2 = x[..., : Dh // 2], x[..., Dh // 2:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1)
+
+    def ref_step(ids):
+        import torch
+
+        x = sd["model.embed_tokens.weight"][ids] * 12.0
+        T = x.shape[0]
+        causal = torch.tril(torch.ones(T, T, dtype=torch.bool))
+        for i in range(L):
+            p = f"model.layers.{i}"
+            h = _rms_t(x, sd[f"{p}.input_layernorm.weight"])
+            q = (h @ sd[f"{p}.self_attn.q_proj.weight"].T).reshape(T, Hq, D)
+            k = (h @ sd[f"{p}.self_attn.k_proj.weight"].T).reshape(T, Hkv, D)
+            v = (h @ sd[f"{p}.self_attn.v_proj.weight"].T).reshape(T, Hkv, D)
+            q, k = rope_t(q, 0), rope_t(k, 0)
+            k = k.repeat_interleave(Hq // Hkv, dim=1)
+            v = v.repeat_interleave(Hq // Hkv, dim=1)
+            s = torch.einsum("thd,chd->htc", q, k) * D**-0.5
+            s = s.masked_fill(~causal[None], float("-inf"))
+            o = torch.einsum("htc,chd->thd", torch.softmax(s, -1), v)
+            o = o.reshape(T, Hq * D) @ sd[f"{p}.self_attn.o_proj.weight"].T
+            x = x + o * scale_res
+            h2 = _rms_t(x, sd[f"{p}.post_attention_layernorm.weight"])
+            gate = torch.nn.functional.silu(h2 @ sd[f"{p}.mlp.gate_proj.weight"].T)
+            up = h2 @ sd[f"{p}.mlp.up_proj.weight"].T
+            x = x + ((gate * up) @ sd[f"{p}.mlp.down_proj.weight"].T) * scale_res
+        logits = (
+            _rms_t(x[-1], sd["model.norm.weight"])
+            @ sd["model.embed_tokens.weight"].T
+        ) * (32.0 / Dm)
+        return int(logits.argmax())
+
+    import torch
+
+    ids = list(PROMPT)
+    ref = []
+    with torch.no_grad():
+        for _ in range(10):
+            nxt = ref_step(torch.tensor(ids))
+            ref.append(nxt)
+            ids.append(nxt)
+    assert _engine_greedy(d, PROMPT, 10) == ref
+
+
+def test_grok1_parity_handrolled():
+    """Grok-1 vs a hand-rolled torch forward: sandwich norms, tanh attention
+    softcap 30, router softcap->softmax->top2 (no renorm), exact-GELU
+    experts, embedding/output multipliers (reference grok.py:107-116,
+    218-226,353-409,456,640-644)."""
+    import torch
+
+    L, Hq, Hkv, D, Dm, E, I, V = 2, 4, 2, 16, 64, 4, 32, 512
+    rng = np.random.RandomState(7)
+
+    def t(*shape, scale=0.05):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * scale)
+
+    w = {
+        "model.embed_tokens.weight": t(V, Dm, scale=0.5),
+        "model.norm.weight": torch.ones(Dm) + t(Dm, scale=0.1),
+        "lm_head.weight": t(V, Dm, scale=0.5),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for n in ("pre_attn_norm", "post_attn_norm", "pre_moe_norm",
+                  "post_moe_norm"):
+            w[f"{p}.{n}.weight"] = torch.ones(Dm) + t(Dm, scale=0.1)
+        w[f"{p}.self_attn.q_proj.weight"] = t(Hq * D, Dm)
+        w[f"{p}.self_attn.k_proj.weight"] = t(Hkv * D, Dm)
+        w[f"{p}.self_attn.v_proj.weight"] = t(Hkv * D, Dm)
+        w[f"{p}.self_attn.o_proj.weight"] = t(Dm, Hq * D)
+        w[f"{p}.block_sparse_moe.gate.weight"] = t(E, Dm, scale=0.5)
+        for e in range(E):
+            w[f"{p}.block_sparse_moe.experts.{e}.w1.weight"] = t(I, Dm)
+            w[f"{p}.block_sparse_moe.experts.{e}.w3.weight"] = t(I, Dm)
+            w[f"{p}.block_sparse_moe.experts.{e}.w2.weight"] = t(Dm, I)
+    cfg = {
+        "architectures": ["Grok1ForCausalLM"],
+        "model_type": "grok-1",
+        "hidden_size": Dm, "intermediate_size": I, "num_hidden_layers": L,
+        "num_attention_heads": Hq, "num_key_value_heads": Hkv, "head_dim": D,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+        "moe_intermediate_size": I,
+        "vocab_size": V, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "attn_logit_softcapping": 30.0, "router_logit_softcapping": 30.0,
+        "embedding_multiplier_scale": 2.0, "output_multiplier_scale": 0.5,
+        "tie_word_embeddings": False, "eos_token_id": 2,
+        "torch_dtype": "float32",
+    }
+    d = _write_foreign("tiny_grok_", cfg, w)
+
+    def rope_t(x):
+        T, H, Dh = x.shape
+        inv = 1.0 / (10000.0 ** (torch.arange(0, Dh, 2, dtype=torch.float64) / Dh))
+        tt = torch.arange(T, dtype=torch.float64)
+        f = torch.outer(tt, inv)
+        cos = torch.cos(f).float()[:, None, :]
+        sin = torch.sin(f).float()[:, None, :]
+        x1, x2 = x[..., : Dh // 2], x[..., Dh // 2:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1)
+
+    def ref_step(ids):
+        x = w["model.embed_tokens.weight"][ids] * 2.0
+        T = x.shape[0]
+        causal = torch.tril(torch.ones(T, T, dtype=torch.bool))
+        for i in range(L):
+            p = f"model.layers.{i}"
+            h = _rms_t(x, w[f"{p}.pre_attn_norm.weight"])
+            q = rope_t((h @ w[f"{p}.self_attn.q_proj.weight"].T).reshape(T, Hq, D))
+            k = rope_t((h @ w[f"{p}.self_attn.k_proj.weight"].T).reshape(T, Hkv, D))
+            v = (h @ w[f"{p}.self_attn.v_proj.weight"].T).reshape(T, Hkv, D)
+            k = k.repeat_interleave(Hq // Hkv, dim=1)
+            v = v.repeat_interleave(Hq // Hkv, dim=1)
+            s = torch.einsum("thd,chd->htc", q, k) * D**-0.5
+            s = 30.0 * torch.tanh(s / 30.0)
+            s = s.masked_fill(~causal[None], float("-inf"))
+            o = torch.einsum("htc,chd->thd", torch.softmax(s, -1), v)
+            o = o.reshape(T, Hq * D) @ w[f"{p}.self_attn.o_proj.weight"].T
+            x = x + _rms_t(o, w[f"{p}.post_attn_norm.weight"])
+            h2 = _rms_t(x, w[f"{p}.pre_moe_norm.weight"])
+            logits = h2 @ w[f"{p}.block_sparse_moe.gate.weight"].T
+            logits = 30.0 * torch.tanh(logits / 30.0)
+            probs = torch.softmax(logits, dim=-1)
+            topw, topi = probs.topk(2, dim=-1)  # no renormalize
+            moe = torch.zeros_like(h2)
+            for e in range(E):
+                g = torch.nn.functional.gelu(
+                    h2 @ w[f"{p}.block_sparse_moe.experts.{e}.w1.weight"].T,
+                    approximate="none",
+                )
+                u = h2 @ w[f"{p}.block_sparse_moe.experts.{e}.w3.weight"].T
+                out_e = (g * u) @ w[f"{p}.block_sparse_moe.experts.{e}.w2.weight"].T
+                sel = (topi == e).float() * topw
+                moe = moe + sel.sum(-1, keepdim=True) * out_e
+            x = x + _rms_t(moe, w[f"{p}.post_moe_norm.weight"])
+        logits = (
+            _rms_t(x[-1], w["model.norm.weight"]) @ w["lm_head.weight"].T
+        ) * 0.5
+        return int(logits.argmax())
+
+    import torch as _torch
+
+    ids = list(PROMPT)
+    ref = []
+    with _torch.no_grad():
+        for _ in range(10):
+            nxt = ref_step(_torch.tensor(ids))
+            ref.append(nxt)
+            ids.append(nxt)
+    assert _engine_greedy(d, PROMPT, 10) == ref
+
+
+def test_minicpm3_mla_parity_handrolled():
+    """MiniCPM3: deepseek MLA attention in an all-dense body with the
+    MiniCPM mup scalings (reference minicpm3.py:96-260,291,331-340,425)."""
+    import torch
+
+    L, H, Dm, V = 2, 4, 64, 512
+    nope, rope, kv_lora, q_lora, I = 16, 8, 32, 32, 128
+    vdim = Dm // H  # reference :291
+    qk = nope + rope
+    rng = np.random.RandomState(11)
+
+    def t(*shape, scale=0.05):
+        return torch.tensor(rng.randn(*shape).astype(np.float32) * scale)
+
+    w = {
+        "model.embed_tokens.weight": t(V, Dm, scale=0.5),
+        "model.norm.weight": torch.ones(Dm) + t(Dm, scale=0.1),
+        "lm_head.weight": t(V, Dm, scale=0.5),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}"
+        w[f"{p}.input_layernorm.weight"] = torch.ones(Dm) + t(Dm, scale=0.1)
+        w[f"{p}.post_attention_layernorm.weight"] = torch.ones(Dm) + t(Dm, scale=0.1)
+        w[f"{p}.self_attn.q_a_proj.weight"] = t(q_lora, Dm)
+        w[f"{p}.self_attn.q_a_layernorm.weight"] = torch.ones(q_lora) + t(q_lora, scale=0.1)
+        w[f"{p}.self_attn.q_b_proj.weight"] = t(H * qk, q_lora)
+        w[f"{p}.self_attn.kv_a_proj_with_mqa.weight"] = t(kv_lora + rope, Dm)
+        w[f"{p}.self_attn.kv_a_layernorm.weight"] = torch.ones(kv_lora) + t(kv_lora, scale=0.1)
+        w[f"{p}.self_attn.kv_b_proj.weight"] = t(H * (nope + vdim), kv_lora)
+        w[f"{p}.self_attn.o_proj.weight"] = t(Dm, H * vdim)
+        w[f"{p}.mlp.gate_proj.weight"] = t(I, Dm)
+        w[f"{p}.mlp.up_proj.weight"] = t(I, Dm)
+        w[f"{p}.mlp.down_proj.weight"] = t(Dm, I)
+    cfg = {
+        "architectures": ["MiniCPM3ForCausalLM"],
+        "model_type": "minicpm3",
+        "hidden_size": Dm, "intermediate_size": I, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": H,
+        "qk_nope_head_dim": nope, "qk_rope_head_dim": rope,
+        "kv_lora_rank": kv_lora, "q_lora_rank": q_lora,
+        "vocab_size": V, "max_position_embeddings": 512,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "scale_emb": 12.0, "scale_depth": 1.4, "dim_model_base": 32,
+        "tie_word_embeddings": False, "eos_token_id": 2,
+        "torch_dtype": "float32",
+    }
+    d = _write_foreign("tiny_mcpm3_", cfg, w)
+    scale_res = 1.4 / (L ** 0.5)
+
+    def rope_t(x):
+        # x: [T, Hn, rope] (neox pairs over the rope dims)
+        T, Hn, Dh = x.shape
+        inv = 1.0 / (10000.0 ** (torch.arange(0, Dh, 2, dtype=torch.float64) / Dh))
+        tt = torch.arange(T, dtype=torch.float64)
+        f = torch.outer(tt, inv)
+        cos = torch.cos(f).float()[:, None, :]
+        sin = torch.sin(f).float()[:, None, :]
+        x1, x2 = x[..., : Dh // 2], x[..., Dh // 2:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1)
+
+    def ref_step(ids):
+        x = w["model.embed_tokens.weight"][ids] * 12.0
+        T = x.shape[0]
+        causal = torch.tril(torch.ones(T, T, dtype=torch.bool))
+        for i in range(L):
+            p = f"{'model.layers.'}{i}"
+            h = _rms_t(x, w[f"{p}.input_layernorm.weight"])
+            qa = _rms_t(h @ w[f"{p}.self_attn.q_a_proj.weight"].T,
+                        w[f"{p}.self_attn.q_a_layernorm.weight"])
+            q = (qa @ w[f"{p}.self_attn.q_b_proj.weight"].T).reshape(T, H, qk)
+            q_nope, q_rope = q[..., :nope], q[..., nope:]
+            kva = h @ w[f"{p}.self_attn.kv_a_proj_with_mqa.weight"].T
+            lora = _rms_t(kva[:, :kv_lora], w[f"{p}.self_attn.kv_a_layernorm.weight"])
+            k_rope = kva[:, kv_lora:].reshape(T, 1, rope)
+            kv = (lora @ w[f"{p}.self_attn.kv_b_proj.weight"].T).reshape(
+                T, H, nope + vdim
+            )
+            k_nope, v = kv[..., :nope], kv[..., nope:]
+            q_rope, k_rope = rope_t(q_rope), rope_t(k_rope)
+            k = torch.cat([k_nope, k_rope.expand(T, H, rope)], dim=-1)
+            qfull = torch.cat([q_nope, q_rope], dim=-1)
+            s = torch.einsum("thd,chd->htc", qfull, k) * qk**-0.5
+            s = s.masked_fill(~causal[None], float("-inf"))
+            o = torch.einsum("htc,chd->thd", torch.softmax(s, -1), v)
+            o = o.reshape(T, H * vdim) @ w[f"{p}.self_attn.o_proj.weight"].T
+            x = x + o * scale_res
+            h2 = _rms_t(x, w[f"{p}.post_attention_layernorm.weight"])
+            gate = torch.nn.functional.silu(h2 @ w[f"{p}.mlp.gate_proj.weight"].T)
+            up = h2 @ w[f"{p}.mlp.up_proj.weight"].T
+            x = x + ((gate * up) @ w[f"{p}.mlp.down_proj.weight"].T) * scale_res
+        logits = (
+            _rms_t(x[-1], w["model.norm.weight"]) @ w["lm_head.weight"].T
+        ) * (32.0 / Dm)
+        return int(logits.argmax())
+
+    ids = list(PROMPT)
+    ref = []
+    with torch.no_grad():
+        for _ in range(10):
+            nxt = ref_step(torch.tensor(ids))
+            ref.append(nxt)
+            ids.append(nxt)
+    assert _engine_greedy(d, PROMPT, 10) == ref
