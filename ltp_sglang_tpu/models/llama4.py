@@ -341,6 +341,14 @@ class Llama4ForCausalLM(LlamaForCausalLM):
                 all_logits=False, lora=None, return_hidden=False):
         cfg = self.config
         hidden = params["embed"]["weight"][step.input_ids]
+        if step.mm_embeds is not None:
+            # VLM embedding injection (models/llama.py forward): placeholder
+            # positions take the projected image embeddings.
+            hidden = jnp.where(
+                step.mm_mask[:, :, None],
+                step.mm_embeds.astype(hidden.dtype),
+                hidden,
+            )
         L = cfg.num_layers
         moe_set = set(self.moe_layers)
         tok_valid = (
@@ -411,3 +419,273 @@ class Llama4ForCausalLM(LlamaForCausalLM):
             return hidden, k_cache, v_cache
         logits = self._lm_head(params, hidden, step, all_logits)
         return logits, k_cache, v_cache
+
+
+class Llama4ForConditionalGeneration(Llama4ForCausalLM):
+    """Llama-4 VLM (the reference's mllama4.py): Llama4VisionModel tower —
+    unfold-conv patch embed, CLS appended LAST, learned position embeddings,
+    2D rotary (x/y coords, interleaved complex pairs, zeroed for CLS),
+    pre-norm ViT layers with q/k/v/o+fc biases — then layernorm_post, drop
+    CLS, HF pixel_shuffle, the vision_adapter MLP (fc1-gelu-fc2-gelu, no
+    bias) and the bias-free multi_modal_projector into the text stream.
+    Verified against transformers modeling_llama4.py:677-1120.
+
+    Served at a fixed square resolution (vision_config.image_size) through
+    the generic multimodal pipeline, like the other towers here."""
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        hf = config.hf_config
+        vc = hf.get("vision_config", {})
+        self.vc = vc
+        self.v_img = int(vc.get("image_size", 336))
+        self.v_patch = int(vc.get("patch_size", 14))
+        self.v_dim = int(vc.get("hidden_size", 1408))
+        self.v_heads = int(vc.get("num_attention_heads", 16))
+        self.v_layers = int(vc.get("num_hidden_layers", 34))
+        self.v_inter = int(vc.get("intermediate_size", 5632))
+        self.v_ratio = float(vc.get("pixel_shuffle_ratio", 0.5))
+        self.v_theta = float(vc.get("rope_theta", 10000))
+        self.v_eps = float(vc.get("norm_eps", 1e-5))
+        self.proj_in = int(vc.get("projector_input_dim", 4096))
+        self.proj_out = int(vc.get("projector_output_dim", 4096))
+        self.image_token_index = hf.get("image_token_index", 200092)
+        self.fixed_image_size = self.v_img
+        side = self.v_img // self.v_patch
+        self.num_image_tokens = int((side * side) * self.v_ratio * self.v_ratio)
+        # 2D vision rope (modeling_llama4.py:982-1002): coords+1 scaled by
+        # the per-dim frequencies, x|y halves subsampled [::2], CLS zeroed.
+        hd = self.v_dim // self.v_heads
+        img_idx = np.arange(side * side, dtype=np.int64).reshape(-1, 1)
+        img_idx = np.concatenate([img_idx, img_idx[:1]], axis=0)
+        img_idx[-1, -1] = -2  # CLS marker
+        fx = img_idx % side
+        fy = img_idx // side
+        freq_dim = hd // 2
+        rope_freq = 1.0 / (
+            self.v_theta
+            ** (
+                np.arange(0, freq_dim, 2, dtype=np.float64)[: freq_dim // 2]
+                / freq_dim
+            )
+        )
+        freqs_x = np.repeat((fx + 1)[..., None] * rope_freq[None, None, :], 2, -1)
+        freqs_y = np.repeat((fy + 1)[..., None] * rope_freq[None, None, :], 2, -1)
+        freqs = np.concatenate([freqs_x, freqs_y], axis=-1)[..., ::2]
+        freqs = np.where(img_idx.reshape(-1, 1, 1) < 0, 0.0, freqs)
+        freqs = freqs[:, 0, :]  # [T+1, hd/2]
+        self.v_rope_cos = jnp.asarray(np.cos(freqs), jnp.float32)
+        self.v_rope_sin = jnp.asarray(np.sin(freqs), jnp.float32)
+
+    # ------------------------------------------------------------ parameters
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        params = super().init_params(seed)
+        rng = np.random.RandomState(seed + 17)
+        Dv, Iv, Hl = self.v_dim, self.v_inter, self.v_layers
+        side = self.v_img // self.v_patch
+        T = side * side + 1
+
+        def lin(K, N, bias=True):
+            p = {"kernel": jnp.asarray(
+                rng.randn(Hl, K, N).astype(np.float32) * 0.02, self.dtype)}
+            if bias:
+                p["bias"] = jnp.zeros((Hl, N), self.dtype)
+            return p
+
+        sh_ch = int(Dv / (self.v_ratio * self.v_ratio))
+        params["vision"] = {
+            "patch": {"kernel": jnp.asarray(
+                rng.randn(3 * self.v_patch ** 2, Dv).astype(np.float32) * 0.02,
+                self.dtype)},
+            "cls": jnp.zeros((Dv,), self.dtype),
+            "pos": jnp.zeros((T, Dv), self.dtype),
+            "ln_pre_w": jnp.ones((Dv,), self.dtype),
+            "ln_pre_b": jnp.zeros((Dv,), self.dtype),
+            "ln_post_w": jnp.ones((Dv,), self.dtype),
+            "ln_post_b": jnp.zeros((Dv,), self.dtype),
+            "layers": {
+                "q_proj": lin(Dv, Dv), "k_proj": lin(Dv, Dv),
+                "v_proj": lin(Dv, Dv), "o_proj": lin(Dv, Dv),
+                "fc1": lin(Dv, Iv), "fc2": lin(Iv, Dv),
+                "ln1_w": jnp.ones((Hl, Dv), self.dtype),
+                "ln1_b": jnp.zeros((Hl, Dv), self.dtype),
+                "ln2_w": jnp.ones((Hl, Dv), self.dtype),
+                "ln2_b": jnp.zeros((Hl, Dv), self.dtype),
+            },
+            "adapter_fc1": {"kernel": jnp.asarray(
+                rng.randn(sh_ch, self.proj_in).astype(np.float32) * 0.02,
+                self.dtype)},
+            "adapter_fc2": {"kernel": jnp.asarray(
+                rng.randn(self.proj_out, self.proj_out).astype(np.float32) * 0.02,
+                self.dtype)},
+        }
+        params["projector"] = {"kernel": jnp.asarray(
+            rng.randn(self.proj_out, self.config.hidden_size).astype(np.float32)
+            * 0.02, self.dtype)}
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        specs = super().param_specs()
+        probe = self.init_params(0)
+        for key in ("vision", "projector"):
+            specs[key] = jax.tree.map(
+                lambda a: P(*([None] * a.ndim)), probe[key]
+            )
+        return specs
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        lm_weights = {}
+        for name, wv in weights.items():
+            if name.startswith("language_model."):
+                lm_weights[name[len("language_model."):]] = wv
+            elif name.startswith("model.language_model."):
+                lm_weights["model." + name[len("model.language_model."):]] = wv
+        if "lm_head.weight" in weights:
+            lm_weights["lm_head.weight"] = weights["lm_head.weight"]
+        params = super().convert_hf_weights(lm_weights)
+
+        def g(n):
+            for pref in ("vision_model.", "model.vision_model."):
+                if pref + n in weights:
+                    return np.asarray(weights[pref + n])
+            raise KeyError(n)
+
+        Hl = self.v_layers
+
+        def stack_lin(sub):
+            return {
+                "kernel": jnp.asarray(
+                    np.stack(
+                        [g(f"model.layers.{i}.{sub}.weight").T for i in range(Hl)]
+                    ), self.dtype),
+                "bias": jnp.asarray(
+                    np.stack(
+                        [g(f"model.layers.{i}.{sub}.bias") for i in range(Hl)]
+                    ), self.dtype),
+            }
+
+        def stack_vec(sub):
+            return jnp.asarray(
+                np.stack([g(f"model.layers.{i}.{sub}") for i in range(Hl)]),
+                self.dtype,
+            )
+
+        params["vision"] = {
+            "patch": {"kernel": jnp.asarray(
+                g("patch_embedding.linear.weight").T, self.dtype)},
+            "cls": jnp.asarray(g("class_embedding"), self.dtype),
+            "pos": jnp.asarray(g("positional_embedding_vlm"), self.dtype),
+            "ln_pre_w": jnp.asarray(g("layernorm_pre.weight"), self.dtype),
+            "ln_pre_b": jnp.asarray(g("layernorm_pre.bias"), self.dtype),
+            "ln_post_w": jnp.asarray(g("layernorm_post.weight"), self.dtype),
+            "ln_post_b": jnp.asarray(g("layernorm_post.bias"), self.dtype),
+            "layers": {
+                "q_proj": stack_lin("self_attn.q_proj"),
+                "k_proj": stack_lin("self_attn.k_proj"),
+                "v_proj": stack_lin("self_attn.v_proj"),
+                "o_proj": stack_lin("self_attn.o_proj"),
+                "fc1": stack_lin("mlp.fc1"),
+                "fc2": stack_lin("mlp.fc2"),
+                "ln1_w": stack_vec("input_layernorm.weight"),
+                "ln1_b": stack_vec("input_layernorm.bias"),
+                "ln2_w": stack_vec("post_attention_layernorm.weight"),
+                "ln2_b": stack_vec("post_attention_layernorm.bias"),
+            },
+            "adapter_fc1": {"kernel": jnp.asarray(
+                g("vision_adapter.mlp.fc1.weight").T, self.dtype)},
+            "adapter_fc2": {"kernel": jnp.asarray(
+                g("vision_adapter.mlp.fc2.weight").T, self.dtype)},
+        }
+
+        def pj(n):
+            for pref in ("multi_modal_projector.", "model.multi_modal_projector."):
+                if pref + n in weights:
+                    return np.asarray(weights[pref + n])
+            raise KeyError(n)
+
+        params["projector"] = {
+            "kernel": jnp.asarray(pj("linear_1.weight").T, self.dtype)
+        }
+        return params
+
+    # ---------------------------------------------------------------- vision
+    def encode_images(self, params, pixel_values):
+        """[N, 3, S, S] -> projected embeddings [N, num_image_tokens, Dm]."""
+
+        def ln(x, w, b):
+            x32 = x.astype(jnp.float32)
+            mu = x32.mean(-1, keepdims=True)
+            var = x32.var(-1, keepdims=True)
+            return (((x32 - mu) * jax.lax.rsqrt(var + self.v_eps)) * w + b).astype(
+                x.dtype
+            )
+
+        vp = params["vision"]
+        N = pixel_values.shape[0]
+        P_, side = self.v_patch, self.v_img // self.v_patch
+        Dv, nh = self.v_dim, self.v_heads
+        hd = Dv // nh
+        # Unfold + linear (modeling_llama4.py:962-979): channel-major
+        # (c, ph, pw) patch flattening, row-major patch order.
+        x = pixel_values.astype(jnp.float32).reshape(N, 3, side, P_, side, P_)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(N, side * side, 3 * P_ * P_)
+        h = (x @ vp["patch"]["kernel"].astype(jnp.float32)).astype(self.dtype)
+        h = jnp.concatenate(
+            [h, jnp.broadcast_to(vp["cls"][None, None], (N, 1, Dv))], axis=1
+        )
+        h = h + vp["pos"][None]
+        h = ln(h, vp["ln_pre_w"], vp["ln_pre_b"])
+
+        cos = self.v_rope_cos[None, :, None, :]  # [1, T, 1, hd/2]
+        sin = self.v_rope_sin[None, :, None, :]
+
+        def rot(x):
+            x1, x2 = x[..., ::2], x[..., 1::2]
+            out = jnp.stack(
+                [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+            )
+            return out.reshape(x.shape).astype(x.dtype)
+
+        def layer(h, lp):
+            T = h.shape[1]
+            hn = ln(h, lp["ln1_w"], lp["ln1_b"])
+            q = (hn @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"]).reshape(
+                N, T, nh, hd
+            )
+            k = (hn @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"]).reshape(
+                N, T, nh, hd
+            )
+            v = (hn @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"]).reshape(
+                N, T, nh, hd
+            )
+            q, k = rot(q.astype(jnp.float32)), rot(k.astype(jnp.float32))
+            s = jnp.einsum(
+                "bthd,bchd->bhtc", q, k, preferred_element_type=jnp.float32
+            ) * (hd ** -0.5)
+            probs = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum(
+                "bhtc,bchd->bthd", probs, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).reshape(N, T, Dv).astype(h.dtype)
+            h = h + (o @ lp["o_proj"]["kernel"] + lp["o_proj"]["bias"])
+            hn2 = ln(h, lp["ln2_w"], lp["ln2_b"])
+            m = jax.nn.gelu(
+                hn2 @ lp["fc1"]["kernel"] + lp["fc1"]["bias"], approximate=False
+            )
+            h = h + (m @ lp["fc2"]["kernel"] + lp["fc2"]["bias"])
+            return h, None
+
+        h, _ = jax.lax.scan(layer, h, vp["layers"])
+        h = ln(h, vp["ln_post_w"], vp["ln_post_b"])
+        h = h[:, :-1, :]  # drop CLS
+        # HF pixel_shuffle (modeling_llama4.py:708-725), r = shuffle ratio.
+        r = self.v_ratio
+        s1 = side
+        h = h.reshape(N, s1, int(s1 * r), int(Dv / r))
+        h = h.transpose(0, 2, 1, 3)
+        h = h.reshape(N, int(s1 * r), int(s1 * r), int(Dv / (r * r)))
+        h = h.transpose(0, 2, 1, 3)
+        h = h.reshape(N, int(s1 * s1 * r * r), int(Dv / (r * r)))
+        h = jax.nn.gelu(h @ vp["adapter_fc1"]["kernel"], approximate=False)
+        h = jax.nn.gelu(h @ vp["adapter_fc2"]["kernel"], approximate=False)
+        return h @ params["projector"]["kernel"]

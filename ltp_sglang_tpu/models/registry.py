@@ -29,6 +29,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "Qwen3MoeForCausalLM": ("ltp_sglang_tpu.models.qwen3_moe", "Qwen3MoeForCausalLM"),
     "MixtralForCausalLM": ("ltp_sglang_tpu.models.mixtral", "MixtralForCausalLM"),
     "Llama4ForCausalLM": ("ltp_sglang_tpu.models.llama4", "Llama4ForCausalLM"),
+    "Llama4ForConditionalGeneration": (
+        "ltp_sglang_tpu.models.llama4", "Llama4ForConditionalGeneration"
+    ),
     "GptOssForCausalLM": ("ltp_sglang_tpu.models.gpt_oss", "GptOssForCausalLM"),
     "DeepseekV2ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),
     "DeepseekV3ForCausalLM": ("ltp_sglang_tpu.models.deepseek_v2", "DeepseekV2ForCausalLM"),

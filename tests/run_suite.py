@@ -81,6 +81,7 @@ AUX = [
     ("test_qwen2_audio.py", 20),
     ("test_internvl.py", 15),
     ("test_zoo_tail.py", 40),
+    ("test_llama4_vlm.py", 20),
 ]
 
 SUITES = {
