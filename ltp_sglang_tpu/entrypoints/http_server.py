@@ -863,6 +863,12 @@ class HttpServer:
                     if isinstance(p, dict) and p.get("type") == "image_url":
                         images.append(p["image_url"]["url"])
                         text += "<image>"
+                    elif isinstance(p, dict) and p.get("type") == "video_url":
+                        # Video chat (llava-next-video): the item may be a
+                        # frame-directory path or a list of frame URLs/b64;
+                        # MultimodalProcessor samples it to num_frames.
+                        images.append(p["video_url"]["url"])
+                        text += "<image>"
                     elif isinstance(p, dict):
                         text += p.get("text", "")
                 m = {**m, "content": text}

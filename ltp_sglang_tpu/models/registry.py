@@ -46,6 +46,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlavaLlamaForCausalLM": (
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),
+    "LlavaNextVideoForConditionalGeneration": (
+        "ltp_sglang_tpu.models.llavavid", "LlavaNextVideoForConditionalGeneration"
+    ),
+    "LlavaVidForCausalLM": (
+        "ltp_sglang_tpu.models.llavavid", "LlavaNextVideoForConditionalGeneration"
+    ),
     "Qwen2_5_VLForConditionalGeneration": (
         "ltp_sglang_tpu.models.qwen2_5_vl", "Qwen2_5_VLForConditionalGeneration"
     ),

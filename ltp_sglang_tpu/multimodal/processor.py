@@ -107,6 +107,33 @@ class ClipImagePreprocessor:
         return arr.transpose(2, 0, 1)  # [3, C, C]
 
 
+def load_video(data, num_frames: int) -> List[np.ndarray]:
+    """-> exactly `num_frames` RGB uint8 frames (uniform temporal sampling;
+    short clips repeat their last frame).
+
+    Accepted inputs: a list/tuple of frames (each anything `load_image`
+    takes), a [T, H, W, 3] ndarray, a directory of frame images (sorted),
+    or a single image (served as a 1-frame clip). Compressed video
+    containers are not decoded here (no codec dependency in this image) —
+    decode upstream (reference processors also receive decoded frames)."""
+    if isinstance(data, np.ndarray) and data.ndim == 4:
+        frames = [data[i] for i in range(data.shape[0])]
+    elif isinstance(data, (list, tuple)):
+        frames = [load_image(f) for f in data]
+    elif isinstance(data, str) and os.path.isdir(data):
+        names = sorted(
+            n for n in os.listdir(data)
+            if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp"))
+        )
+        frames = [load_image(os.path.join(data, n)) for n in names]
+    else:
+        frames = [load_image(data)]
+    if not frames:
+        raise ValueError("video input decoded to zero frames")
+    idx = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
+    return [np.asarray(frames[i], np.uint8) for i in idx]
+
+
 def hash_feature(feature: np.ndarray) -> int:
     return int.from_bytes(
         hashlib.sha256(np.ascontiguousarray(feature).tobytes()).digest()[:8],
@@ -148,6 +175,8 @@ class MultimodalProcessor:
         self.image_token_index = model.image_token_index
         self.num_image_tokens = model.num_image_tokens
         self.audio_modality = bool(getattr(model, "audio_modality", False))
+        self.video_modality = bool(getattr(model, "video_modality", False))
+        self.num_frames = int(getattr(model, "num_frames", 0) or 0)
         if self.audio_modality:
             self.audio_preprocessor = WhisperMelPreprocessor(
                 n_mel=getattr(model, "n_mel", 128),
@@ -182,6 +211,9 @@ class MultimodalProcessor:
                 continue
             if self.audio_modality:
                 feature = self.audio_preprocessor(images[img_i])
+            elif self.video_modality:
+                frames = load_video(images[img_i], self.num_frames)
+                feature = np.stack([self.preprocessor(f) for f in frames])
             else:
                 feature = self.preprocessor(load_image(images[img_i]))
             pad = self.vocab_size + hash_feature(feature) % (1 << 30)

@@ -82,6 +82,7 @@ AUX = [
     ("test_internvl.py", 15),
     ("test_zoo_tail.py", 40),
     ("test_llama4_vlm.py", 20),
+    ("test_llavavid.py", 20),
 ]
 
 SUITES = {
