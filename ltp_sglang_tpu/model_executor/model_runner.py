@@ -248,7 +248,9 @@ class ModelRunner:
                 mesh_ctx, table_merge_window_pallas, 4
             )
 
-        model_cls = resolve_model_cls(model_config.architectures)
+        model_cls = resolve_model_cls(
+            model_config.architectures, model_config.hf_config
+        )
         self.model = model_cls(
             model_config,
             kv_write_impl=kv_write_impl,

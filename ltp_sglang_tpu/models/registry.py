@@ -161,10 +161,21 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
 }
 
 
-def resolve_model_cls(architectures):
+def resolve_model_cls(architectures, hf_config=None):
     for arch in architectures:
         if arch in _MODEL_REGISTRY:
             module_name, cls_name = _MODEL_REGISTRY[arch]
+            # Pixtral ships under the generic LlavaForConditionalGeneration
+            # arch; the tower type lives in vision_config (reference
+            # model_config.py resolves the same way).
+            if (
+                cls_name == "LlavaForConditionalGeneration"
+                and isinstance(hf_config, dict)
+                and hf_config.get("vision_config", {}).get("model_type")
+                == "pixtral"
+            ):
+                module_name = "ltp_sglang_tpu.models.pixtral"
+                cls_name = "PixtralLlavaForConditionalGeneration"
             module = importlib.import_module(module_name)
             return getattr(module, cls_name)
     raise ValueError(

@@ -83,6 +83,7 @@ AUX = [
     ("test_zoo_tail.py", 40),
     ("test_llama4_vlm.py", 20),
     ("test_llavavid.py", 20),
+    ("test_pixtral.py", 15),
 ]
 
 SUITES = {
