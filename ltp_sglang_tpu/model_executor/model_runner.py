@@ -726,6 +726,11 @@ class ModelRunner:
             lw is not None
             and getattr(self.model, "swa_pool_capable", False)
             and not self.server_args.disable_swa_memory_pool
+            # Embedding/classification serving pools trunk hidden states
+            # through _build_embed_fn, which is not wired for the SWA ring
+            # caches — run those models on full-length KV (the ring is only
+            # a memory optimization; window masks still apply).
+            and not getattr(self.model, "is_classification", False)
             and (np.asarray(lw) < cfg.context_len).any()
         ):
             lw = np.asarray(lw)
@@ -1211,6 +1216,14 @@ class ModelRunner:
         Pooling kind comes from hf_config.pooling_type / classifier_pooling
         ("last" default — matches decoder-LM embedding models like
         e5-mistral; "mean" for mean-pooled models)."""
+        if self.swa_enabled:
+            # The embed step runs the trunk without the SWA ring caches and
+            # would silently mispool; classification models disable the ring
+            # at init — encoding a generative SWA model needs the flag.
+            raise ValueError(
+                "embedding/encode is not wired for the SWA memory pool; "
+                "relaunch with --disable-swa-memory-pool"
+            )
         self._flush_dirty_rows()
         B, E = fb.input_ids.shape
         C = fb.kv_bucket

@@ -2,10 +2,11 @@
 path (pool last token, then apply the score head).
 
 Reference: python/sglang/srt/models/{llama_classification,
-qwen2_classification, qwen2_rm}.py — all reuse the causal trunk and return
-EmbeddingPoolerOutput(scores); here the score head is applied after pooling
-inside the jitted embed step (model_runner._build_embed_fn), which is
-equivalent for last-token pooling since the head is per-position linear.
+qwen2_classification, qwen2_rm, gemma2_reward, internlm2_reward}.py — all
+reuse the causal trunk and return EmbeddingPoolerOutput(scores); here the
+score head is applied after pooling inside the jitted embed step
+(model_runner._build_embed_fn), which is equivalent for last-token pooling
+since the head is per-position linear.
 """
 
 from __future__ import annotations
@@ -16,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from ltp_sglang_tpu.models.gemma2 import Gemma2ForCausalLM
+from ltp_sglang_tpu.models.internlm2 import InternLM2ForCausalLM
 from ltp_sglang_tpu.models.llama import LlamaForCausalLM
 from ltp_sglang_tpu.models.qwen2 import Qwen2ForCausalLM
 
@@ -67,6 +70,31 @@ class Qwen2ForSequenceClassification(_ScoreHeadMixin, Qwen2ForCausalLM):
     def __init__(self, config, attn_impl=None, kv_write_impl=None):
         super().__init__(config, attn_impl, kv_write_impl)
         self._setup_head()
+
+
+class Gemma2ForSequenceClassification(_ScoreHeadMixin, Gemma2ForCausalLM):
+    """Reference models/gemma2_reward.py: gemma-2 trunk, last-token pool,
+    bias-free score head (num_labels)."""
+
+    def __init__(self, config, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        self._setup_head()
+
+
+class InternLM2ForRewardModel(_ScoreHeadMixin, InternLM2ForCausalLM):
+    """Reference models/internlm2_reward.py: internlm2 trunk with a
+    bias-free `v_head` [Dm, 1] over the last hidden state."""
+
+    def __init__(self, config, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        self._setup_head()
+        self.num_labels = 1
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        weights = dict(weights)
+        if "v_head.weight" in weights:
+            weights["score.weight"] = weights.pop("v_head.weight")
+        return super().convert_hf_weights(weights)
 
 
 class Qwen2ForRewardModel(Qwen2ForCausalLM):

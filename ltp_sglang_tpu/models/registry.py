@@ -142,6 +142,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "InternLM2ForCausalLM": (
         "ltp_sglang_tpu.models.internlm2", "InternLM2ForCausalLM"
     ),
+    "InternLM2ForRewardModel": (
+        "ltp_sglang_tpu.models.classification", "InternLM2ForRewardModel"
+    ),
+    "Gemma2ForSequenceClassification": (
+        "ltp_sglang_tpu.models.classification", "Gemma2ForSequenceClassification"
+    ),
     "BaichuanForCausalLM": ("ltp_sglang_tpu.models.baichuan", "BaichuanForCausalLM"),
     "BaiChuanForCausalLM": ("ltp_sglang_tpu.models.baichuan", "BaichuanForCausalLM"),
     "QWenLMHeadModel": ("ltp_sglang_tpu.models.qwen", "QWenLMHeadModel"),

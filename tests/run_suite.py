@@ -84,6 +84,7 @@ AUX = [
     ("test_llama4_vlm.py", 20),
     ("test_llavavid.py", 20),
     ("test_pixtral.py", 15),
+    ("test_reward_heads.py", 15),
 ]
 
 SUITES = {
