@@ -46,6 +46,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlavaLlamaForCausalLM": (
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),
+    "Idefics2ForConditionalGeneration": (
+        "ltp_sglang_tpu.models.idefics2", "Idefics2ForConditionalGeneration"
+    ),
     "LlavaNextVideoForConditionalGeneration": (
         "ltp_sglang_tpu.models.llavavid", "LlavaNextVideoForConditionalGeneration"
     ),

@@ -85,6 +85,7 @@ AUX = [
     ("test_llavavid.py", 20),
     ("test_pixtral.py", 15),
     ("test_reward_heads.py", 15),
+    ("test_idefics2.py", 15),
 ]
 
 SUITES = {
