@@ -162,6 +162,7 @@ class Scheduler:
         self.last_progress_time = time.time()
         self.last_decode_log_time = time.time()
         self._last_arrival = 0.0  # newest add_request time (prefill coalescing)
+        self._burst_start = None  # first arrival of the current idle burst
 
         self._rid_to_req: Dict[str, Req] = {}
         # In-flight pipelined decode window (see event_loop_step).
@@ -254,6 +255,8 @@ class Scheduler:
             req.eos_token_ids = self.eos_token_ids
         req.queued_time = time.time()
         self._last_arrival = req.queued_time
+        if self._burst_start is None:
+            self._burst_start = req.queued_time
         if req.lora_path:
             try:
                 req.lora_id = self.runner.lora_manager.resolve(req.lora_path)
@@ -402,6 +405,12 @@ class Scheduler:
             return True
         batch = self.get_next_batch_to_run()
         if batch is None:
+            if self.waiting_queue and self._should_defer_prefill():
+                # Idle-chip burst coalescing: the queue is non-empty but the
+                # burst is still landing — nap a fraction of the window and
+                # report progress so callers don't diagnose a stall.
+                time.sleep(self.server_args.prefill_coalesce_ms / 4000.0)
+                return True
             if self.grammar_queue:
                 # Only parked compile jobs remain: block briefly on the first
                 # future so the pump makes progress without hot-spinning.
@@ -705,9 +714,21 @@ class Scheduler:
         running = 0 if self.running_batch is None else self.running_batch.batch_size()
         if len(self.waiting_queue) + running >= max_running:
             return False
+        now = time.time()
         if self.running_batch is None or self.running_batch.is_empty():
-            return False
-        return (time.time() - self._last_arrival) < cms / 1000.0
+            # Idle chip: still hold while the burst is actively landing so
+            # its FIRST prefill is a full batch (a cold 64-request burst
+            # through HTTP otherwise trickle-admits: the r05 serving-tax
+            # decomposition showed decode windows starting with a partial
+            # batch while stragglers prefill). Bounded at 4x the window from
+            # the first arrival, so worst-case TTFT cost is a few ms.
+            if self._burst_start is None:
+                return False
+            return (
+                now - self._last_arrival < cms / 1000.0
+                and now - self._burst_start < 4 * cms / 1000.0
+            )
+        return (now - self._last_arrival) < cms / 1000.0
 
     def get_next_batch_to_run(self) -> Optional[ScheduleBatch]:
         # Try prefill first (prefill-priority policy, like the reference
@@ -785,6 +806,8 @@ class Scheduler:
             return None
         if not self.waiting_queue and self.chunked_req is None:
             return None
+        # Admission proceeds: the burst (if any) is over.
+        self._burst_start = None
 
         self.policy.calc_priority(self.waiting_queue)
 

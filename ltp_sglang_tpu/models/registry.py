@@ -46,6 +46,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "LlavaLlamaForCausalLM": (
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),
+    "ArceeForCausalLM": ("ltp_sglang_tpu.models.arcee", "ArceeForCausalLM"),
     "Idefics2ForConditionalGeneration": (
         "ltp_sglang_tpu.models.idefics2", "Idefics2ForConditionalGeneration"
     ),

@@ -8,6 +8,7 @@ import pytest
 
 from tiny_configs import (
     TINY_BLOOM_CFG,
+    TINY_LLAMA_CFG,
     TINY_COHERE_CFG,
     TINY_FALCON_CFG,
     TINY_GPT2_CFG,
@@ -433,10 +434,19 @@ TINY_STARCODER2_CFG = {
 }
 
 
+TINY_ARCEE_CFG = {
+    **{k: v for k, v in TINY_LLAMA_CFG.items()},
+    "architectures": ["ArceeForCausalLM"],
+    "model_type": "arcee",
+    "hidden_act": "relu2",
+}
+
+
 @pytest.mark.parametrize(
     "cfg",
-    [TINY_PHI3_CFG, TINY_QWEN2_MOE_CFG, TINY_GEMMA_CFG, TINY_STARCODER2_CFG],
-    ids=["phi3", "qwen2_moe", "gemma", "starcoder2"],
+    [TINY_PHI3_CFG, TINY_QWEN2_MOE_CFG, TINY_GEMMA_CFG, TINY_STARCODER2_CFG,
+     TINY_ARCEE_CFG],
+    ids=["phi3", "qwen2_moe", "gemma", "starcoder2", "arcee"],
 )
 def test_more_model_parity(cfg):
     import torch
