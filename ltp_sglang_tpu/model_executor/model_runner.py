@@ -1169,8 +1169,10 @@ class ModelRunner:
                 # Classification/reward head (models/classification.py):
                 # applied post-pooling (equivalent for last-token pooling).
                 sc = params["score"]
-                if "w0" in sc:  # qwen2_rm MLP head
-                    h = jax.nn.relu(pooled @ sc["w0"] + sc["b0"])
+                if "w0" in sc:  # MLP head (qwen2_rm relu / roberta tanh)
+                    act = (jnp.tanh if getattr(model, "score_act", "relu")
+                           == "tanh" else jax.nn.relu)
+                    h = act(pooled @ sc["w0"] + sc["b0"])
                     pooled = h @ sc["w2"] + sc["b2"]
                 else:
                     pooled = pooled @ sc["kernel"]

@@ -47,7 +47,7 @@ class BertModel:
         # xlm-roberta offsets positions by pad_token_id + 1.
         self.pos_offset = (
             hf.get("pad_token_id", 1) + 1
-            if hf.get("model_type") == "xlm-roberta" else 0
+            if hf.get("model_type") in ("xlm-roberta", "roberta") else 0
         )
         self.tie_word_embeddings = False
         self.rms_eps = 1e-6  # unused; llama-contract compatibility
@@ -200,3 +200,51 @@ class BertModel:
             "BertModel is encoder-only: use the encode/embedding API "
             "(reference models/bert.py serves it the same way)"
         )
+
+
+class XLMRobertaForSequenceClassification(BertModel):
+    """Cross-encoder reranker head (reference models/roberta.py
+    RobertaClassificationHead): CLS hidden -> dense -> tanh -> out_proj,
+    served through the embed step's MLP score-head slot with tanh."""
+
+    is_classification = True
+    score_act = "tanh"
+
+    def __init__(self, config: ModelConfig, attn_impl=None, kv_write_impl=None):
+        super().__init__(config, attn_impl, kv_write_impl)
+        self.num_labels = config.hf_config.get("num_labels", 1)
+        # The classifier reads the <s>/[CLS] position.
+        config.hf_config.setdefault("classifier_pooling", "cls")
+
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        params = super().init_params(seed)
+        Dm = self.config.hidden_size
+        params["score"] = {
+            "w0": jnp.zeros((Dm, Dm), jnp.float32),
+            "b0": jnp.zeros((Dm,), jnp.float32),
+            "w2": jnp.zeros((Dm, self.num_labels), jnp.float32),
+            "b2": jnp.zeros((self.num_labels,), jnp.float32),
+        }
+        return params
+
+    def param_specs(self) -> Dict[str, Any]:
+        specs = super().param_specs()
+        specs["score"] = {
+            "w0": P(None, None), "b0": P(None),
+            "w2": P(None, None), "b2": P(None),
+        }
+        return specs
+
+    def convert_hf_weights(self, weights: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        params = super().convert_hf_weights(weights)
+        params["score"] = {
+            "w0": jnp.asarray(
+                np.asarray(weights["classifier.dense.weight"]).T, jnp.float32),
+            "b0": jnp.asarray(
+                np.asarray(weights["classifier.dense.bias"]), jnp.float32),
+            "w2": jnp.asarray(
+                np.asarray(weights["classifier.out_proj.weight"]).T, jnp.float32),
+            "b2": jnp.asarray(
+                np.asarray(weights["classifier.out_proj.bias"]), jnp.float32),
+        }
+        return params

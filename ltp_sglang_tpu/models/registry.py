@@ -134,6 +134,10 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "BertModel": ("ltp_sglang_tpu.models.bert", "BertModel"),
     "BertForMaskedLM": ("ltp_sglang_tpu.models.bert", "BertModel"),
     "XLMRobertaModel": ("ltp_sglang_tpu.models.bert", "BertModel"),
+    "RobertaModel": ("ltp_sglang_tpu.models.bert", "BertModel"),
+    "XLMRobertaForSequenceClassification": (
+        "ltp_sglang_tpu.models.bert", "XLMRobertaForSequenceClassification"
+    ),
     "LlamaForSequenceClassification": (
         "ltp_sglang_tpu.models.classification", "LlamaForSequenceClassification"
     ),

@@ -104,3 +104,43 @@ def test_internlm2_reward_model_parity():
         ref = (h @ vh.T).numpy()
     got = _engine_encode(d, PROMPT)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_xlm_roberta_cross_encoder_parity():
+    """XLMRobertaForSequenceClassification (reference models/roberta.py
+    reranker): CLS -> dense -> tanh -> out_proj through the encode API."""
+    import torch
+    from transformers import (
+        XLMRobertaConfig,
+        XLMRobertaForSequenceClassification as HFXlmCls,
+    )
+
+    cfg = XLMRobertaConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=1,
+        num_labels=1, pad_token_id=1,
+    )
+    torch.manual_seed(11)
+    hf = HFXlmCls(cfg).to(torch.float32).eval()
+    d = tempfile.mkdtemp(prefix="tiny_xlmr_cls_")
+    hf.save_pretrained(d, safe_serialization=True)
+    ids = [0, 7, 9, 11, 2]
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.tensor([ids]),
+            attention_mask=torch.ones((1, len(ids)), dtype=torch.long),
+        ).logits[0].numpy()
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    eng = Engine(ServerArgs(
+        model_path=d, dtype="float32",
+        max_total_tokens=1024, max_running_requests=8,
+        chunked_prefill_size=-1,
+    ))
+    try:
+        got = np.asarray(eng.encode(input_ids=ids)["embedding"], np.float32)
+    finally:
+        eng.shutdown()
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
