@@ -47,6 +47,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
         "ltp_sglang_tpu.models.llava", "LlavaForConditionalGeneration"
     ),
     "ArceeForCausalLM": ("ltp_sglang_tpu.models.arcee", "ArceeForCausalLM"),
+    "MllamaForCausalLM": ("ltp_sglang_tpu.models.mllama", "MllamaForCausalLM"),
     "Idefics2ForConditionalGeneration": (
         "ltp_sglang_tpu.models.idefics2", "Idefics2ForConditionalGeneration"
     ),

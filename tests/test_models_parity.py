@@ -1200,3 +1200,49 @@ def test_gpt_oss_greedy_parity():
         "torch_dtype": "float32",
     }, "tiny_gptoss_", prompt=[int(x) for x in
                                np.random.default_rng(12).integers(3, 500, 24)])
+
+
+def test_mllama_text_only_parity():
+    """MllamaForCausalLM (Llama-3.2-Vision text path): HF skips the
+    cross-attention layers without images, so the checkpoint serves as a
+    dense llama with those layers dropped and renumbered
+    (models/mllama.py; reference models/mllama.py)."""
+    import torch
+    from transformers import MllamaForCausalLM as HFMllama
+    from transformers.models.mllama.configuration_mllama import (
+        MllamaTextConfig,
+    )
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    cfg = MllamaTextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, cross_attention_layers=[1, 3],
+        num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rope_theta=10000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 128},
+        tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(13)
+    hf = HFMllama(cfg).to(torch.float32).eval()
+    d = tempfile.mkdtemp(prefix="tiny_mllama_")
+    hf.save_pretrained(d, safe_serialization=True)
+
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    assert eng.model_runner.model.config.num_layers == 2
+    out = eng.generate(input_ids=prompt,
+                       sampling_params={"max_new_tokens": 12,
+                                        "temperature": 0.0,
+                                        "ignore_eos": True})
+    eng.shutdown()
+    assert out["output_ids"] == ref
