@@ -48,6 +48,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     ),
     "ArceeForCausalLM": ("ltp_sglang_tpu.models.arcee", "ArceeForCausalLM"),
     "MllamaForCausalLM": ("ltp_sglang_tpu.models.mllama", "MllamaForCausalLM"),
+    "HunYuanMoEV1ForCausalLM": (
+        "ltp_sglang_tpu.models.hunyuan", "HunYuanMoEV1ForCausalLM"
+    ),
     "Idefics2ForConditionalGeneration": (
         "ltp_sglang_tpu.models.idefics2", "Idefics2ForConditionalGeneration"
     ),

@@ -1246,3 +1246,53 @@ def test_mllama_text_only_parity():
                                         "ignore_eos": True})
     eng.shutdown()
     assert out["output_ids"] == ref
+
+
+TINY_HUNYUAN_MOE_CFG = {
+    "architectures": ["HunYuanMoEV1ForCausalLM"],
+    "model_type": "hunyuan_v1_moe",
+    "hidden_size": 64,
+    "intermediate_size": 96,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 16,
+    "vocab_size": 512,
+    "max_position_embeddings": 256,
+    "rms_norm_eps": 1e-5,
+    "rope_theta": 10000.0,
+    "tie_word_embeddings": False,
+    "eos_token_id": 2,
+    "num_experts": 4,
+    "moe_topk": 2,
+    "torch_dtype": "float32",
+}
+
+
+def test_hunyuan_moe_greedy_parity():
+    """HunYuanMoEV1 (A13B lineage): post-rope qk norms + softmax-topk MoE
+    with an ungated always-on shared MLP (models/hunyuan.py)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from ltp_sglang_tpu.config.server_args import ServerArgs
+    from ltp_sglang_tpu.entrypoints.engine import Engine
+
+    d = tempfile.mkdtemp(prefix="tiny_hunyuan_moe_")
+    write_tiny_model_dir(d, cfg=TINY_HUNYUAN_MOE_CFG)
+    hf = AutoModelForCausalLM.from_pretrained(d, dtype=torch.float32).eval()
+    prompt = [1, 5, 7, 9, 100, 200, 31, 42]
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=12, do_sample=False,
+        )[0].tolist()[len(prompt):]
+    eng = Engine(ServerArgs(model_path=d, dtype="float32",
+                            max_total_tokens=2048, max_running_requests=8))
+    out = eng.generate(input_ids=prompt,
+                       sampling_params={"max_new_tokens": 12,
+                                        "temperature": 0.0,
+                                        "ignore_eos": True})
+    eng.shutdown()
+    assert out["output_ids"] == ref
