@@ -95,6 +95,9 @@ class ModelConfig:
             "seq_length": "max_position_embeddings",
             "layernorm_epsilon": "rms_norm_eps",
             "rotary_emb_base": "rope_theta",
+            # exaone-3 field names
+            "layer_norm_epsilon": "rms_norm_eps",
+            "activation_function": "hidden_act",
         }
         for src, dst in _aliases.items():
             if hf.get(src) is not None and hf.get(dst) is None:

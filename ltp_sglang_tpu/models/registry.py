@@ -48,6 +48,7 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     ),
     "ArceeForCausalLM": ("ltp_sglang_tpu.models.arcee", "ArceeForCausalLM"),
     "MllamaForCausalLM": ("ltp_sglang_tpu.models.mllama", "MllamaForCausalLM"),
+    "ExaoneForCausalLM": ("ltp_sglang_tpu.models.exaone", "ExaoneForCausalLM"),
     "HunYuanMoEV1ForCausalLM": (
         "ltp_sglang_tpu.models.hunyuan", "HunYuanMoEV1ForCausalLM"
     ),

@@ -720,3 +720,49 @@ def test_minicpm3_mla_parity_handrolled():
             ref.append(nxt)
             ids.append(nxt)
     assert _engine_greedy(d, PROMPT, 10) == ref
+
+
+def test_exaone3_roundtrip_parity():
+    """EXAONE-3 = llama math under GPT-style names (transformer.h.{i},
+    attn.attention.*, mlp.c_fc_0/1/c_proj; reference exaone.py:335-366)."""
+    cfg = dict(TINY_LLAMA_CFG)
+    hf, sd = _native_model_and_weights(cfg, "tiny_exa_src_")
+    out = {
+        "transformer.wte.weight": sd["model.embed_tokens.weight"],
+        "transformer.ln_f.weight": sd["model.norm.weight"],
+        "lm_head.weight": sd["lm_head.weight"],
+    }
+    leaf_map = {
+        "self_attn.q_proj": "attn.attention.q_proj",
+        "self_attn.k_proj": "attn.attention.k_proj",
+        "self_attn.v_proj": "attn.attention.v_proj",
+        "self_attn.o_proj": "attn.attention.out_proj",
+        "mlp.gate_proj": "mlp.c_fc_0",
+        "mlp.up_proj": "mlp.c_fc_1",
+        "mlp.down_proj": "mlp.c_proj",
+        "input_layernorm": "ln_1",
+        "post_attention_layernorm": "ln_2",
+    }
+    for i in range(cfg["num_hidden_layers"]):
+        for src, dst in leaf_map.items():
+            out[f"transformer.h.{i}.{dst}.weight"] = sd[
+                f"model.layers.{i}.{src}.weight"
+            ]
+    foreign_cfg = {
+        "architectures": ["ExaoneForCausalLM"],
+        "model_type": "exaone",
+        "hidden_size": cfg["hidden_size"],
+        "intermediate_size": cfg["intermediate_size"],
+        "num_layers": cfg["num_hidden_layers"],
+        "num_attention_heads": cfg["num_attention_heads"],
+        "num_key_value_heads": cfg["num_key_value_heads"],
+        "vocab_size": cfg["vocab_size"],
+        "max_position_embeddings": cfg["max_position_embeddings"],
+        "layer_norm_epsilon": cfg["rms_norm_eps"],
+        "rope_theta": cfg["rope_theta"],
+        "activation_function": "silu",
+        "tie_word_embeddings": False,
+        "eos_token_id": 2,
+    }
+    d = _write_foreign("tiny_exaone_", foreign_cfg, out)
+    assert _engine_greedy(d, PROMPT, 12) == _hf_greedy(hf, PROMPT, 12)
