@@ -170,6 +170,9 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
         "ltp_sglang_tpu.models.chatglm", "ChatGLMForCausalLM"
     ),
     "XverseForCausalLM": ("ltp_sglang_tpu.models.xverse", "XverseForCausalLM"),
+    "XverseMoeForCausalLM": (
+        "ltp_sglang_tpu.models.xverse", "XverseMoeForCausalLM"
+    ),
     "MiMoForCausalLM": ("ltp_sglang_tpu.models.mimo", "MiMoForCausalLM"),
     "Grok1ForCausalLM": ("ltp_sglang_tpu.models.grok", "Grok1ForCausalLM"),
     "Grok1ModelForCausalLM": ("ltp_sglang_tpu.models.grok", "Grok1ForCausalLM"),

@@ -766,3 +766,45 @@ def test_exaone3_roundtrip_parity():
     }
     d = _write_foreign("tiny_exaone_", foreign_cfg, out)
     assert _engine_greedy(d, PROMPT, 12) == _hf_greedy(hf, PROMPT, 12)
+
+
+def test_xverse_moe_roundtrip_parity():
+    """XVERSE-MoE routing math: with all experts identical and
+    norm_topk_prob, the top-k mixture reduces exactly to one expert's MLP
+    (weights sum to 1), so the foreign MoE checkpoint must reproduce the
+    native llama greedily (reference xverse_moe.py:168-185 fused_moe with
+    renormalize)."""
+    cfg = dict(TINY_LLAMA_CFG)
+    hf, sd = _native_model_and_weights(cfg, "tiny_xvm_src_")
+    E = 4
+    out = {
+        "model.embed_tokens.weight": sd["model.embed_tokens.weight"],
+        "model.norm.weight": sd["model.norm.weight"],
+        "lm_head.weight": sd["lm_head.weight"],
+    }
+    import torch
+
+    torch.manual_seed(17)
+    for i in range(cfg["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        for leaf in ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                     "self_attn.o_proj", "input_layernorm",
+                     "post_attention_layernorm"):
+            out[f"{p}.{leaf}.weight"] = sd[f"{p}.{leaf}.weight"]
+        out[f"{p}.mlp.router.weight"] = torch.randn(E, cfg["hidden_size"]) * 0.1
+        for e in range(E):
+            for leaf in ("gate_proj", "up_proj", "down_proj"):
+                out[f"{p}.mlp.experts.{e}.{leaf}.weight"] = sd[
+                    f"{p}.mlp.{leaf}.weight"
+                ].clone()
+    foreign_cfg = {
+        **cfg,
+        "architectures": ["XverseMoeForCausalLM"],
+        "model_type": "xverse",
+        "num_experts": E,
+        "moe_top_k": 2,
+        "norm_topk_prob": True,
+        "num_shared_experts": None,
+    }
+    d = _write_foreign("tiny_xverse_moe_", foreign_cfg, out)
+    assert _engine_greedy(d, PROMPT, 12) == _hf_greedy(hf, PROMPT, 12)
