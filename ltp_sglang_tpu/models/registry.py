@@ -52,6 +52,12 @@ _MODEL_REGISTRY: Dict[str, Tuple[str, str]] = {
     "HunYuanMoEV1ForCausalLM": (
         "ltp_sglang_tpu.models.hunyuan", "HunYuanMoEV1ForCausalLM"
     ),
+    "JanusForConditionalGeneration": (
+        "ltp_sglang_tpu.models.janus", "JanusForConditionalGeneration"
+    ),
+    "MultiModalityCausalLM": (
+        "ltp_sglang_tpu.models.janus", "JanusForConditionalGeneration"
+    ),
     "Idefics2ForConditionalGeneration": (
         "ltp_sglang_tpu.models.idefics2", "Idefics2ForConditionalGeneration"
     ),
